@@ -1,0 +1,68 @@
+import numpy as np
+
+from geotrellis_contrib_ray.core.celltype import CellType, convert, interpret_as
+from geotrellis_contrib_ray.core.resample import BILINEAR, NEAREST, resample
+
+
+def test_celltype_parse_name_roundtrip():
+    for name in ["int16", "int16nd", "uint8", "float32nd", "int32ud-99"]:
+        assert CellType.of(name).name == name
+
+
+def test_union_widening():
+    # int16 ∪ float32 -> float32 (FIXTURES.md §6)
+    a, b = CellType.of("int16nd"), CellType.of("float32")
+    assert a.union(b).dtype == "float32"
+    assert a.union(b).nodata is not None  # NoData-ness sticky
+    # uint8 ∪ int8 widens to int16
+    assert CellType.of("uint8").union(CellType.of("int8")).dtype == "int16"
+    assert CellType.of("uint16").union(CellType.of("uint8")).dtype == "uint16"
+
+
+def test_convert_preserves_nodata():
+    src = CellType.of("int16nd")
+    arr = np.array([[1, 2, src.nodata]], dtype=np.int16)
+    out = convert(arr, src, CellType.of("float32nd"))
+    assert out.dtype == np.float32
+    assert out[0, 0] == 1.0 and np.isnan(out[0, 2])
+
+
+def test_convert_gdal_byte_clamp():
+    # GDAL clamps Byte to [0,255] + rounds (GDALRasterSource.scala:128-152)
+    src = CellType.of("float64")
+    arr = np.array([[-5.0, 300.0, 127.6]])
+    clamped = convert(arr, src, CellType.of("uint8"), gdal_clamp=True)
+    assert clamped.tolist() == [[0, 255, 128]]
+    wrapped = convert(arr, src, CellType.of("uint8"), gdal_clamp=False)
+    assert wrapped[0, 0] == 251  # -5 wraps (two's complement style)
+    assert wrapped[0, 2] == 127  # truncation, not rounding
+
+
+def test_interpret_as():
+    ct = interpret_as(CellType.of("int16"), -999.0)
+    assert ct.nodata == -999.0 and ct.dtype == "int16"
+
+
+def test_resample_nearest_identity():
+    arr = np.arange(12, dtype=np.int32).reshape(1, 3, 4)
+    assert np.array_equal(resample(arr, 3, 4, NEAREST), arr)
+
+
+def test_resample_nearest_upscale():
+    arr = np.array([[[1, 2], [3, 4]]], dtype=np.int32)
+    out = resample(arr, 4, 4, NEAREST)
+    assert out.shape == (1, 4, 4)
+    assert out[0, 0, 0] == 1 and out[0, 3, 3] == 4
+
+
+def test_resample_bilinear_constant():
+    arr = np.full((1, 4, 4), 7.0)
+    out = resample(arr, 8, 8, BILINEAR)
+    assert np.allclose(out, 7.0)
+
+
+def test_resample_bilinear_nodata_excluded():
+    arr = np.array([[[1.0, -9999.0], [1.0, 1.0]]])
+    out = resample(arr, 2, 2, BILINEAR, nodata=-9999.0)
+    # valid neighbors dominate; no -9999 leakage into interpolation
+    assert np.all(out[out != -9999.0] == 1.0)

@@ -1,0 +1,69 @@
+import numpy as np
+import pyarrow.parquet as pq
+
+from geotrellis_contrib_ray.sources import documents as docs
+
+from conftest import SF_DIR
+
+
+def test_synth_deterministic():
+    a = docs.synth_interleaved(50, seed=42)
+    b = docs.synth_interleaved(50, seed=42)
+    assert a.equals(b)
+    assert a.schema.equals(docs.DOCUMENTS_SCHEMA)
+    # offsets strictly increasing within each doc
+    for row in a["spans"].to_pylist():
+        offs = [s["offset"] for s in row]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        kinds = {s["kind"] for s in row}
+        assert kinds <= {"text", "media"}
+
+
+def test_span_signature_detects_mutation():
+    t = docs.synth_interleaved(10)
+    sig1 = docs.span_signature(t)
+    sig2 = docs.span_signature(t)
+    assert np.array_equal(sig1, sig2)
+    # reorder spans of row 0 -> signature changes
+    rows = t.to_pylist()
+    rows[0]["spans"] = list(reversed(rows[0]["spans"]))
+    import pyarrow as pa
+
+    t2 = pa.Table.from_pylist(rows, schema=docs.DOCUMENTS_SCHEMA)
+    sig3 = docs.span_signature(t2)
+    assert sig3[0] != sig1[0]
+    assert np.array_equal(sig3[1:], sig1[1:])
+
+
+def test_docs_to_spans_real_table():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = docs.docs_to_spans(t)
+    assert out.schema.equals(docs.DOCUMENTS_SCHEMA)
+    assert out.num_rows == t.num_rows
+    row = out.slice(0, 1).to_pylist()[0]
+    assert row["doc_id"] == "doc-0"
+    assert [s["kind"] for s in row["spans"]] == ["text", "media", "text"]
+    # text halves reassemble the original text
+    orig = t["text"][0].as_py()
+    assert row["spans"][0]["text"] + row["spans"][2]["text"] == orig
+    assert row["spans"][1]["media_ref"].startswith("media://bucket")
+    # deterministic
+    out2 = docs.docs_to_spans(t)
+    assert out.equals(out2)
+
+
+def test_geocode_in_pa_bbox():
+    ids = np.arange(10000)
+    lon, lat = docs.geocode_ids(ids, 0)
+    assert lon.min() >= -80.33 and lon.max() <= -75.02
+    assert lat.min() >= 39.70 and lat.max() <= 42.10
+    # offset changes move the point
+    lon2, _ = docs.geocode_ids(ids, 5)
+    assert not np.array_equal(lon, lon2)
+
+
+def test_doc_numeric_id():
+    import pyarrow as pa
+
+    col = pa.chunked_array([["doc-7", "doc-123"]])
+    assert docs.doc_numeric_id(col).tolist() == [7, 123]
