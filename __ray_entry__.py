@@ -1,44 +1,532 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native spatial-join + tiling engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship interleaved-corpus pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` returns the DuckDB twin for each SQL-expressible one.  The
+SQL strings are *generated from the same constants* the Ray pipelines use
+(geotrellis_contrib_ray/pipelines/query_defs.py), so the two sides cannot
+drift.  Ray is initialised by the driver — nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Ray side)
+# ---------------------------------------------------------------------------
+
+
+def _docs_points(sf_dir: str, columns=("doc_id", "n_chars")):
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return ds.map_batches(spatial.add_geocode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_tile_assign(sf_dir: str):
+    """J4/J5: layout tile-key assignment at zoom 12 (global WGS84 layout)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import QUERY_LAYOUT
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    ds = ds.map_batches(
+        lambda b: spatial.add_tile_key(b, QUERY_LAYOUT),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.select_columns(["doc_id", "tile_col", "tile_row"])
+
+
+def q_cell_assign(sf_dir: str):
+    """Hierarchical cell assignment: packed cell id at res 12 + parent at 8."""
+    from geotrellis_contrib_ray.pipelines.query_defs import CELL_RES, PARENT_RES
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    ds = ds.map_batches(
+        lambda b: spatial.add_cell(b, CELL_RES, PARENT_RES),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.select_columns(["doc_id", "cell", "parent_cell"])
+
+
+def q_pip_zones(sf_dir: str):
+    """J1: PIP semi-join of doc points vs broadcast zones (boxes + convex)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import ZONE_BOXES, ZONE_CONVEX
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    return spatial.pip_join(ds, ZONE_BOXES, convex_zones=[ZONE_CONVEX], keep_cols=("doc_id",))
+
+
+def q_knn(sf_dir: str):
+    """O4: k nearest docs per broadcast query point; ties broken on doc_id."""
+    from geotrellis_contrib_ray.pipelines.query_defs import KNN_K, KNN_QUERIES
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    return spatial.knn(ds, KNN_QUERIES, KNN_K)
+
+
+def q_distance_pairs(sf_dir: str):
+    """J3: distance self-join (θ-join) on a deterministic sample."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.pipelines.query_defs import DIST_SAMPLE_LIMIT, DIST_THETA
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids < DIST_SAMPLE_LIMIT))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    return spatial.distance_join(sampled, DIST_THETA)
+
+
+def q_zonal_summary(sf_dir: str):
+    """J6: polygonal (zonal) summary — per-zone count + n_chars sum."""
+    from geotrellis_contrib_ray.pipelines.query_defs import ZONE_BOXES, ZONE_CONVEX
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir)
+    return spatial.zonal_summary(ds, ZONE_BOXES, convex_zones=[ZONE_CONVEX])
+
+
+def q_rasterize(sf_dir: str):
+    """Rasterize points to the 0.01-degree query grid: count + value sum."""
+    from geotrellis_contrib_ray.pipelines.query_defs import QUERY_GRID
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir)
+    return spatial.rasterize_count(ds, QUERY_GRID, value_col="n_chars")
+
+
+def q_pyramid(sf_dir: str):
+    """A7: hierarchical pyramid — rasterized grid aggregated 4 levels up."""
+    from geotrellis_contrib_ray.pipelines.query_defs import QUERY_GRID
+    from geotrellis_contrib_ray.stages import spatial
+
+    base = spatial.rasterize_count(_docs_points(sf_dir, columns=("doc_id",)), QUERY_GRID)
+    return spatial.pyramid_aggregate(base, levels=4)
+
+
+def q_raster_summary(sf_dir: str):
+    """A6: RasterSummary — global extent + count rollup."""
+    import pandas as pd
+
+    from geotrellis_contrib_ray.stages import spatial
+
+    res = spatial.raster_summary(_docs_points(sf_dir, columns=("doc_id",)))
+    return pd.DataFrame([res])
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup groups: first doc id + copy count per distinct text."""
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.exact_dedup_groups(ds)
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting + avg token length (whitespace convention)."""
+    from geotrellis_contrib_ray.stages import text as textmod
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(textmod.add_token_stats, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "n_tokens", "avg_token_len"])
+
+
+def q_lang_profile(sf_dir: str):
+    """Per-language profile over the driver's lang column."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from geotrellis_contrib_ray.stages import text as textmod
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"])
+    ds = ds.map_batches(textmod.add_token_stats, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang", "n_tokens", "n_chars"]).group_by("lang", use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("n_chars", "sum"), ("n_chars", "count")]
+        )
+        return g.rename_columns(["lang", "ptok", "pchars", "pcnt"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("lang").aggregate(
+        Sum("ptok", alias_name="sum_tokens"),
+        Sum("pchars", alias_name="sum_chars"),
+        Sum("pcnt", alias_name="n_docs"),
+    )
+
+
+def q_event_windows(sf_dir: str):
+    """Tumbling event-time windows per event_type (integer-cent sums)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import WINDOW_SEC
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    return windows.tumbling_window_agg(ds, WINDOW_SEC)
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows per user (gap = 1800 s)."""
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return windows.sessionize(ds, gap_sec=1800)
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-style pricing rollup with exact integer-cent sums."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        price = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": qty,
+                "price": price,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "pq", "pp", "pc"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("pq", alias_name="sum_qty_cents"),
+        Sum("pp", alias_name="sum_price_cents"),
+        Sum("pc", alias_name="n_rows"),
+    )
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join: orders x customer (small side in the task
+    closure via ray.put), grouped by market segment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust["c_custkey"].to_numpy()
+    order_ = np.argsort(keys, kind="stable")
+    lookup_ref = ray.put(
+        (keys[order_], cust["c_mktsegment"].to_numpy(zero_copy_only=False)[order_])
+    )
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    class JoinSegment:
+        def __init__(self):
+            self.keys, self.segs = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            seg = self.segs[pos]
+            cents = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+                np.int64
+            )
+            t = pa.table({"c_mktsegment": pa.array(seg, pa.string()), "cents": cents})
+            g = t.group_by("c_mktsegment", use_threads=False).aggregate(
+                [("cents", "sum"), ("cents", "count")]
+            )
+            return g.rename_columns(["c_mktsegment", "ps", "pc"])
+
+    part = ds.map_batches(
+        JoinSegment, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    return part.groupby("c_mktsegment").aggregate(
+        Sum("ps", alias_name="sum_total_cents"), Sum("pc", alias_name="n_orders")
+    )
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-k over the embeddings table (rows-only check;
+    float summation order differs across engines so no SQL hash oracle)."""
+    import pyarrow.parquet as pq
+
+    from geotrellis_contrib_ray.stages import ann
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = np.isin(head["vec_id"].to_numpy(), [0, 1, 2, 3])
+    queries = ann._embedding_matrix(head["embedding"])[qmask]
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.ann_topk(ds, queries, k=10)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (rows-only check)."""
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.minhash_candidate_pairs(ds)
+
+
+def q_quality_scores(sf_dir: str):
+    """Actor-pool quality scoring (regex state per actor; rows-only check)."""
+    from geotrellis_contrib_ray.stages import text as textmod
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        textmod.QualityScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return ds.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality"])
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship interleaved-corpus pipeline on sf0.001."""
+    from geotrellis_contrib_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assign": q_tile_assign,
+        "cell_assign": q_cell_assign,
+        "pip_zones": q_pip_zones,
+        "knn": q_knn,
+        "distance_pairs": q_distance_pairs,
+        "zonal_summary": q_zonal_summary,
+        "rasterize": q_rasterize,
+        "pyramid": q_pyramid,
+        "raster_summary": q_raster_summary,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "lang_profile": q_lang_profile,
+        "event_windows": q_event_windows,
+        "sessionize": q_sessionize,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_by_segment": q_orders_by_segment,
+        "ann_cosine": q_ann_cosine,
+        "minhash_pairs": q_minhash_pairs,
+        "quality_scores": q_quality_scores,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        DIST_SAMPLE_LIMIT,
+        DIST_THETA,
+        KNN_K,
+        PA_EXTENT,
+        QUERY_GRID,
+        QUERY_LAYOUT,
+        WINDOW_SEC,
+        convex_sql_predicate,
+        geo_cte,
+        knn_values_sql,
+        zone_boxes_values_sql,
+        ZONE_CONVEX,
+    )
+
+    tw = QUERY_LAYOUT.tile_width  # 0.0439453125 — exactly representable
+    th = QUERY_LAYOUT.tile_height
+    gx0, gy1 = QUERY_GRID.extent.xmin, QUERY_GRID.extent.ymax
+    cw, ch = QUERY_GRID.cellwidth, QUERY_GRID.cellheight
+    eps = 1e-9  # core.grid._EPS, mirrored into the SQL floor expressions
+
+    # packed-cell arithmetic constants (core/cells.py pack_cell)
+    P58, P29 = 1 << 58, 1 << 29
+    convex_name = ZONE_CONVEX[0]
+
+    sql = {}
+    sql["tile_assign"] = f"""
+WITH {geo_cte()}
+SELECT doc_id,
+       CAST(floor((lon - (-180.0)) / {tw!r}) AS BIGINT) AS tile_col,
+       CAST(floor((90.0 - lat) / {th!r}) AS BIGINT) AS tile_row
+FROM pts"""
+
+    sql["cell_assign"] = f"""
+WITH {geo_cte()},
+  xy AS (
+    SELECT doc_id,
+           CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS BIGINT) AS x,
+           CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT) AS y
+    FROM pts
+  )
+SELECT doc_id,
+       12 * {P58} + x * {P29} + y AS cell,
+       8 * {P58} + CAST(floor(x / 16) AS BIGINT) * {P29} + CAST(floor(y / 16) AS BIGINT) AS parent_cell
+FROM xy"""
+
+    sql["pip_zones"] = f"""
+WITH {geo_cte()}
+SELECT doc_id, zone_name FROM pts
+JOIN {zone_boxes_values_sql()}
+  ON lon BETWEEN xmin AND xmax AND lat BETWEEN ymin AND ymax
+UNION ALL
+SELECT doc_id, '{convex_name}' AS zone_name FROM pts
+WHERE {convex_sql_predicate('lon', 'lat')}"""
+
+    sql["knn"] = f"""
+WITH {geo_cte()},
+  d AS (
+    SELECT q.query_id, p.doc_id,
+           sqrt((p.lon - q.qx) * (p.lon - q.qx) + (p.lat - q.qy) * (p.lat - q.qy)) AS dist
+    FROM pts p CROSS JOIN {knn_values_sql()}
+  )
+SELECT query_id, doc_id, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn FROM d
+) WHERE rn <= {KNN_K}"""
+
+    sql["distance_pairs"] = f"""
+WITH {geo_cte()},
+  s AS (SELECT * FROM pts WHERE doc_id < {DIST_SAMPLE_LIMIT})
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE sqrt((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) < {DIST_THETA!r}"""
+
+    sql["zonal_summary"] = f"""
+WITH {geo_cte()},
+  hits AS (
+    SELECT doc_id, n_chars, zone_name FROM pts
+    JOIN {zone_boxes_values_sql()}
+      ON lon BETWEEN xmin AND xmax AND lat BETWEEN ymin AND ymax
+    UNION ALL
+    SELECT doc_id, n_chars, '{convex_name}' AS zone_name FROM pts
+    WHERE {convex_sql_predicate('lon', 'lat')}
+  )
+SELECT zone_name, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(*) AS n_docs
+FROM hits GROUP BY zone_name"""
+
+    sql["rasterize"] = f"""
+WITH {geo_cte()}
+SELECT CAST(floor((lon - ({gx0!r})) / {cw!r} + {eps!r}) AS BIGINT) AS col,
+       CAST(floor(({gy1!r} - lat) / {ch!r} + {eps!r}) AS BIGINT) AS row,
+       count(*) AS n_points,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM pts GROUP BY 1, 2"""
+
+    sql["pyramid"] = f"""
+WITH {geo_cte()},
+  base AS (
+    SELECT CAST(floor((lon - ({gx0!r})) / {cw!r} + {eps!r}) AS BIGINT) AS col,
+           CAST(floor(({gy1!r} - lat) / {ch!r} + {eps!r}) AS BIGINT) AS row,
+           count(*) AS n_points
+    FROM pts GROUP BY 1, 2
+  )
+SELECT CAST(floor(col / 16) AS BIGINT) AS col,
+       CAST(floor(row / 16) AS BIGINT) AS row,
+       CAST(sum(n_points) AS BIGINT) AS n_points
+FROM base GROUP BY 1, 2"""
+
+    sql["raster_summary"] = f"""
+WITH {geo_cte()}
+SELECT min(lon) AS min_lon, max(lon) AS max_lon,
+       min(lat) AS min_lat, max(lat) AS max_lat,
+       count(*) AS n_docs
+FROM pts"""
+
+    sql["dedup_exact"] = """
+SELECT text, min(doc_id) AS first_doc, count(*) AS n_copies
+FROM documents GROUP BY text"""
+
+    sql["token_stats"] = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+         / (length(text) - length(replace(text, ' ', '')) + 1) AS avg_token_len
+FROM documents"""
+
+    sql["lang_profile"] = """
+SELECT lang,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(*) AS n_docs
+FROM documents GROUP BY lang"""
+
+    sql["event_windows"] = f"""
+SELECT event_type,
+       CAST(floor(epoch(ts) / {WINDOW_SEC}) AS BIGINT) * {WINDOW_SEC} AS window_start,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2"""
+
+    sql["sessionize"] = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+),
+marked AS (
+  SELECT user_id, s,
+         CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 1800
+              OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sessions AS (
+  SELECT user_id, s,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS sess
+  FROM marked
+)
+SELECT user_id, min(s) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, sess"""
+
+    sql["lineitem_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+    sql["orders_by_segment"] = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_total_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+    # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
+    # (float-summation order / regex semantics not bit-reproducible in SQL);
+    # driver records rows-only checks, pytest holds the numpy oracles.
+    return sql

@@ -123,6 +123,28 @@ def polygon_intersects_box(ring: np.ndarray, xmin, ymin, xmax, ymax) -> bool:
     return False
 
 
+def convex_contains_points(px, py, verts: list[tuple[float, float]]) -> np.ndarray:
+    """Half-plane PIP for a CW convex polygon; expression mirrors the SQL
+    oracle (query_defs.convex_sql_predicate) term-for-term so double rounding
+    is identical on both sides."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.ones(px.shape, dtype=bool)
+    m = len(verts)
+    for i in range(m):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % m]
+        out &= ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) <= 0
+    return out
+
+
+def box_contains_points(px, py, xmin, ymin, xmax, ymax) -> np.ndarray:
+    """Closed-range bbox containment (SQL BETWEEN semantics), vectorized."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    return (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+
+
 # --- scalar functions (F1-F6) ----------------------------------------------
 
 

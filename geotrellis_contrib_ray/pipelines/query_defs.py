@@ -1,0 +1,119 @@
+"""Shared definitions for the driver-checked queries.
+
+Every constant here is used BOTH by the Ray pipelines and to *generate* the
+DuckDB oracle SQL in __ray_entry__.py, so the two sides can never drift.
+All derivations are pure integer arithmetic or identical double expressions,
+making results bit-reproducible across numpy and DuckDB.
+
+Geo derivation over the driver's flat ``documents`` table (doc_id:int64):
+    lon = LON0 + ((doc_id*LON_A + LON_C) % LON_MOD) * 1e-5
+    lat = LAT0 + ((doc_id*LAT_A + LAT_C) % LAT_MOD) * 1e-5
+(the span-level corpus uses the same formula with span offsets; see
+sources/documents.py).
+"""
+
+from __future__ import annotations
+
+from ..core.grid import Extent, GridExtent, LayoutDefinition
+from ..sources.documents import (
+    LAT0,
+    LAT_A,
+    LAT_C,
+    LAT_MOD,
+    LON0,
+    LON_A,
+    LON_C,
+    LON_MOD,
+)
+
+# Pennsylvania-ish bbox covering every derived point (FIXTURES.md §1)
+PA_EXTENT = Extent(-80.33, 39.70, -75.03, 42.10)
+
+# the query raster grid: 0.01-degree cells over the PA bbox (530 x 240)
+QUERY_GRID = GridExtent(PA_EXTENT, 0.01, 0.01, 530, 240)
+
+# the query tile layout: global WGS84 ZXY at zoom 12 (8192 x 4096 tiles,
+# power-of-two => exactly representable tile width 0.0439453125 deg)
+QUERY_ZOOM = 12
+QUERY_LAYOUT = LayoutDefinition.global_latlon(QUERY_ZOOM)
+
+# hierarchical cell resolutions for cell-assignment + pyramid queries
+CELL_RES = 12
+PARENT_RES = 8
+
+# PIP zones: axis-aligned boxes in doc space (negated-lon city coords,
+# bboxBuffer semantics from slick/src/test/.../Data.scala:59-66) + one convex
+# polygon to exercise the half-plane kernel.  Closed ranges (SQL BETWEEN).
+ZONE_BOXES: list[tuple[str, float, float, float, float]] = [
+    # name, xmin, ymin, xmax, ymax   (buffer d=0.35 around the city point)
+    ("altoona", -78.67, 39.95, -77.97, 40.65),
+    ("erie", -80.53, 41.73, -79.83, 42.43),
+    ("harrisburg", -77.20, 39.87, -76.50, 40.57),
+    ("philadelphia", -75.60, 39.53, -74.90, 40.23),
+    ("pittsburgh", -80.28, 40.00, -79.58, 40.70),
+    ("williamsport", -77.27, 40.90, -76.57, 41.60),
+]
+
+# convex polygon zone (CW vertex order): a quadrilateral around State College
+ZONE_CONVEX: tuple[str, list[tuple[float, float]]] = (
+    "state_college_quad",
+    [(-78.3, 40.6), (-77.3, 41.2), (-76.8, 40.7), (-77.9, 40.2)],
+)
+
+# kNN query points + k
+KNN_QUERIES: list[tuple[int, float, float]] = [
+    (0, -77.86, 40.79),
+    (1, -79.99, 40.44),
+    (2, -75.16, 39.95),
+    (3, -76.88, 40.27),
+]
+KNN_K = 5
+
+# distance self-join: sample predicate + threshold.  A contiguous id range
+# (not a modulus — the integer-lattice geocode makes modular samples too
+# sparse) keeps the brute-force oracle bounded at any sf.
+DIST_SAMPLE_LIMIT = 2000  # doc_id < 2000
+DIST_THETA = 0.1
+
+# tumbling window size for the events query (seconds)
+WINDOW_SEC = 3600
+
+
+def geo_cte() -> str:
+    """The shared DuckDB CTE deriving (doc_id, lon, lat, n_chars) from
+    documents — textually identical arithmetic to geocode_ids(offset=0)."""
+    return f"""
+  pts AS (
+    SELECT doc_id,
+           {LON0} + ((doc_id * {LON_A} + {LON_C}) % {LON_MOD}) * 1e-5 AS lon,
+           {LAT0} + ((doc_id * {LAT_A} + {LAT_C}) % {LAT_MOD}) * 1e-5 AS lat,
+           n_chars
+    FROM documents
+  )"""
+
+
+def zone_boxes_values_sql() -> str:
+    rows = ",\n      ".join(
+        f"('{n}', {x0}, {y0}, {x1}, {y1})" for n, x0, y0, x1, y1 in ZONE_BOXES
+    )
+    return f"(VALUES\n      {rows}) AS zones(zone_name, xmin, ymin, xmax, ymax)"
+
+
+def convex_sql_predicate(px: str, py: str) -> str:
+    """AND of half-plane sign tests for the CW convex zone — the SQL twin of
+    geom.convex_contains_points (identical expression, identical rounding)."""
+    name, verts = ZONE_CONVEX
+    terms = []
+    m = len(verts)
+    for i in range(m):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % m]
+        terms.append(
+            f"(({x2} - {x1}) * ({py} - {y1}) - ({y2} - {y1}) * ({px} - {x1})) <= 0"
+        )
+    return " AND ".join(terms)
+
+
+def knn_values_sql() -> str:
+    rows = ",\n      ".join(f"({q}, {x}, {y})" for q, x, y in KNN_QUERIES)
+    return f"(VALUES\n      {rows}) AS q(query_id, qx, qy)"

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul of each Arrow batch against
+a broadcast query matrix (zero-copy fixed-size reshape of the list column),
+partial top-k per batch, tiny final merge.  Scale path: LSH-bucketed variant
+(random-hyperplane signatures -> groupby bucket -> exact rerank in-bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embedding_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy on the values
+    buffer when the lists are fixed-length."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    n = len(arr)
+    d = len(flat) // max(n, 1)
+    return flat.reshape(n, d).astype(np.float64)
+
+
+class CosineTopK:
+    """Per-batch partial top-k by cosine similarity against broadcast queries.
+
+    Query matrix is normalized once in __init__ (actor-pool pattern);
+    each batch does one (B, d) x (d, Q) matmul."""
+
+    def __init__(self, queries: np.ndarray, k: int, id_col: str = "vec_id"):
+        q = np.asarray(queries, dtype=np.float64)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(batch["embedding"])
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms) @ self.qn.T  # (B, Q)
+        k = min(self.k, sims.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            cand = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            order = np.lexsort((ids[cand], -s[cand]))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(s[sel])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
+
+def ann_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id", batch_size=65536):
+    """Brute-force cosine top-k: map_batches partial -> groupby(query) final."""
+    partial = ds.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=2,
+    )
+
+    def finalize(g):
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+
+    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Scale path: random-hyperplane bucket signature per vector; vectors and
+    queries sharing a bucket get exact rerank (candidate recall traded for a
+    groupby instead of an all-pairs matmul)."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes) > 0
+        weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
+        return bits.astype(np.int64) @ weights
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch["embedding"])
+        return batch.append_column("bucket", pa.array(self.bucket(emb)))
+
+
+def ann_lsh_topk(ds, queries: np.ndarray, k: int, dim: int, n_planes: int = 8, id_col="vec_id"):
+    """LSH-bucketed ANN: assign buckets, keep only buckets the queries hash
+    into (broadcast set filter — a semi-join), then exact rerank.
+
+    Approximate: recall depends on n_planes; documented as the 100TB path
+    where brute force is too wide."""
+    lsh = HyperplaneLSH(dim, n_planes)
+    qbuckets = set(lsh.bucket(np.asarray(queries, dtype=np.float64)).tolist())
+
+    def in_qbuckets(batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch["embedding"])
+        b = lsh.bucket(emb)
+        mask = np.isin(b, list(qbuckets))
+        return batch.filter(pa.array(mask))
+
+    filtered = ds.map_batches(in_qbuckets, batch_format="pyarrow", zero_copy_batch=True)
+    return ann_topk(filtered, queries, k, id_col=id_col)

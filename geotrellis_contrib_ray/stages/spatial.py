@@ -1,0 +1,379 @@
+"""Spatial operator stages: geocode, tile/cell assignment, PIP semi-join,
+kNN, distance self-join, zonal summary, rasterize, pyramid.
+
+Each operator is a composition over ``ray.data.Dataset``:
+``map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)`` for the
+narrow vectorized steps, partial per-batch aggregation (pyarrow
+``Table.group_by`` — C++ hash agg) before every wide ``groupby`` so the
+shuffle moves pre-reduced rows, and ``groupby(key)`` only for the final small
+combine.  Small sides (zones, query points) are broadcast, never shuffled.
+
+Reference parity (SURVEY.md §2): J1 bbox/PIP semi-join (PostgisSpec.scala:
+133-170), J3 distance θ-join (:174-188), J4/J5 tile-key assignment
+(GeotrellisRasterSourceBench.scala:34-41), J6/A6 polygonal summary + raster
+summary (CHANGELOG.md:67,85), A7 hierarchical pyramid, O4 kNN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core import cells as cellmod
+from ..core import geom as geommod
+from ..core.grid import GridExtent, LayoutDefinition
+from ..sources.documents import geocode_ids
+
+# ---------------------------------------------------------------------------
+# geocode + assignment (stateless, narrow)
+# ---------------------------------------------------------------------------
+
+
+def add_geocode(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Derive (lon, lat) from the integer doc id — the flat-table path."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lon, lat = geocode_ids(ids)
+    return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+
+def add_tile_key(batch: pa.Table, layout: LayoutDefinition) -> pa.Table:
+    """J4: vectorized layout-key assignment from (lon, lat) columns."""
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    col, row = layout.key_for_point(lon, lat)
+    return batch.append_column("tile_col", pa.array(col)).append_column(
+        "tile_row", pa.array(row)
+    )
+
+
+def add_cell(batch: pa.Table, res: int, parent_res: int | None = None) -> pa.Table:
+    """Hierarchical cell id (+ optional parent) from (lon, lat) columns."""
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    cell = cellmod.latlng_to_cell(lat, lon, res)
+    batch = batch.append_column("cell", pa.array(cell))
+    if parent_res is not None:
+        batch = batch.append_column(
+            "parent_cell", pa.array(cellmod.cell_to_parent(cell, parent_res))
+        )
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# J1: PIP semi-join against a small broadcast zone set
+# ---------------------------------------------------------------------------
+
+
+class ZoneMatcher:
+    """Broadcast-side PIP refine.  Zones are small (carried in the task
+    closure); big polygon sides use state/spatial_index.StrTreeActor instead.
+
+    Each batch: for every zone, a vectorized containment mask; emits one row
+    per (point, zone) hit.  Box zones use closed-range (SQL BETWEEN)
+    semantics; convex zones use the half-plane kernel whose expression matches
+    the SQL oracle exactly.
+    """
+
+    def __init__(self, boxes, convex_zones=(), keep_cols=("doc_id",)):
+        self.boxes = boxes
+        self.convex_zones = list(convex_zones)
+        self.keep_cols = list(keep_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        idx_parts, name_parts = [], []
+        for name, x0, y0, x1, y1 in self.boxes:
+            hit = np.nonzero(geommod.box_contains_points(lon, lat, x0, y0, x1, y1))[0]
+            if len(hit):
+                idx_parts.append(hit)
+                name_parts.append(np.full(len(hit), name, dtype=object))
+        for name, verts in self.convex_zones:
+            hit = np.nonzero(geommod.convex_contains_points(lon, lat, verts))[0]
+            if len(hit):
+                idx_parts.append(hit)
+                name_parts.append(np.full(len(hit), name, dtype=object))
+        if not idx_parts:
+            empty = {c: batch[c].slice(0, 0) for c in self.keep_cols}
+            empty["zone_name"] = pa.array([], pa.string())
+            return pa.table(empty)
+        idx = np.concatenate(idx_parts)
+        names = pa.array(np.concatenate(name_parts), pa.string())
+        out = batch.select(self.keep_cols).take(pa.array(idx))
+        return out.append_column("zone_name", names)
+
+
+def pip_join(ds, boxes, convex_zones=(), keep_cols=("doc_id",), batch_size=65536):
+    """Point-in-polygon semi-join: broadcast zones, vectorized refine.
+
+    No shuffle at all — the small side rides in the task closure, each block
+    is filtered independently (the scale path for few-thousand-zone sides;
+    beyond that use the cell-cover + STRtree actor pool)."""
+    return ds.map_batches(
+        ZoneMatcher(boxes, convex_zones, keep_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4: kNN — per-batch partial top-k, then per-query final merge
+# ---------------------------------------------------------------------------
+
+
+class KnnPartial:
+    """Per-batch partial top-k against the broadcast query matrix.
+
+    Emits <= k rows per query per batch; the final merge is a tiny
+    groupby(query_id).  Distance expression matches the SQL oracle:
+    sqrt((lon-qx)^2 + (lat-qy)^2), ties broken on doc_id.
+    """
+
+    def __init__(self, queries, k: int, id_col: str = "doc_id"):
+        self.queries = np.asarray([[q[1], q[2]] for q in queries], dtype=np.float64)
+        self.qids = np.asarray([q[0] for q in queries], dtype=np.int64)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        qx = self.queries[:, 0][:, None]  # (Q, 1)
+        qy = self.queries[:, 1][:, None]
+        d = np.sqrt((lon[None, :] - qx) * (lon[None, :] - qx) + (lat[None, :] - qy) * (lat[None, :] - qy))
+        k = min(self.k, d.shape[1])
+        # lexicographic (dist, id) partial selection per query row
+        part = np.argpartition(d, k - 1, axis=1)[:, :k] if d.shape[1] > k else np.tile(
+            np.arange(d.shape[1]), (len(self.qids), 1)
+        )
+        out_q, out_id, out_d = [], [], []
+        for qi in range(len(self.qids)):
+            cand = part[qi]
+            dd = d[qi, cand]
+            order = np.lexsort((ids[cand], dd))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+            out_id.append(ids[sel])
+            out_d.append(d[qi, sel])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_id),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+
+def knn(ds, queries, k: int, id_col: str = "doc_id", batch_size=131072):
+    """kNN of broadcast query points against the point dataset.
+
+    map_batches partial top-k (narrow) -> groupby(query_id) final top-k merge
+    (shuffle of Q*k*num_blocks rows only)."""
+    partial = ds.map_batches(
+        KnnPartial(queries, k, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+    def finalize(g):
+        g = g.sort_values(["dist", "doc_id"], kind="mergesort").head(k)
+        return g
+
+    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J3: distance self-join via neighbor-replicated cell grid
+# ---------------------------------------------------------------------------
+
+
+def _dist_cell_res(theta: float) -> int:
+    """Finest resolution whose cell side >= theta (so all pairs within theta
+    live in adjacent cells)."""
+    res = 0
+    while res < cellmod.MAX_RES and 360.0 / (2 ** (res + 2)) >= theta:
+        res += 1
+    return res
+
+
+class _DistReplicate:
+    """Left side replicated to its 3x3 cell neighborhood (side=0); right side
+    stays in its home cell (side=1).  Each candidate ordered pair then meets
+    in exactly one group — no post-dedup shuffle needed."""
+
+    def __init__(self, res: int, id_col: str):
+        self.res = res
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        x, y = cellmod.latlng_to_cell_xy(lat, lon, self.res)
+        nx = np.int64(2) ** (self.res + 1)
+        ny = np.int64(2) ** self.res
+        n = len(ids)
+        outs = {"id": [], "lon": [], "lat": [], "cell": [], "side": []}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cx = x + dx
+                cy = y + dy
+                ok = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+                cell = cellmod.pack_cell(self.res, cx[ok], cy[ok])
+                outs["id"].append(ids[ok])
+                outs["lon"].append(lon[ok])
+                outs["lat"].append(lat[ok])
+                outs["cell"].append(cell)
+                outs["side"].append(np.zeros(int(ok.sum()), dtype=np.int8))
+                if dx == 0 and dy == 0:
+                    outs["id"].append(ids)
+                    outs["lon"].append(lon)
+                    outs["lat"].append(lat)
+                    outs["cell"].append(cellmod.pack_cell(self.res, x, y))
+                    outs["side"].append(np.ones(n, dtype=np.int8))
+        return pa.table({k: np.concatenate(v) for k, v in outs.items()})
+
+
+def distance_join(ds, theta: float, id_col: str = "doc_id"):
+    """All pairs (id1 < id2) with euclidean distance < theta.
+
+    Grid-partitioned θ-join: replicate left to neighbor cells, groupby cell,
+    per-group vectorized brute force.  Distance expression matches the SQL
+    oracle.  Output: id1, id2, dist."""
+    res = _dist_cell_res(theta)
+    pairs_src = ds.map_batches(
+        _DistReplicate(res, id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _empty():
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "id1": pd.Series([], dtype=np.int64),
+                "id2": pd.Series([], dtype=np.int64),
+                "dist": pd.Series([], dtype=np.float64),
+            }
+        )
+
+    def per_cell(g):
+        import pandas as pd
+
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return _empty()
+        lx = left["lon"].to_numpy()
+        ly = left["lat"].to_numpy()
+        lid = left["id"].to_numpy()
+        rx = right["lon"].to_numpy()
+        ry = right["lat"].to_numpy()
+        rid = right["id"].to_numpy()
+        d = np.sqrt((lx[:, None] - rx[None, :]) * (lx[:, None] - rx[None, :]) + (ly[:, None] - ry[None, :]) * (ly[:, None] - ry[None, :]))
+        ii, jj = np.nonzero((d < theta) & (lid[:, None] < rid[None, :]))
+        if len(ii) == 0:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "id1": lid[ii].astype(np.int64),
+                "id2": rid[jj].astype(np.int64),
+                "dist": d[ii, jj].astype(np.float64),
+            }
+        )
+
+    return pairs_src.groupby("cell").map_groups(per_cell, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J6/A6: zonal summary + raster summary; rasterize + pyramid (A7)
+# ---------------------------------------------------------------------------
+
+
+def zonal_summary(ds, boxes, convex_zones=(), value_col: str = "n_chars"):
+    """Polygonal summary: PIP join then per-zone aggregate with per-batch
+    partial reduction (one row per zone per batch crosses the shuffle)."""
+    joined = pip_join(ds, boxes, convex_zones, keep_cols=("doc_id", value_col))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("zone_name").aggregate([(value_col, "sum"), ("doc_id", "count")])
+        return t.rename_columns(["zone_name", "psum", "pcnt"])
+
+    part = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    out = part.groupby("zone_name").aggregate(
+        Sum("psum", alias_name="sum_chars"), Sum("pcnt", alias_name="n_docs")
+    )
+    return out
+
+
+def rasterize_count(ds, grid: GridExtent, value_col: str | None = None):
+    """Rasterize points onto ``grid``: per-cell count (+ optional value sum).
+
+    Narrow partial aggregate per batch, tiny final groupby on (col, row)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        col, row = grid.map_to_grid(lon, lat)
+        cols = {"col": col, "row": row}
+        aggs = [("col", "count")]
+        if value_col is not None:
+            cols[value_col] = batch[value_col].to_numpy(zero_copy_only=False)
+            aggs.append((value_col, "sum"))
+        t = pa.table(cols)
+        g = t.group_by(["col", "row"], use_threads=False).aggregate(aggs)
+        names = ["col", "row", "pcnt"] + (["psum"] if value_col else [])
+        return g.rename_columns(names)
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("pcnt", alias_name="n_points")]
+    if value_col is not None:
+        aggs.append(Sum("psum", alias_name=f"sum_{value_col}"))
+    return part.groupby(["col", "row"]).aggregate(*aggs)
+
+
+def pyramid_aggregate(tile_ds, levels: int, count_col: str = "n_points"):
+    """A7: hierarchical parent aggregation — iterated groupby(parent) where
+    parent = (col >> 1, row >> 1), summing counts.  Returns the top level.
+
+    Each iteration's input shrinks ~4x; per-batch partial aggregation keeps
+    every shuffle small."""
+    ds = tile_ds
+    from ray.data.aggregate import Sum
+
+    for _ in range(levels):
+        def to_parent(batch: pa.Table) -> pa.Table:
+            col = batch["col"].to_numpy(zero_copy_only=False).astype(np.int64)
+            row = batch["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = pa.table(
+                {"col": col >> 1, "row": row >> 1, count_col: batch[count_col]}
+            )
+            g = t.group_by(["col", "row"], use_threads=False).aggregate([(count_col, "sum")])
+            return g.rename_columns(["col", "row", count_col])
+
+        ds = (
+            ds.map_batches(to_parent, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["col", "row"])
+            .aggregate(Sum(count_col, alias_name=count_col))
+        )
+    return ds
+
+
+def raster_summary(ds):
+    """A6 RasterSummary: global extent/count rollup feeding layout choice."""
+    from ray.data.aggregate import Count, Max, Min
+
+    return ds.aggregate(
+        Min("lon", alias_name="min_lon"),
+        Max("lon", alias_name="max_lon"),
+        Min("lat", alias_name="min_lat"),
+        Max("lat", alias_name="max_lat"),
+        Count(alias_name="n_docs"),
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis stages for large-scale training-data pipelines: token
+counting, quality scoring, language profiling, document fingerprinting.
+
+All vectorized pyarrow.compute / numpy; the regex-bearing scorer is an actor
+pool (compile once per actor).  Oracle-matched outputs use only expressions
+DuckDB reproduces bit-for-bit (integer arithmetic, count_substring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_token_stats(batch: pa.Table) -> pa.Table:
+    """n_tokens = whitespace-separated token count (single-space convention,
+    SQL twin: length(text) - length(replace(text,' ','')) + 1); plus
+    avg_token_len as exact integer-derived double."""
+    n_sp = pc.count_substring(batch["text"], " ")
+    n_tokens = pc.add(n_sp, 1)
+    n_chars = pc.utf8_length(batch["text"])
+    # avg token length = (chars - spaces) / tokens, as double division of
+    # exact ints (identical in DuckDB)
+    n_tok_np = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    nonspace = pc.subtract(n_chars, n_sp).to_numpy(zero_copy_only=False).astype(np.float64)
+    avg = nonspace / n_tok_np
+    return (
+        batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+        .append_column("avg_token_len", pa.array(avg))
+    )
+
+
+class QualityScorer:
+    """Actor-pool stage: compiled-regex quality heuristics (stopword ratio,
+    alpha ratio, mean word length) — state built once per actor (ST-pattern),
+    batches scored vectorized via pandas str ops."""
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"[A-Za-z]+")
+        self.stop = {
+            "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+            "for", "on", "with", "as", "at", "by",
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas()
+        toks = texts.str.findall(self.word_re)
+        n_words = toks.map(len).to_numpy(dtype=np.float64)
+        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop)).to_numpy(
+            dtype=np.float64
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            stop_ratio = np.where(n_words > 0, n_stop / n_words, 0.0)
+        n_alpha = texts.str.count(r"[A-Za-z]").to_numpy(dtype=np.float64)
+        n_chars = texts.str.len().to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            alpha_ratio = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
+        score = 0.5 * stop_ratio + 0.5 * alpha_ratio
+        return (
+            batch.append_column("stop_ratio", pa.array(stop_ratio))
+            .append_column("alpha_ratio", pa.array(alpha_ratio))
+            .append_column("quality", pa.array(score))
+        )
+
+
+# simple n-gram language-ID heuristic over a tiny per-language profile;
+# deterministic, pure-python-free scoring via numpy bincount
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+}
+
+
+def add_lang_guess(batch: pa.Table) -> pa.Table:
+    """Language-ID by marker-ngram counting (vectorized count_substring per
+    marker); emits lang_guess + the marker hit count."""
+    texts = batch["text"]
+    best_lang = np.full(len(batch), "und", dtype=object)
+    best_hits = np.zeros(len(batch), dtype=np.int64)
+    for lang, markers in _LANG_MARKERS.items():
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for m in markers:
+            hits += pc.count_substring(texts, m).to_numpy(zero_copy_only=False)
+        better = hits > best_hits
+        best_lang[better] = lang
+        best_hits[better] = hits[better]
+    return batch.append_column("lang_guess", pa.array(best_lang, pa.string())).append_column(
+        "lang_hits", pa.array(best_hits)
+    )
+
+
+def add_fingerprint(batch: pa.Table) -> pa.Table:
+    """Rolling/content hash fingerprint per document (xxhash-style mix over
+    the utf8 bytes, vectorized via numpy on the shared buffer)."""
+    texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    texts = texts.cast(pa.string())
+    n = len(texts)
+    if n == 0:
+        return batch.append_column("fingerprint", pa.array([], pa.uint64()))
+    off_buf = texts.buffers()[1]
+    offs = np.frombuffer(off_buf, dtype=np.int32)[texts.offset : texts.offset + n + 1].astype(np.int64)
+    data_buf = texts.buffers()[2]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.zeros(0, np.uint8)
+    fp = _segment_hash(data, offs)
+    return batch.append_column("fingerprint", pa.array(fp, pa.uint64()))
+
+
+def _segment_hash(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """FNV-1a per segment, vectorized across rows: process column-of-bytes
+    position-by-position over the max length but masked to each row's span.
+    Rows are short texts; cost is O(max_len * n) numpy ops."""
+    n = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    out = np.full(n, np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    max_len = int(lens.max()) if n else 0
+    # chunk positions to bound memory: 64 positions at a time
+    for start in range(0, max_len, 64):
+        width = min(64, max_len - start)
+        idx = offs[:-1, None] + start + np.arange(width)[None, :]
+        valid = idx < offs[1:, None]
+        safe = np.where(valid, idx, 0)
+        bytes_ = data[safe].astype(np.uint64)
+        for j in range(width):
+            m = valid[:, j]
+            out[m] = (out[m] ^ bytes_[m, j]) * prime
+    return out
