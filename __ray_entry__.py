@@ -35,7 +35,7 @@ def _docs_points(sf_dir: str, columns=("doc_id", "n_chars")):
     from geotrellis_contrib_ray.stages import spatial
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
-    return ds.map_batches(spatial.add_geocode, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(spatial.add_geocode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
 
 
 def q_tile_assign(sf_dir: str):
@@ -48,6 +48,7 @@ def q_tile_assign(sf_dir: str):
         lambda b: spatial.add_tile_key(b, QUERY_LAYOUT),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
     return ds.select_columns(["doc_id", "tile_col", "tile_row"])
 
@@ -62,6 +63,7 @@ def q_cell_assign(sf_dir: str):
         lambda b: spatial.add_cell(b, CELL_RES, PARENT_RES),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
     return ds.select_columns(["doc_id", "cell", "parent_cell"])
 
@@ -97,7 +99,7 @@ def q_distance_pairs(sf_dir: str):
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids < DIST_SAMPLE_LIMIT))
 
-    sampled = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    sampled = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     return spatial.distance_join(sampled, DIST_THETA)
 
 
@@ -125,7 +127,7 @@ def q_pyramid(sf_dir: str):
     from geotrellis_contrib_ray.stages import spatial
 
     base = spatial.rasterize_count(_docs_points(sf_dir, columns=("doc_id",)), QUERY_GRID)
-    return spatial.pyramid_aggregate(base, levels=4)
+    return spatial.pyramid_rollup(base, levels=4)
 
 
 def q_raster_summary(sf_dir: str):
@@ -151,7 +153,7 @@ def q_token_stats(sf_dir: str):
     from geotrellis_contrib_ray.stages import text as textmod
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(textmod.add_token_stats, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(textmod.add_token_stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     return ds.select_columns(["doc_id", "n_tokens", "avg_token_len"])
 
 
@@ -164,7 +166,7 @@ def q_lang_profile(sf_dir: str):
     from geotrellis_contrib_ray.stages import text as textmod
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"])
-    ds = ds.map_batches(textmod.add_token_stats, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(textmod.add_token_stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.select(["lang", "n_tokens", "n_chars"]).group_by("lang", use_threads=False).aggregate(
@@ -172,7 +174,7 @@ def q_lang_profile(sf_dir: str):
         )
         return g.rename_columns(["lang", "ptok", "pchars", "pcnt"])
 
-    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     return part.groupby("lang").aggregate(
         Sum("ptok", alias_name="sum_tokens"),
         Sum("pchars", alias_name="sum_chars"),
@@ -226,7 +228,7 @@ def q_lineitem_pricing(sf_dir: str):
         )
         return g.rename_columns(["l_returnflag", "l_linestatus", "pq", "pp", "pc"])
 
-    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     return part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("pq", alias_name="sum_qty_cents"),
         Sum("pp", alias_name="sum_price_cents"),
@@ -273,7 +275,7 @@ def q_orders_by_segment(sf_dir: str):
             return g.rename_columns(["c_mktsegment", "ps", "pc"])
 
     part = ds.map_batches(
-        JoinSegment, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        JoinSegment, batch_format="pyarrow", zero_copy_batch=True, batch_size=None, concurrency=2
     )
     return part.groupby("c_mktsegment").aggregate(
         Sum("ps", alias_name="sum_total_cents"), Sum("pc", alias_name="n_orders")
@@ -311,6 +313,7 @@ def q_quality_scores(sf_dir: str):
         textmod.QualityScorer,
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
         concurrency=2,
     )
     return ds.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality"])

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline flagship pipeline + per-operator timings.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs +
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N node
+clusters).  Results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# per-operator benches beyond the headline (subset: one per operator family)
+BENCH_QUERIES = [
+    "tile_assign",
+    "cell_assign",
+    "pip_zones",
+    "knn",
+    "zonal_summary",
+    "rasterize",
+    "pyramid",
+    "dedup_exact",
+    "token_stats",
+    "event_windows",
+    "lineitem_pricing",
+    "ann_cosine",
+]
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _consume(res) -> int:
+    """Materialize a result to row count without holding blocks."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import __ray_entry__ as e
+    from geotrellis_contrib_ray.pipelines.flagship import flagship_synthetic
+
+    # headline corpus: deterministic generated interleaved docs — sized so
+    # the measurement is compute/shuffle-bound, not Ray fixed overhead
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
+
+    # Full-size untimed warmup: starts workers and brings allocator arenas +
+    # object-store slabs to steady state (this sandbox serializes first-touch
+    # page faults, so cold runs measure the kernel, not the engine), then the
+    # timed pass measures steady-state compute + shuffle.
+    _consume(e.queries()["tile_assign"](SF_DIR))
+    _consume(flagship_synthetic(n_docs))
+
+    # min of R timed passes — the host is shared/noisy, so the minimum is the
+    # best estimate of the engine's actual steady-state cost
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    headline = min(
+        _timed(lambda: _consume(flagship_synthetic(n_docs))) for _ in range(reps)
+    )
+
+    qs = e.queries()
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship spatial-join + tile-assignment pipeline wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    # alternate the two levels across rounds and take per-level minima — the
+    # host is shared and noisy, so a single pair of processes can land in
+    # different load regimes and produce nonsense ratios
+    lo_vals, hi_vals = [], []
+    for _ in range(rounds):
+        lo_vals.append(run(lo_cpus))
+        hi_vals.append(run(hi_cpus))
+    lo = min(lo_vals, key=lambda r: r["value"])
+    hi = min(hi_vals, key=lambda r: r["value"])
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+        "rounds": rounds,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -100,6 +100,33 @@ def synth_interleaved(n: int, seed: int = 42) -> pa.Table:
     return pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans_col}, schema=DOCUMENTS_SCHEMA)
 
 
+_N_TEMPLATES = 997  # prime so id % templates cycles through all
+
+
+def _templates() -> list[str]:
+    """Deterministic text templates (seed-free: pure function of index)."""
+    out = []
+    for i in range(_N_TEMPLATES):
+        words = [_WORDS[(i * 7 + k * 3) % len(_WORDS)] for k in range(8 + i % 17)]
+        out.append(" ".join(words))
+    return out
+
+
+_TEMPLATE_ARR = None
+
+
+def synth_flat_docs(ids: np.ndarray) -> pa.Table:
+    """Vectorized synthetic flat documents (doc_id:int64, text) from an id
+    range — the bench corpus generator (no IO, deterministic, arbitrary
+    scale).  Text = template[id % P] via a single Arrow take."""
+    global _TEMPLATE_ARR
+    if _TEMPLATE_ARR is None:
+        _TEMPLATE_ARR = pa.array(_templates(), pa.string())
+    ids = np.asarray(ids, dtype=np.int64)
+    text = _TEMPLATE_ARR.take(pa.array(ids % _N_TEMPLATES))
+    return pa.table({"doc_id": ids, "text": text})
+
+
 def docs_to_spans(batch: pa.Table) -> pa.Table:
     """map_batches fn: driver flat documents -> interleaved spans, vectorized.
 

@@ -110,5 +110,5 @@ def ann_lsh_topk(ds, queries: np.ndarray, k: int, dim: int, n_planes: int = 8, i
         mask = np.isin(b, list(qbuckets))
         return batch.filter(pa.array(mask))
 
-    filtered = ds.map_batches(in_qbuckets, batch_format="pyarrow", zero_copy_batch=True)
+    filtered = ds.map_batches(in_qbuckets, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     return ann_topk(filtered, queries, k, id_col=id_col)

@@ -35,7 +35,7 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     from ray.data.aggregate import Min, Sum
 
-    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     return part.groupby(text_col).aggregate(
         Min("pmin", alias_name="first_doc"), Sum("pcnt", alias_name="n_copies")
     )
@@ -46,7 +46,7 @@ def exact_dedup_keep_first(ds, id_col: str = "doc_id", text_col: str = "text"):
     -> per-group head(1) after an in-batch fingerprint (no text shuffled)."""
     from .text import add_fingerprint
 
-    with_fp = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    with_fp = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
 
     def first(g):
         return g.sort_values(id_col, kind="mergesort").head(1)
@@ -153,6 +153,7 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
         concurrency=concurrency,
     )
 
@@ -173,7 +174,7 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=
     from ray.data.aggregate import Count
 
     return (
-        cand.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True)
+        cand.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
         .groupby(["id1", "id2"])
         .aggregate(Count(alias_name="n_bands"))
     )

@@ -83,23 +83,29 @@ class ZoneMatcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        idx_parts, name_parts = [], []
-        for name, x0, y0, x1, y1 in self.boxes:
+        zone_names = [z[0] for z in self.boxes] + [z[0] for z in self.convex_zones]
+        idx_parts, zid_parts = [], []
+        for zi, (name, x0, y0, x1, y1) in enumerate(self.boxes):
             hit = np.nonzero(geommod.box_contains_points(lon, lat, x0, y0, x1, y1))[0]
             if len(hit):
                 idx_parts.append(hit)
-                name_parts.append(np.full(len(hit), name, dtype=object))
-        for name, verts in self.convex_zones:
+                zid_parts.append(np.full(len(hit), zi, dtype=np.int32))
+        for zj, (name, verts) in enumerate(self.convex_zones):
             hit = np.nonzero(geommod.convex_contains_points(lon, lat, verts))[0]
             if len(hit):
                 idx_parts.append(hit)
-                name_parts.append(np.full(len(hit), name, dtype=object))
+                zid_parts.append(np.full(len(hit), len(self.boxes) + zj, dtype=np.int32))
         if not idx_parts:
             empty = {c: batch[c].slice(0, 0) for c in self.keep_cols}
             empty["zone_name"] = pa.array([], pa.string())
             return pa.table(empty)
         idx = np.concatenate(idx_parts)
-        names = pa.array(np.concatenate(name_parts), pa.string())
+        zids = np.concatenate(zid_parts)
+        # one take for all zones; names via dictionary decode (C++, no
+        # python object arrays)
+        names = pa.DictionaryArray.from_arrays(
+            pa.array(zids), pa.array(zone_names, pa.string())
+        ).cast(pa.string())
         out = batch.select(self.keep_cols).take(pa.array(idx))
         return out.append_column("zone_name", names)
 
@@ -246,7 +252,7 @@ def distance_join(ds, theta: float, id_col: str = "doc_id"):
     oracle.  Output: id1, id2, dist."""
     res = _dist_cell_res(theta)
     pairs_src = ds.map_batches(
-        _DistReplicate(res, id_col), batch_format="pyarrow", zero_copy_batch=True
+        _DistReplicate(res, id_col), batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
 
     def _empty():
@@ -302,7 +308,7 @@ def zonal_summary(ds, boxes, convex_zones=(), value_col: str = "n_chars"):
         t = batch.group_by("zone_name").aggregate([(value_col, "sum"), ("doc_id", "count")])
         return t.rename_columns(["zone_name", "psum", "pcnt"])
 
-    part = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    part = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     from ray.data.aggregate import Sum
 
     out = part.groupby("zone_name").aggregate(
@@ -330,7 +336,7 @@ def rasterize_count(ds, grid: GridExtent, value_col: str | None = None):
         names = ["col", "row", "pcnt"] + (["psum"] if value_col else [])
         return g.rename_columns(names)
 
-    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     from ray.data.aggregate import Sum
 
     aggs = [Sum("pcnt", alias_name="n_points")]
@@ -359,11 +365,33 @@ def pyramid_aggregate(tile_ds, levels: int, count_col: str = "n_points"):
             return g.rename_columns(["col", "row", count_col])
 
         ds = (
-            ds.map_batches(to_parent, batch_format="pyarrow", zero_copy_batch=True)
+            ds.map_batches(to_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
             .groupby(["col", "row"])
             .aggregate(Sum(count_col, alias_name=count_col))
         )
     return ds
+
+
+def pyramid_rollup(tile_ds, levels: int, count_col: str = "n_points"):
+    """Single-shuffle rollup to the level-``levels`` ancestor: because the
+    reduce is associative, (col >> levels, row >> levels) in one groupby is
+    exactly the iterated 2x2 pyramid's top level — use this when only the top
+    is consumed; use pyramid_aggregate when every level is written."""
+
+    def to_ancestor(batch: pa.Table) -> pa.Table:
+        col = batch["col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row = batch["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"col": col >> levels, "row": row >> levels, count_col: batch[count_col]})
+        g = t.group_by(["col", "row"], use_threads=False).aggregate([(count_col, "sum")])
+        return g.rename_columns(["col", "row", count_col])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        tile_ds.map_batches(to_ancestor, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
+        .groupby(["col", "row"])
+        .aggregate(Sum(count_col, alias_name=count_col))
+    )
 
 
 def raster_summary(ds):

@@ -35,7 +35,7 @@ def tumbling_window_agg(ds, window_sec: int = 3600):
 
     from ray.data.aggregate import Sum
 
-    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     return part.groupby(["event_type", "window_start"]).aggregate(
         Sum("psum", alias_name="sum_cents"), Sum("pcnt", alias_name="n_events")
     )
