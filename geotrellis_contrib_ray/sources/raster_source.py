@@ -1,0 +1,542 @@
+"""RasterSource: lazy logical rasters with composable view transforms.
+
+Re-expresses the reference's ``RasterSourceF`` algebra (vlm/src/main/scala/
+geotrellis/contrib/vlm/effect/RasterSourceF.scala:33-185) as plain Python:
+a source is metadata + windowed reads; ``reproject`` / ``resample`` /
+``convert`` return NEW sources that compose a logical plan (the GDAL variant
+folds the chain into warp options, gdal/.../GDALRasterSource.scala:114-126 —
+here the chain is explicit wrapper objects, executed lazily at read time).
+
+Semantics carried over:
+- reproject short-circuits when target CRS == source CRS (RasterSourceF.scala:51-53)
+- reads clip to the data footprint; empty intersection -> None
+  (GeoTiffRasterSource.scala:85, Option effect)
+- overview selection: closest resolution <= requested cell size
+  (GeoTiffReprojectRasterSource.scala:92-103)
+- convert applies as a post-hook on every produced raster
+  (convertRaster, RasterSourceF.scala:178-184)
+
+No Ray here: sources are small picklable handles; Ray stages hold them in
+actor state (ST1/ST2) and call ``read`` per window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..core import resample as rs
+from ..core.celltype import CellType, convert as ct_convert
+from ..core.crs import Transformer, reproject_extent
+from ..core.grid import Extent, GridBounds, GridExtent
+
+
+@dataclass
+class Raster:
+    """Materialized window: (bands, rows, cols) pixels + georeferenced extent
+    (Raster[MultibandTile], RasterSourceF.scala:105-112)."""
+
+    pixels: np.ndarray
+    extent: Extent
+
+    @property
+    def band_count(self) -> int:
+        return self.pixels.shape[0]
+
+
+class RasterSource:
+    """Abstract lazy raster (RasterMetadataF surface, RasterMetadataF.scala:28-52)."""
+
+    # --- metadata ----------------------------------------------------------
+    @property
+    def crs(self):
+        raise NotImplementedError
+
+    @property
+    def grid(self) -> GridExtent:
+        raise NotImplementedError
+
+    @property
+    def cell_type(self) -> CellType:
+        raise NotImplementedError
+
+    @property
+    def band_count(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def resolutions(self) -> list[GridExtent]:
+        """Overview pyramid, finest first."""
+        return [self.grid]
+
+    @property
+    def attributes(self) -> dict[str, str]:
+        return {}
+
+    def attributes_for_band(self, band: int) -> dict[str, str]:
+        return {}
+
+    # derived (RasterMetadataF.scala:33-41)
+    @property
+    def extent(self) -> Extent:
+        return self.grid.extent
+
+    @property
+    def cols(self) -> int:
+        return self.grid.cols
+
+    @property
+    def rows(self) -> int:
+        return self.grid.rows
+
+    @property
+    def size(self) -> int:
+        return self.cols * self.rows
+
+    @property
+    def dimensions(self) -> tuple[int, int]:
+        return (self.cols, self.rows)
+
+    @property
+    def grid_bounds(self) -> GridBounds:
+        return self.grid.grid_bounds
+
+    @property
+    def cell_size(self) -> tuple[float, float]:
+        return self.grid.cell_size
+
+    # --- reads (T7/T8) -----------------------------------------------------
+    def read(self, extent: Extent | None = None, bands: list[int] | None = None) -> Optional[Raster]:
+        if extent is None:
+            extent = self.extent
+        gb = self.grid.grid_bounds_for(extent, clamp=False)
+        return self.read_bounds(gb, bands)
+
+    def read_bounds(self, bounds: GridBounds, bands: list[int] | None = None) -> Optional[Raster]:
+        raise NotImplementedError
+
+    def read_extents(self, extents: list[Extent], bands=None) -> list[Raster]:
+        """Multi-window read; empty intersections dropped (T8)."""
+        out = []
+        for e in extents:
+            r = self.read(e, bands)
+            if r is not None:
+                out.append(r)
+        return out
+
+    def read_bounds_multi(self, bounds: list[GridBounds], bands=None) -> list[Raster]:
+        out = []
+        for b in bounds:
+            r = self.read_bounds(b, bands)
+            if r is not None:
+                out.append(r)
+        return out
+
+    # --- view transforms (T1-T6) ------------------------------------------
+    def reproject(self, target_crs, method: str = rs.NEAREST, target_grid: GridExtent | None = None) -> "RasterSource":
+        if target_crs == self.crs:  # no-op elision (RasterSourceF.scala:51-53)
+            if target_grid is None:
+                return self
+            return self.resample_to_grid(target_grid, method)
+        return ReprojectRasterSource(self, target_crs, method, target_grid)
+
+    def reproject_to_region(self, target_crs, region: GridExtent, method: str = rs.NEAREST) -> "RasterSource":
+        return self.reproject(target_crs, method, target_grid=region)
+
+    def resample(self, cols: int, rows: int, method: str = rs.NEAREST) -> "RasterSource":
+        grid = GridExtent.from_extent(self.extent, cols, rows)
+        return self.resample_to_grid(grid, method)
+
+    def resample_to_grid(self, grid: GridExtent, method: str = rs.NEAREST) -> "RasterSource":
+        return ResampleRasterSource(self, grid, method)
+
+    def resample_to_cell_size(self, cellwidth: float, cellheight: float, method: str = rs.NEAREST) -> "RasterSource":
+        return self.resample_to_grid(self.grid.with_resolution(cellwidth, cellheight), method)
+
+    def convert(self, cell_type: CellType, gdal_clamp: bool = False) -> "RasterSource":
+        return ConvertRasterSource(self, cell_type, gdal_clamp)
+
+    def interpret_as(self, nodata: float | None) -> "RasterSource":
+        """T10: reinterpret NoData without converting values (metadata-only)."""
+        return InterpretRasterSource(self, nodata)
+
+    # --- helpers -----------------------------------------------------------
+    def closest_resolution(self, cell_size: float) -> GridExtent:
+        """Closest overview whose cell size <= requested (ST4 memoized in
+        actors; pure here)."""
+        best = self.resolutions[0]
+        for g in self.resolutions:
+            if g.cellwidth <= cell_size + 1e-12:
+                best = g
+        return best
+
+
+@dataclass
+class SyntheticRasterSource(RasterSource):
+    """Deterministic in-process source (FIXTURES.md §4 raster_grid):
+    value(col, row, band) = (row * cols + col + band) % 2^15, int16,
+    nodata = -32768; overviews at /2 and /4."""
+
+    _grid: GridExtent
+    _crs: object = "EPSG:4326"
+    bands: int = 1
+    _cell_type: CellType = field(default_factory=lambda: CellType("int16", -32768.0))
+    overview_levels: tuple = (2, 4)
+    _attributes: dict = field(default_factory=dict)
+
+    @property
+    def crs(self):
+        return self._crs
+
+    @property
+    def grid(self) -> GridExtent:
+        return self._grid
+
+    @property
+    def cell_type(self) -> CellType:
+        return self._cell_type
+
+    @property
+    def band_count(self) -> int:
+        return self.bands
+
+    @property
+    def attributes(self) -> dict[str, str]:
+        return dict(self._attributes)
+
+    @property
+    def resolutions(self) -> list[GridExtent]:
+        out = [self._grid]
+        for f in self.overview_levels:
+            out.append(
+                GridExtent(
+                    self._grid.extent,
+                    self._grid.cellwidth * f,
+                    self._grid.cellheight * f,
+                    max(1, self._grid.cols // f),
+                    max(1, self._grid.rows // f),
+                )
+            )
+        return out
+
+    def read_bounds(self, bounds: GridBounds, bands=None) -> Optional[Raster]:
+        inter = bounds.intersection(self.grid_bounds)
+        if inter is None:
+            return None
+        band_idx = list(range(self.bands)) if bands is None else list(bands)
+        cols_ = np.arange(inter.col_min, inter.col_max + 1, dtype=np.int64)
+        rows_ = np.arange(inter.row_min, inter.row_max + 1, dtype=np.int64)
+        cgrid = rows_[:, None] * self.cols + cols_[None, :]
+        px = np.empty((len(band_idx), len(rows_), len(cols_)), dtype=np.int16)
+        for bi, b in enumerate(band_idx):
+            px[bi] = ((cgrid + b) % (1 << 15)).astype(np.int16)
+        return Raster(px, self._grid.extent_for(inter))
+
+
+@dataclass
+class InMemoryRasterSource(RasterSource):
+    """ndarray-backed source (tile-table reads, mosaic fixtures)."""
+
+    pixels: np.ndarray  # (bands, rows, cols)
+    _grid: GridExtent
+    _crs: object = "EPSG:4326"
+    _cell_type: CellType = field(default_factory=lambda: CellType("float64", float("nan")))
+
+    @property
+    def crs(self):
+        return self._crs
+
+    @property
+    def grid(self) -> GridExtent:
+        return self._grid
+
+    @property
+    def cell_type(self) -> CellType:
+        return self._cell_type
+
+    @property
+    def band_count(self) -> int:
+        return self.pixels.shape[0]
+
+    def read_bounds(self, bounds: GridBounds, bands=None) -> Optional[Raster]:
+        inter = bounds.intersection(self.grid_bounds)
+        if inter is None:
+            return None
+        sel = self.pixels if bands is None else self.pixels[list(bands)]
+        px = sel[:, inter.row_min : inter.row_max + 1, inter.col_min : inter.col_max + 1]
+        return Raster(np.ascontiguousarray(px), self._grid.extent_for(inter))
+
+
+class ResampleRasterSource(RasterSource):
+    """T4: resample view — reads route through the closest overview, then
+    resample to the target grid (GeoTiffResampleRasterSource.scala:35-142)."""
+
+    def __init__(self, base: RasterSource, grid: GridExtent, method: str):
+        self.base = base
+        self._target = grid
+        self.method = method
+
+    @property
+    def crs(self):
+        return self.base.crs
+
+    @property
+    def grid(self) -> GridExtent:
+        return self._target
+
+    @property
+    def cell_type(self) -> CellType:
+        return self.base.cell_type
+
+    @property
+    def band_count(self) -> int:
+        return self.base.band_count
+
+    @property
+    def resolutions(self) -> list[GridExtent]:
+        return [self._target]
+
+    def read_bounds(self, bounds: GridBounds, bands=None) -> Optional[Raster]:
+        inter = bounds.intersection(self.grid_bounds)
+        if inter is None:
+            return None
+        target_extent = self._target.extent_for(inter)
+        src = self.base.read(target_extent, bands)
+        if src is None:
+            return None
+        nd = self.cell_type.nodata
+        out = rs.resample(src.pixels, inter.height, inter.width, self.method, nodata=nd)
+        return Raster(out.astype(src.pixels.dtype, copy=False), target_extent)
+
+
+class ReprojectRasterSource(RasterSource):
+    """T1-T3: CRS warp view — target grid derived by densified-edge extent
+    reprojection (ReprojectRasterExtent analog), reads by inverse-transform
+    sampling of target cell centers (GeoTiffReprojectRasterSource.scala:118-155)."""
+
+    def __init__(self, base: RasterSource, target_crs, method: str, target_grid: GridExtent | None):
+        self.base = base
+        self._crs = target_crs
+        self.method = method
+        self.fwd = Transformer(base.crs, target_crs)
+        self.back = self.fwd.inverse()
+        if target_grid is None:
+            e = base.extent
+            xmin, ymin, xmax, ymax = reproject_extent(self.fwd, e.xmin, e.ymin, e.xmax, e.ymax)
+            # keep source pixel count (round, CHANGELOG.md:97)
+            target_grid = GridExtent.from_extent(Extent(xmin, ymin, xmax, ymax), base.cols, base.rows)
+        self._target = target_grid
+
+    @property
+    def crs(self):
+        return self._crs
+
+    @property
+    def grid(self) -> GridExtent:
+        return self._target
+
+    @property
+    def cell_type(self) -> CellType:
+        return self.base.cell_type
+
+    @property
+    def band_count(self) -> int:
+        return self.base.band_count
+
+    @property
+    def resolutions(self) -> list[GridExtent]:
+        return [self._target]
+
+    def read_bounds(self, bounds: GridBounds, bands=None) -> Optional[Raster]:
+        inter = bounds.intersection(self.grid_bounds)
+        if inter is None:
+            return None
+        t_extent = self._target.extent_for(inter)
+        # back-transform target window to source polygon -> source bounds
+        sx0, sy0, sx1, sy1 = reproject_extent(
+            self.back, t_extent.xmin, t_extent.ymin, t_extent.xmax, t_extent.ymax
+        )
+        src = self.base.read(Extent(sx0, sy0, sx1, sy1), bands)
+        if src is None:
+            return None
+        # inverse-transform sampling at target cell centers
+        tc = np.arange(inter.col_min, inter.col_max + 1, dtype=np.float64)
+        tr = np.arange(inter.row_min, inter.row_max + 1, dtype=np.float64)
+        tx = self._target.extent.xmin + (tc + 0.5) * self._target.cellwidth
+        ty = self._target.extent.ymax - (tr + 0.5) * self._target.cellheight
+        gx, gy = np.meshgrid(tx, ty)
+        bx, by = self.back.transform(gx.ravel(), gy.ravel())
+        # source pixel indices within the read window
+        sgrid = GridExtent.from_extent(src.extent, src.pixels.shape[2], src.pixels.shape[1])
+        col = np.floor((bx - sgrid.extent.xmin) / sgrid.cellwidth).astype(np.int64)
+        row = np.floor((sgrid.extent.ymax - by) / sgrid.cellheight).astype(np.int64)
+        valid = (col >= 0) & (col < sgrid.cols) & (row >= 0) & (row < sgrid.rows)
+        col = np.clip(col, 0, sgrid.cols - 1)
+        row = np.clip(row, 0, sgrid.rows - 1)
+        nd = self.cell_type.nodata
+        shape = (src.pixels.shape[0], inter.height, inter.width)
+        out = np.empty(shape, dtype=src.pixels.dtype)
+        for b in range(shape[0]):
+            vals = src.pixels[b][row, col]
+            if nd is not None:
+                vals = np.where(valid, vals, np.array(nd).astype(src.pixels.dtype))
+            out[b] = vals.reshape(inter.height, inter.width)
+        return Raster(out, t_extent)
+
+
+class ConvertRasterSource(RasterSource):
+    """T6/T9: cell-type conversion as a post-hook on every read."""
+
+    def __init__(self, base: RasterSource, cell_type: CellType, gdal_clamp: bool = False):
+        self.base = base
+        self._ct = cell_type
+        self.gdal_clamp = gdal_clamp
+
+    @property
+    def crs(self):
+        return self.base.crs
+
+    @property
+    def grid(self) -> GridExtent:
+        return self.base.grid
+
+    @property
+    def cell_type(self) -> CellType:
+        return self._ct
+
+    @property
+    def band_count(self) -> int:
+        return self.base.band_count
+
+    @property
+    def resolutions(self) -> list[GridExtent]:
+        return self.base.resolutions
+
+    def read_bounds(self, bounds: GridBounds, bands=None) -> Optional[Raster]:
+        r = self.base.read_bounds(bounds, bands)
+        if r is None:
+            return None
+        return Raster(ct_convert(r.pixels, self.base.cell_type, self._ct, self.gdal_clamp), r.extent)
+
+
+class InterpretRasterSource(RasterSource):
+    """T10 interpretAs: metadata-only NoData reinterpretation."""
+
+    def __init__(self, base: RasterSource, nodata: float | None):
+        self.base = base
+        self._nodata = nodata
+
+    @property
+    def crs(self):
+        return self.base.crs
+
+    @property
+    def grid(self) -> GridExtent:
+        return self.base.grid
+
+    @property
+    def cell_type(self) -> CellType:
+        return CellType(self.base.cell_type.dtype, self._nodata)
+
+    @property
+    def band_count(self) -> int:
+        return self.base.band_count
+
+    def read_bounds(self, bounds: GridBounds, bands=None) -> Optional[Raster]:
+        return self.base.read_bounds(bounds, bands)
+
+
+class MosaicRasterSource(RasterSource):
+    """S3/J2/A1-A4: N sources as one — combined metadata via the mosaic
+    semigroup (MosaicRasterSource.scala:47-219), reads merge with
+    first-non-nodata-wins at the finest resolution."""
+
+    def __init__(self, sources: list[RasterSource], target_crs=None, target_grid: GridExtent | None = None):
+        if not sources:
+            raise ValueError("MosaicRasterSource needs a non-empty source list")
+        target_crs = target_crs if target_crs is not None else sources[0].crs
+        aligned = [s.reproject(target_crs) for s in sources]
+        grid = aligned[0].grid
+        for s in aligned[1:]:
+            grid = grid.combine(s.grid)  # min cellSize + envelope (A2)
+        if target_grid is not None:
+            grid = target_grid
+        self.sources = aligned
+        self._crs = target_crs
+        self._grid = grid
+        ct = aligned[0].cell_type
+        for s in aligned[1:]:
+            ct = ct.union(s.cell_type)  # A1 widening union
+        self._ct = ct
+
+    @property
+    def crs(self):
+        return self._crs
+
+    @property
+    def grid(self) -> GridExtent:
+        return self._grid
+
+    @property
+    def cell_type(self) -> CellType:
+        return self._ct
+
+    @property
+    def band_count(self) -> int:
+        return self.sources[0].band_count
+
+    @property
+    def resolutions(self) -> list[GridExtent]:
+        out = []
+        for s in self.sources:  # A4: concat
+            out.extend(s.resolutions)
+        return out
+
+    def read_bounds(self, bounds: GridBounds, bands=None) -> Optional[Raster]:
+        inter = bounds.intersection(self.grid_bounds)
+        if inter is None:
+            return None
+        extent = self._grid.extent_for(inter)
+        nd = self._ct.nodata
+        acc = np.full(
+            (self.band_count, inter.height, inter.width),
+            nd if nd is not None else 0,
+            dtype=self._ct.np_dtype,
+        )
+        filled = np.zeros(acc.shape, dtype=bool)
+        for s in self.sources:  # deterministic source order (J2 determinism)
+            r = s.read(extent, bands)
+            if r is None:
+                continue
+            px = ct_convert(r.pixels, s.cell_type, self._ct)
+            # resample the source window onto the mosaic window grid
+            if px.shape[1:] != acc.shape[1:] or r.extent != extent:
+                src_grid = GridExtent.from_extent(r.extent, px.shape[2], px.shape[1])
+                tc = np.arange(inter.col_min, inter.col_max + 1, dtype=np.float64)
+                tr = np.arange(inter.row_min, inter.row_max + 1, dtype=np.float64)
+                tx = self._grid.extent.xmin + (tc + 0.5) * self._grid.cellwidth
+                ty = self._grid.extent.ymax - (tr + 0.5) * self._grid.cellheight
+                col = np.floor((tx - src_grid.extent.xmin) / src_grid.cellwidth).astype(np.int64)
+                row = np.floor((src_grid.extent.ymax - ty) / src_grid.cellheight).astype(np.int64)
+                okc = (col >= 0) & (col < src_grid.cols)
+                okr = (row >= 0) & (row < src_grid.rows)
+                col = np.clip(col, 0, src_grid.cols - 1)
+                row = np.clip(row, 0, src_grid.rows - 1)
+                ok = okr[:, None] & okc[None, :]
+                px = px[:, row[:, None], col[None, :]]
+                px = np.where(ok[None], px, np.array(nd if nd is not None else 0, dtype=acc.dtype))
+            if nd is not None:
+                if np.issubdtype(acc.dtype, np.floating) and np.isnan(nd):
+                    have = ~np.isnan(px)
+                else:
+                    have = px != nd
+            else:
+                have = np.ones(px.shape, dtype=bool)
+            write = have & ~filled  # first non-nodata wins
+            acc[write] = px[write]
+            filled |= have
+        if not filled.any():
+            return Raster(acc, extent)
+        return Raster(acc, extent)

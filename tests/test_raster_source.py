@@ -1,0 +1,145 @@
+"""RasterSource algebra vs FIXTURES.md §4-6 goldens (pure, no Ray)."""
+
+import numpy as np
+import pytest
+
+from geotrellis_contrib_ray.core.celltype import CellType
+from geotrellis_contrib_ray.core.crs import EPSG_4326, LocalAffineCRS
+from geotrellis_contrib_ray.core.grid import Extent, GridBounds, GridExtent
+from geotrellis_contrib_ray.sources.raster_source import (
+    InMemoryRasterSource,
+    MosaicRasterSource,
+    SyntheticRasterSource,
+)
+
+EXT = Extent(630000.0, 215000.0, 645000.0, 228500.0)
+GRID = GridExtent(EXT, 10.0, 10.0, 1500, 1350)
+LOCAL_CRS = LocalAffineCRS("local-26711", lon0=-115.0, lat0=30.0, sx=90000.0, sy=110000.0)
+
+
+def make_source(bands=1):
+    return SyntheticRasterSource(GRID, _crs=LOCAL_CRS, bands=bands)
+
+
+def test_metadata_surface():
+    s = make_source(3)
+    assert s.dimensions == (1500, 1350)
+    assert s.size == 1500 * 1350
+    assert s.cell_size == (10.0, 10.0)
+    assert s.band_count == 3
+    assert s.cell_type.name == "int16nd"  # -32768 is the int16 default nodata
+    assert len(s.resolutions) == 3  # base + /2 + /4 overviews
+
+
+def test_read_no_intersection_returns_none():
+    # Extent(0,0,1,1) -> None (GeoTiffRasterSourceMultiThreadingSpec Option effect)
+    assert make_source().read(Extent(0.0, 0.0, 1.0, 1.0)) is None
+
+
+def test_read_subwindow_values():
+    s = make_source()
+    r = s.read(Extent(630000.0, 215000.0, 639000.0, 219500.0))
+    assert r is not None
+    assert r.pixels.shape == (1, 450, 900)
+    # value(col,row) = (row*cols + col) % 2^15; window starts at col 0, row 900
+    assert r.pixels[0, 0, 0] == (900 * 1500 + 0) % (1 << 15)
+    assert r.extent == Extent(630000.0, 215000.0 + 4500.0 - 4500.0, 639000.0, 219500.0)
+
+
+def test_full_read_then_windows_count():
+    # count invariant: reads == windows (GeotrellisRasterSourceBench.scala:48-50)
+    s = make_source()
+    windows = s.grid_bounds.split(256, 256)
+    rasters = s.read_bounds_multi(windows)
+    assert len(rasters) == len(windows) == 36
+    total = sum(r.pixels.shape[1] * r.pixels.shape[2] for r in rasters)
+    assert total == s.size
+
+
+def test_resample_dims():
+    # resample to 0.95*(cols,rows) (FIXTURES §4)
+    s = make_source()
+    rs_ = s.resample(int(1500 * 0.95), int(1350 * 0.95))
+    assert rs_.dimensions == (1425, 1282)
+    r = rs_.read()
+    assert r.pixels.shape == (1, 1282, 1425)
+
+
+def test_reproject_short_circuit():
+    s = make_source()
+    assert s.reproject(LOCAL_CRS) is s  # RasterSourceF.scala:51-53
+
+
+def test_reproject_to_4326_roundtrip_values():
+    s = make_source()
+    rp = s.reproject(EPSG_4326)
+    assert rp.crs == EPSG_4326
+    r = rp.read()
+    assert r is not None
+    # same pixel budget (round semantics), values drawn from source
+    assert r.pixels.shape == (1, 1350, 1500)
+    valid = r.pixels[r.pixels != -32768]
+    assert len(valid) > 0.95 * r.pixels.size
+
+
+def test_convert_post_hook():
+    s = make_source().convert(CellType.of("float32nd"))
+    r = s.read(Extent(630000.0, 228400.0, 630100.0, 228500.0))
+    assert r.pixels.dtype == np.float32
+    assert r.pixels[0, 0, 0] == 0.0  # (0*1500+0) % 2^15
+
+
+def test_interpret_as_metadata_only():
+    s = make_source().interpret_as(-1.0)
+    assert s.cell_type.nodata == -1.0
+    r = s.read(Extent(630000.0, 228400.0, 630100.0, 228500.0))
+    assert r.pixels[0, 0, 1] == 1  # values untouched
+
+
+def test_closest_overview_selection():
+    s = make_source()
+    assert s.closest_resolution(10.0).cellwidth == 10.0
+    assert s.closest_resolution(25.0).cellwidth == 20.0
+    assert s.closest_resolution(100.0).cellwidth == 40.0
+
+
+def test_mosaic_combined_grid_and_celltype():
+    # FIXTURES §6: 10m & 20m half-overlapping sources
+    g1 = GridExtent(Extent(0.0, 0.0, 100.0, 100.0), 10.0, 10.0, 10, 10)
+    g2 = GridExtent(Extent(50.0, 0.0, 150.0, 100.0), 20.0, 20.0, 5, 5)
+    a = InMemoryRasterSource(np.full((1, 10, 10), 1.0), g1, _cell_type=CellType.of("int16nd"))
+    b = InMemoryRasterSource(np.full((1, 5, 5), 2.0), g2, _cell_type=CellType.of("float32"))
+    m = MosaicRasterSource([a, b])
+    assert m.cell_type.dtype == "float32"  # int16 ∪ float32
+    assert m.grid.cellwidth == 10.0  # min cellSize wins
+    assert m.extent == Extent(0.0, 0.0, 150.0, 100.0)
+    assert m.grid.cols == 15 and m.grid.rows == 10  # round, not ceil
+
+
+def test_mosaic_first_non_nodata_wins():
+    g1 = GridExtent(Extent(0.0, 0.0, 100.0, 100.0), 10.0, 10.0, 10, 10)
+    g2 = GridExtent(Extent(50.0, 0.0, 150.0, 100.0), 10.0, 10.0, 10, 10)
+    pa_ = np.full((1, 10, 10), 1.0)
+    pa_[0, :, :2] = np.nan  # a has nodata in its left edge
+    a = InMemoryRasterSource(pa_, g1)
+    b = InMemoryRasterSource(np.full((1, 10, 10), 2.0), g2)
+    m = MosaicRasterSource([a, b])
+    r = m.read()
+    px = r.pixels[0]
+    # overlap region x in [50,100): a's value (first source) wins
+    grid = m.grid
+    col_overlap = int((60.0 - 0.0) / grid.cellwidth)
+    assert px[5, col_overlap] == 1.0
+    # b-only region
+    col_b = int((120.0 - 0.0) / grid.cellwidth)
+    assert px[5, col_b] == 2.0
+    # a's nodata cells in non-overlap remain nodata
+    assert np.isnan(px[5, 0])
+
+
+def test_view_chain_compose():
+    # reproject -> resample -> convert chains like the GDAL options fold
+    s = make_source().reproject(EPSG_4326).resample(750, 675).convert(CellType.of("int32nd"))
+    r = s.read()
+    assert r.pixels.shape == (1, 675, 750)
+    assert r.pixels.dtype == np.int32

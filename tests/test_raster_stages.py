@@ -1,0 +1,110 @@
+"""Ray raster stages: tile tables, mosaic merge, pyramid, zonal summary."""
+
+import numpy as np
+import pytest
+
+from geotrellis_contrib_ray.core.celltype import CellType
+from geotrellis_contrib_ray.core.grid import Extent, GridExtent, LayoutDefinition
+from geotrellis_contrib_ray.sources.raster_source import (
+    InMemoryRasterSource,
+    SyntheticRasterSource,
+)
+from geotrellis_contrib_ray.stages import raster as rst
+
+EXT = Extent(630000.0, 215000.0, 645000.0, 228500.0)
+GRID = GridExtent(EXT, 10.0, 10.0, 1500, 1350)
+
+
+@pytest.fixture(scope="module")
+def tile_ds(ray_session):
+    src = SyntheticRasterSource(GRID)
+    layout = LayoutDefinition.floating(GRID, 256)
+    return rst.tile_dataset([src], layout, concurrency=2), src, layout
+
+
+def test_tile_dataset_covers_source(tile_ds):
+    ds, src, layout = tile_ds
+    rows = ds.take_all()
+    assert len(rows) == 36  # 6x6 layout keys
+    # every tile decodes and total pixel count >= source size (layout pads edges)
+    total = sum(r["rows"] * r["cols"] for r in rows)
+    assert total == sum(
+        256 * 256 if (r["tile_col"] < 5 and r["tile_row"] < 5) else r["rows"] * r["cols"]
+        for r in rows
+    )
+    r0 = next(r for r in rows if r["tile_col"] == 0 and r["tile_row"] == 0)
+    px = rst.tile_pixels(r0)
+    assert px[0, 0, 0] == 0  # (row 0, col 0) value
+    assert px.shape == (1, 256, 256)
+
+
+def test_mosaic_merge_dataset(ray_session):
+    g1 = GridExtent(Extent(0.0, 0.0, 100.0, 100.0), 10.0, 10.0, 10, 10)
+    g2 = GridExtent(Extent(50.0, 0.0, 150.0, 100.0), 10.0, 10.0, 10, 10)
+    a = InMemoryRasterSource(np.full((1, 10, 10), 1.0), g1)
+    b = InMemoryRasterSource(np.full((1, 10, 10), 2.0), g2)
+    layout = LayoutDefinition(Extent(0.0, 0.0, 150.0, 100.0), 5, 5, 3, 2)
+    tiles = rst.tile_dataset([a, b], layout, concurrency=2)
+    merged = rst.mosaic_merge(tiles, layout).take_all()
+    # overlap tile (x in [50,100)) -> first source wins
+    key_cols = sorted({(m["tile_col"], m["tile_row"]) for m in merged})
+    assert len(merged) == len(key_cols) == 6
+    mid = next(m for m in merged if m["tile_col"] == 1 and m["tile_row"] == 0)
+    assert np.all(rst.tile_pixels(mid) == 1.0)
+    right = next(m for m in merged if m["tile_col"] == 2 and m["tile_row"] == 0)
+    assert np.all(rst.tile_pixels(right) == 2.0)
+
+
+def test_convert_tiles(ray_session):
+    src = SyntheticRasterSource(GRID)
+    layout = LayoutDefinition.floating(GRID, 512)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    conv = rst.convert_tiles(tiles, CellType.of("float32nd")).take_all()
+    px = rst.tile_pixels(conv[0])
+    assert px.dtype == np.float32
+
+
+def test_pyramid_build_levels(ray_session):
+    src = SyntheticRasterSource(GRID)
+    layout = LayoutDefinition.floating(GRID, 256)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    levels = rst.pyramid_build(tiles, 2)
+    assert len(levels) == 3
+    l1 = levels[1].take_all()
+    keys = {(r["tile_col"], r["tile_row"]) for r in l1}
+    assert keys == {(c, r) for c in range(3) for r in range(3)}  # 6x6 -> 3x3
+    l2 = levels[2].take_all()
+    assert {(r["tile_col"], r["tile_row"]) for r in l2} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    # parent values come from child 2x downsample
+    p00 = next(r for r in l1 if r["tile_col"] == 0 and r["tile_row"] == 0)
+    px = rst.tile_pixels(p00)
+    assert px[0, 0, 0] == 0  # top-left of child (0,0) downsampled
+    assert px[0, 0, 1] == 2  # col 2 of source (stride 2)
+
+
+def test_polygonal_summary_tiles(ray_session):
+    # constant raster of 5.0 over [0,100]^2; polygon covers half -> mean 5
+    g = GridExtent(Extent(0.0, 0.0, 100.0, 100.0), 10.0, 10.0, 10, 10)
+    src = InMemoryRasterSource(np.full((1, 10, 10), 5.0), g)
+    layout = LayoutDefinition(g.extent, 5, 5, 2, 2)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    ring = np.array([[0.0, 0.0], [50.0, 0.0], [50.0, 100.0], [0.0, 100.0], [0.0, 0.0]])
+    res = rst.polygonal_summary_tiles(tiles, ring)
+    assert res["count"] == 50  # 5 cols x 10 rows of cell centers inside
+    assert res["sum"] == 250.0
+    assert res["mean"] == 5.0
+    assert res["min"] == 5.0 and res["max"] == 5.0
+
+
+def test_write_tiles_resumable_layout(ray_session, tmp_path):
+    src = SyntheticRasterSource(GRID)
+    layout = LayoutDefinition.floating(GRID, 512)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    out = rst.write_tiles(tiles, str(tmp_path / "tiles"))
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 9  # 3x3 512px layout
