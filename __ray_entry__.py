@@ -282,6 +282,82 @@ def q_orders_by_segment(sf_dir: str):
     )
 
 
+def q_zone_anti_join(sf_dir: str):
+    """J7: anti-join — docs contained by NO zone (delete-as-rewrite)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.core import geom as geommod
+    from geotrellis_contrib_ray.pipelines.query_defs import ZONE_BOXES, ZONE_CONVEX
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+
+    def anti(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(b), dtype=bool)
+        for _, x0, y0, x1, y1 in ZONE_BOXES:
+            hit |= geommod.box_contains_points(lon, lat, x0, y0, x1, y1)
+        hit |= geommod.convex_contains_points(lon, lat, ZONE_CONVEX[1])
+        return b.select(["doc_id"]).filter(pa.array(~hit))
+
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def q_top_chars(sf_dir: str):
+    """O-family top-k: 10 largest docs by (n_chars desc, doc_id asc) — the
+    per-batch-partial + tiny-final top-k merge pattern."""
+    import pyarrow as pa
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nc))[:10]
+        return pa.table({"doc_id": ids[order], "n_chars": nc[order]})
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    df = part.to_pandas()
+    df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort").head(10)
+    return df.reset_index(drop=True)
+
+
+def q_distinct_lang_source(sf_dir: str):
+    """D-family distinct: unique (lang, source) combinations."""
+    import pyarrow as pa
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["lang", "source"], use_threads=False).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = part.groupby(["lang", "source"]).aggregate(Count(alias_name="_n"))
+    return out.drop_columns(["_n"])
+
+
+def q_stride_sample(sf_dir: str):
+    """O1: deterministic stride sample — every 5th doc in id order, take 100
+    (grouped(5).map(_.head).take(100) semantics,
+    GeotrellisRasterSourceBench.scala:37-42)."""
+    import pyarrow as pa
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def stride(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 5 == 0))
+
+    # doc_id is dense 0..N-1, so id%5==0 == "every 5th in id order"
+    return (
+        ds.map_batches(stride, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .sort("doc_id")
+        .limit(100)
+    )
+
+
 def q_ann_cosine(sf_dir: str):
     """Brute-force cosine top-k over the embeddings table (rows-only check;
     float summation order differs across engines so no SQL hash oracle)."""
@@ -348,6 +424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows": q_event_windows,
         "sessionize": q_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
+        "zone_anti_join": q_zone_anti_join,
+        "top_chars": q_top_chars,
+        "distinct_lang_source": q_distinct_lang_source,
+        "stride_sample": q_stride_sample,
         "orders_by_segment": q_orders_by_segment,
         "ann_cosine": q_ann_cosine,
         "minhash_pairs": q_minhash_pairs,
@@ -528,6 +608,26 @@ SELECT c_mktsegment,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
+
+    sql["zone_anti_join"] = f"""
+WITH {geo_cte()}
+SELECT doc_id FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM {zone_boxes_values_sql()}
+    WHERE p.lon BETWEEN xmin AND xmax AND p.lat BETWEEN ymin AND ymax
+) AND NOT ({convex_sql_predicate('p.lon', 'p.lat')})"""
+
+    sql["top_chars"] = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10"""
+
+    sql["distinct_lang_source"] = """
+SELECT DISTINCT lang, source FROM documents"""
+
+    sql["stride_sample"] = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents
+) WHERE rn % 5 = 1 ORDER BY doc_id LIMIT 100"""
 
     # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
     # (float-summation order / regex semantics not bit-reproducible in SQL);

@@ -39,10 +39,8 @@ CITIES: list[tuple[str, float, float]] = [
 
 
 def parse_city_line(line: str) -> tuple[str, float, float]:
-    """Fixed-width '[CODE] lat lon City,PA' -> (name, lon, lat) (F7,
-    Data.scala:52-57)."""
-    code = line[:6].strip()  # noqa: F841 — station code discarded like the reference
-    lat = float(line[6:14])
-    lon = float(line[14:22])
-    name = line[22:].strip()
-    return name, lon, lat
+    """'[CODE] lat lon City,PA' -> (name, lon, lat) (F7, Data.scala:52-57).
+    Tolerates variable-width padding: code/lat/lon are the first three
+    whitespace-separated fields, the name is the remainder."""
+    code, lat_s, lon_s, name = line.split(None, 3)  # noqa: F841 — code discarded
+    return name.strip(), float(lon_s), float(lat_s)
