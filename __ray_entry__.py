@@ -282,6 +282,32 @@ def q_orders_by_segment(sf_dir: str):
     )
 
 
+def q_knn_indexed(sf_dir: str):
+    """O4 via per-partition point indexes (ST5) — same oracle as q_knn
+    (results are identical; the index is exact)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import KNN_K, KNN_QUERIES
+    from geotrellis_contrib_ray.state.spatial_index import knn_indexed
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    return knn_indexed(ds, KNN_QUERIES, KNN_K)
+
+
+def q_pip_zones_indexed(sf_dir: str):
+    """J1 via the actor-held grid polygon index (ST5) — same oracle as
+    q_pip_zones (no doc point sits exactly on a zone edge, verified)."""
+    from geotrellis_contrib_ray.core import geom as geommod
+    from geotrellis_contrib_ray.pipelines.query_defs import ZONE_BOXES, ZONE_CONVEX
+
+    from geotrellis_contrib_ray.state.spatial_index import pip_join_indexed
+
+    polys = [(n, geommod.box(x0, y0, x1, y1).exterior) for n, x0, y0, x1, y1 in ZONE_BOXES]
+    cname, verts = ZONE_CONVEX
+    ring = np.array(list(verts) + [verts[0]], dtype=np.float64)
+    polys.append((cname, ring))
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    return pip_join_indexed(ds, polys, concurrency=2)
+
+
 def q_zone_anti_join(sf_dir: str):
     """J7: anti-join — docs contained by NO zone (delete-as-rewrite)."""
     import pyarrow as pa
@@ -428,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_chars": q_top_chars,
         "distinct_lang_source": q_distinct_lang_source,
         "stride_sample": q_stride_sample,
+        "knn_indexed": q_knn_indexed,
+        "pip_zones_indexed": q_pip_zones_indexed,
         "orders_by_segment": q_orders_by_segment,
         "ann_cosine": q_ann_cosine,
         "minhash_pairs": q_minhash_pairs,
@@ -608,6 +636,9 @@ SELECT c_mktsegment,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
+
+    sql["knn_indexed"] = sql["knn"]
+    sql["pip_zones_indexed"] = sql["pip_zones"]
 
     sql["zone_anti_join"] = f"""
 WITH {geo_cte()}

@@ -178,6 +178,64 @@ class PolygonIndexActor:
         return out.append_column("zone_name", names)
 
 
+class KnnIndexPartial:
+    """O4 scale path: per-batch point index probed by the broadcast query set
+    (index built per batch in the task; for a static corpus the index would be
+    built once per partition and cached in the actor).  Emits <= k rows per
+    query per batch; final merge is the same tiny groupby as the brute path —
+    output is IDENTICAL to the brute-force kNN (exact index)."""
+
+    def __init__(self, queries, k: int, id_col: str = "doc_id"):
+        self.queries = [(int(q[0]), float(q[1]), float(q[2])) for q in queries]
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        xs = batch["lon"].to_numpy(zero_copy_only=False)
+        ys = batch["lat"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        idx = GridPointIndex(ids, xs, ys, nx=32, ny=32)
+        out_q, out_id, out_d = [], [], []
+        for qid, qx, qy in self.queries:
+            nid, nd = idx.nearest_k(qx, qy, self.k)
+            out_q.append(np.full(len(nid), qid, dtype=np.int64))
+            out_id.append(nid)
+            out_d.append(nd)
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_id),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+
+def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=2):
+    """kNN via per-partition point indexes (ST5) — identical results to the
+    brute-force path, sub-linear probe cost per query."""
+    partial = ds.map_batches(
+        KnnIndexPartial,
+        fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency,
+    )
+
+    def finalize(g):
+        return g.sort_values(["dist", "doc_id"], kind="mergesort").head(k)
+
+    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
 def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc_id",), concurrency=4):
     """J1 at scale: PIP semi-join via the actor-held polygon index.  The
     polygon side is ray.put ONCE and read per actor — never re-shipped per
