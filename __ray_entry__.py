@@ -88,18 +88,21 @@ def q_knn(sf_dir: str):
 
 def q_distance_pairs(sf_dir: str):
     """J3: distance self-join (θ-join) on a deterministic sample."""
-    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from geotrellis_contrib_ray.pipelines.query_defs import DIST_SAMPLE_LIMIT, DIST_THETA
     from geotrellis_contrib_ray.stages import spatial
 
-    ds = _docs_points(sf_dir, columns=("doc_id",))
-
-    def sample(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids < DIST_SAMPLE_LIMIT))
-
-    sampled = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
+    # prune at the read: the sample predicate is pushed into the parquet scan
+    # (row-group pruning), not applied post-hoc
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id"],
+        filter=pc.field("doc_id") < DIST_SAMPLE_LIMIT,
+    )
+    sampled = ds.map_batches(
+        spatial.add_geocode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     return spatial.distance_join(sampled, DIST_THETA)
 
 

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) over the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geotrellis_contrib_ray.core import cells, geom
+from geotrellis_contrib_ray.core.celltype import CellType
+from geotrellis_contrib_ray.core.grid import Extent, GridExtent
+
+lat_s = st.floats(min_value=-89.9, max_value=89.9, allow_nan=False)
+lng_s = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+res_s = st.integers(min_value=1, max_value=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_s, lng_s, res_s)
+def test_cell_pack_unpack_and_containment(lat, lng, res):
+    c = cells.latlng_to_cell([lat], [lng], res)
+    r2, x, y = cells.unpack_cell(c)
+    assert r2[0] == res
+    assert cells.pack_cell(r2, x, y)[0] == c[0]
+    lat0, lng0, lat1, lng1 = cells.cell_bounds(c)
+    # 1-ulp slack: points within one double rounding of a cell boundary can
+    # land in the neighbor cell (identically in numpy and SQL)
+    assert lat0[0] - 1e-9 <= lat <= lat1[0] + 1e-9
+    assert lng0[0] - 1e-9 <= lng <= lng1[0] + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_s, lng_s, res_s, st.integers(min_value=0, max_value=19))
+def test_cell_parent_transitive(lat, lng, res, pres):
+    if pres > res:
+        res, pres = pres, res
+    child = cells.latlng_to_cell([lat], [lng], res)
+    assert cells.cell_to_parent(child, pres)[0] == cells.latlng_to_cell([lat], [lng], pres)[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(-1e6, 1e6, allow_nan=False),
+    st.floats(-1e6, 1e6, allow_nan=False),
+    st.floats(1e-3, 1e4, allow_nan=False),
+    st.integers(2, 500),
+    st.integers(2, 500),
+)
+def test_grid_roundtrip_interior_points(x0, y0, cell, cols, rows):
+    g = GridExtent(Extent(x0, y0, x0 + cell * cols, y0 + cell * rows), cell, cell, cols, rows)
+    # cell centers round-trip exactly
+    c = np.array([0, cols // 2, cols - 1])
+    r = np.array([0, rows // 2, rows - 1])
+    px, py = g.grid_to_map(c, r)
+    c2, r2 = g.map_to_grid(px, py)
+    assert c2.tolist() == c.tolist()
+    assert r2.tolist() == r.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+                          st.floats(-100, 100, allow_nan=False, allow_infinity=False)),
+                min_size=1, max_size=20))
+def test_wkb_linestring_roundtrip(coords):
+    arr = np.array(coords, dtype=np.float64)
+    b = geom.geometry_to_wkb("LineString", arr)
+    kind, out, _ = geom.wkb_to_geometry(b)
+    assert kind == "LineString"
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sampled_from(["uint8", "int8", "uint16", "int16", "int32", "float32", "float64"]),
+       st.sampled_from(["uint8", "int8", "uint16", "int16", "int32", "float32", "float64"]))
+def test_celltype_union_commutative_and_covering(a, b):
+    ca, cb = CellType.of(a), CellType.of(b)
+    u1, u2 = ca.union(cb), cb.union(ca)
+    assert u1 == u2
+    if not u1.is_float:
+        for c in (ca, cb):
+            assert np.iinfo(u1.np_dtype).min <= np.iinfo(c.np_dtype).min
+            assert np.iinfo(u1.np_dtype).max >= np.iinfo(c.np_dtype).max
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(-79, -76, allow_nan=False), st.floats(40, 42, allow_nan=False),
+       st.floats(0.01, 1.0, allow_nan=False))
+def test_box_pip_agrees_with_raycast_interior(cx, cy, d):
+    # strictly interior points: closed-range box test and ray-cast agree
+    poly = geom.box(cx - d, cy - d, cx + d, cy + d)
+    rng = np.random.default_rng(0)
+    px = rng.uniform(cx - 2 * d, cx + 2 * d, 200)
+    py = rng.uniform(cy - 2 * d, cy + 2 * d, 200)
+    on_edge = (px == cx - d) | (px == cx + d) | (py == cy - d) | (py == cy + d)
+    rc = geom.points_in_ring(px, py, poly.exterior)
+    bx = geom.box_contains_points(px, py, cx - d, cy - d, cx + d, cy + d)
+    assert np.array_equal(rc[~on_edge], bx[~on_edge])
