@@ -218,6 +218,25 @@ def _chunk(arr):
     return arr
 
 
+def attach_span_signature(batch: pa.Table) -> pa.Table:
+    """Pipeline guard, part 1: stamp each row with its span-sequence
+    fingerprint (kind, text, media_ref, order) before a stage under test."""
+    return batch.append_column("_span_sig", pa.array(span_signature(batch), pa.uint64()))
+
+
+def verify_span_signature(batch: pa.Table) -> pa.Table:
+    """Pipeline guard, part 2: recompute the fingerprint and fail loudly on
+    any row whose span sequence changed (north-rule invariant).  Drops the
+    guard column on success."""
+    expected = batch["_span_sig"].to_numpy(zero_copy_only=False)
+    actual = span_signature(batch)
+    if not np.array_equal(actual, expected):
+        bad = np.nonzero(actual != expected)[0][:5]
+        ids = [batch["doc_id"][int(i)].as_py() for i in bad]
+        raise AssertionError(f"span-sequence invariant violated for docs {ids}")
+    return batch.drop_columns(["_span_sig"])
+
+
 def doc_numeric_id(doc_id_col) -> np.ndarray:
     """'doc-123' or '123' -> int64 ids, vectorized."""
     stripped = pc.replace_substring(_chunk(doc_id_col), "doc-", "")
