@@ -387,6 +387,37 @@ def q_stride_sample(sf_dir: str):
     )
 
 
+def q_order_lineitem_join(sf_dir: str):
+    """Both-sides-large partitioned hash join (bucketed union + per-bucket
+    merge): lineitem x orders on orderkey, rolled up by order priority."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"o_orderkey": b["l_orderkey"], "cents": cents})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, on="o_orderkey", buckets=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["o_orderpriority", "cents"]).group_by("o_orderpriority", use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "ps", "pc"])
+
+    part = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return part.groupby("o_orderpriority").aggregate(
+        Sum("ps", alias_name="sum_price_cents"), Sum("pc", alias_name="n_items")
+    )
+
+
 def q_ann_cosine(sf_dir: str):
     """Brute-force cosine top-k over the embeddings table (rows-only check;
     float summation order differs across engines so no SQL hash oracle)."""
@@ -459,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stride_sample": q_stride_sample,
         "knn_indexed": q_knn_indexed,
         "pip_zones_indexed": q_pip_zones_indexed,
+        "order_lineitem_join": q_order_lineitem_join,
         "orders_by_segment": q_orders_by_segment,
         "ann_cosine": q_ann_cosine,
         "minhash_pairs": q_minhash_pairs,
@@ -639,6 +671,13 @@ SELECT c_mktsegment,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
+
+    sql["order_lineitem_join"] = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority"""
 
     sql["knn_indexed"] = sql["knn"]
     sql["pip_zones_indexed"] = sql["pip_zones"]
