@@ -460,6 +460,38 @@ def q_quality_scores(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_raster_pyramid(sf_dir: str):
+    """Raster tile pipeline (rows-only: no SQL twin for binary tiles):
+    synthetic raster -> layout tile table -> one pyramid level up; returns
+    tile keys + dims + per-tile pixel checksum (deterministic)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent, LayoutDefinition
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid = GridExtent(Extent(630000.0, 215000.0, 645000.0, 228500.0), 10.0, 10.0, 1500, 1350)
+    layout = LayoutDefinition.floating(grid, 256)
+    tiles = rst.tile_dataset([SyntheticRasterSource(grid)], layout, concurrency=2)
+    level1 = rst.pyramid_build(tiles, 1)[1]
+
+    def summarize(b: pa.Table) -> pa.Table:
+        sums = []
+        for row in b.to_pylist():
+            sums.append(int(rst.tile_pixels(row).sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "tile_col": b["tile_col"],
+                "tile_row": b["tile_row"],
+                "cols": b["cols"],
+                "rows": b["rows"],
+                "pixel_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return level1.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+
+
 def entry() -> Any:
     """Flagship interleaved-corpus pipeline on sf0.001."""
     from geotrellis_contrib_ray.pipelines.flagship import flagship
@@ -495,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": q_ann_cosine,
         "minhash_pairs": q_minhash_pairs,
         "quality_scores": q_quality_scores,
+        "raster_pyramid": q_raster_pyramid,
     }
 
 

@@ -172,6 +172,12 @@ class RasterSource:
                 best = g
         return best
 
+    def overview_source(self, grid: GridExtent) -> "RasterSource":
+        """Source reading at the given overview resolution; default = self
+        (sources without materialized overviews read full-res).  Overriders
+        return a cheaper source for coarse reads (T4 overview routing)."""
+        return self
+
 
 @dataclass
 class SyntheticRasterSource(RasterSource):
@@ -233,6 +239,29 @@ class SyntheticRasterSource(RasterSource):
         for bi, b in enumerate(band_idx):
             px[bi] = ((cgrid + b) % (1 << 15)).astype(np.int16)
         return Raster(px, self._grid.extent_for(inter))
+
+    def overview_source(self, grid: GridExtent) -> "RasterSource":
+        """Materialized strided overviews (COG-overview analog); counts reads
+        for the routing test."""
+        f = int(round(grid.cellwidth / self._grid.cellwidth))
+        if f <= 1:
+            return self
+        object.__setattr__(self, "overview_reads", getattr(self, "overview_reads", 0) + 1)
+        full = self.read_bounds(self.grid_bounds)
+        px = full.pixels[:, ::f, ::f]
+        ov_grid = GridExtent(
+            Extent(
+                self._grid.extent.xmin,
+                self._grid.extent.ymax - px.shape[1] * grid.cellheight,
+                self._grid.extent.xmin + px.shape[2] * grid.cellwidth,
+                self._grid.extent.ymax,
+            ),
+            grid.cellwidth,
+            grid.cellheight,
+            px.shape[2],
+            px.shape[1],
+        )
+        return InMemoryRasterSource(px, ov_grid, self._crs, self._cell_type)
 
 
 @dataclass
@@ -303,7 +332,11 @@ class ResampleRasterSource(RasterSource):
         if inter is None:
             return None
         target_extent = self._target.extent_for(inter)
-        src = self.base.read(target_extent, bands)
+        # route through the closest overview for coarse targets (T4,
+        # GeoTiffResampleRasterSource.scala:74-75)
+        ov = self.base.closest_resolution(self._target.cellwidth)
+        reader = self.base.overview_source(ov) if ov.cellwidth > self.base.grid.cellwidth else self.base
+        src = reader.read(target_extent, bands)
         if src is None:
             return None
         nd = self.cell_type.nodata

@@ -143,3 +143,26 @@ def test_view_chain_compose():
     r = s.read()
     assert r.pixels.shape == (1, 675, 750)
     assert r.pixels.dtype == np.int32
+
+
+def test_resample_routes_through_overview():
+    # T4: a coarse resample reads the /4 overview, not full resolution
+    s = make_source()
+    coarse = s.resample_to_cell_size(40.0, 40.0)
+    r = coarse.read()
+    assert r is not None
+    assert getattr(s, "overview_reads", 0) >= 1
+    # a native-resolution resample does NOT touch overviews
+    s2 = make_source()
+    s2.resample(1400, 1300).read()
+    assert getattr(s2, "overview_reads", 0) == 0
+
+
+def test_multiband_band_selection():
+    s = make_source(bands=3)
+    r = s.read(Extent(630000.0, 228400.0, 630100.0, 228500.0), bands=[2])
+    assert r.pixels.shape[0] == 1
+    assert r.pixels[0, 0, 0] == 2  # value(0,0,band=2)
+    r2 = s.read(Extent(630000.0, 228400.0, 630100.0, 228500.0), bands=[0, 2])
+    assert r2.pixels.shape[0] == 2
+    assert r2.pixels[1, 0, 0] - r2.pixels[0, 0, 0] == 2
