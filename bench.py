@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "event_windows",
     "lineitem_pricing",
     "ann_cosine",
+    "order_lineitem_join",
+    "pip_zones_indexed",
 ]
 
 

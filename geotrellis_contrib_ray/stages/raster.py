@@ -253,6 +253,33 @@ def pyramid_build(tiles_ds, levels: int):
     return out
 
 
+def sparse_stitch(tile_rows: list[dict], cell_type: CellType | None = None) -> Raster | None:
+    """GeotrellisRasterSource.sparseStitch analog (CHANGELOG.md:110): stitch a
+    SPARSE set of tiles into one raster covering their union extent; missing
+    tiles stay NoData.  Pure (driver-side or inside map_groups) — the tile
+    set is one key-neighborhood, not a whole layer."""
+    if not tile_rows:
+        return None
+    first = tile_rows[0]
+    ct = cell_type or CellType.of(first["cell_type"])
+    xmin = min(r["xmin"] for r in tile_rows)
+    ymin = min(r["ymin"] for r in tile_rows)
+    xmax = max(r["xmax"] for r in tile_rows)
+    ymax = max(r["ymax"] for r in tile_rows)
+    cw = (first["xmax"] - first["xmin"]) / first["cols"]
+    ch = (first["ymax"] - first["ymin"]) / first["rows"]
+    cols = int(round((xmax - xmin) / cw))
+    rows_ = int(round((ymax - ymin) / ch))
+    nd = ct.nodata if ct.nodata is not None else 0
+    acc = np.full((int(first["band_count"]), rows_, cols), nd, dtype=ct.np_dtype)
+    for r in tile_rows:
+        px = ct_convert(tile_pixels(r), CellType.of(r["cell_type"]), ct)
+        c0 = int(round((r["xmin"] - xmin) / cw))
+        r0 = int(round((ymax - r["ymax"]) / ch))
+        acc[:, r0 : r0 + px.shape[1], c0 : c0 + px.shape[2]] = px
+    return Raster(acc, Extent(xmin, ymin, xmax, ymax))
+
+
 def write_tiles(tiles_ds, path: str, partition_key: str | None = None):
     """S7: resumable tile sink — partitioned parquet, one dir per key range."""
     tiles_ds.write_parquet(path)

@@ -394,6 +394,20 @@ def pyramid_rollup(tile_ds, levels: int, count_col: str = "n_points"):
     )
 
 
+def layout_for_summary(summary: dict, cell_size: float, tile_size: int = 256) -> LayoutDefinition:
+    """A6 completion: RasterSummary -> layout choice (the reference's
+    RasterSummary.fromSeq fed layout selection, CHANGELOG.md:85,98).
+    Builds a floating layout over the summarized extent at the given cell
+    size."""
+    from ..core.grid import Extent
+
+    ext = Extent(summary["min_lon"], summary["min_lat"], summary["max_lon"], summary["max_lat"])
+    cols = max(1, int(np.ceil(ext.width / cell_size)))
+    rows = max(1, int(np.ceil(ext.height / cell_size)))
+    grid = GridExtent(ext, cell_size, cell_size, cols, rows)
+    return LayoutDefinition.floating(grid, tile_size)
+
+
 def raster_summary(ds):
     """A6 RasterSummary: global extent/count rollup feeding layout choice."""
     from ray.data.aggregate import Count, Max, Min

@@ -108,3 +108,36 @@ def test_write_tiles_resumable_layout(ray_session, tmp_path):
     assert files
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert total == 9  # 3x3 512px layout
+
+
+def test_sparse_stitch(ray_session):
+    # stitch 3 of 4 tiles of a 2x2 layout: gap stays nodata
+    src = SyntheticRasterSource(GridExtent(Extent(0.0, 0.0, 200.0, 200.0), 10.0, 10.0, 20, 20))
+    layout = LayoutDefinition(Extent(0.0, 0.0, 200.0, 200.0), 10, 10, 2, 2)
+    rows = rst.tile_dataset([src], layout, concurrency=2).take_all()
+    sparse = [r for r in rows if not (r["tile_col"] == 1 and r["tile_row"] == 1)]
+    stitched = rst.sparse_stitch(sparse)
+    assert stitched.pixels.shape == (1, 20, 20)
+    assert stitched.extent == Extent(0.0, 0.0, 200.0, 200.0)
+    # missing bottom-right quadrant is nodata
+    assert np.all(stitched.pixels[0, 10:, 10:] == -32768)
+    # present quadrants carry source values
+    full = src.read()
+    assert np.array_equal(stitched.pixels[0, :10, :10], full.pixels[0, :10, :10])
+    assert rst.sparse_stitch([]) is None
+
+
+def test_layout_for_summary(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from geotrellis_contrib_ray.stages import spatial
+
+    t = pa.table({"lon": np.linspace(-80.0, -75.1, 100), "lat": np.linspace(39.8, 42.0, 100)})
+    summary = spatial.raster_summary(rd.from_arrow(t.append_column("doc_id", pa.array(np.arange(100)))))
+    layout = spatial.layout_for_summary(summary, cell_size=0.01, tile_size=64)
+    assert layout.extent.xmin == -80.0 and layout.extent.ymax == 42.0
+    assert layout.layout_cols >= 1 and layout.tile_cols == 64
+    # every summarized point maps into the layout
+    c, r = layout.key_for_point(t["lon"].to_numpy(), t["lat"].to_numpy())
+    assert (c >= 0).all() and (c < layout.layout_cols).all()
+    assert (r >= 0).all() and (r < layout.layout_rows).all()
