@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..sources.documents import span_signature
-from ..state.checkpoint import CheckpointManifest, read_all_partitions, run_partitioned
-from .flagship import flagship_over, synthetic_corpus
+from ..state.checkpoint import read_all_partitions, run_partitioned
+from .flagship import flagship_over
 
 
 def run_flagship_checkpointed(

@@ -18,7 +18,6 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..core import cells as cellmod
 from ..sources.documents import docs_to_spans, geocode_ids
 from ..stages import spatial
 from .query_defs import CELL_RES, PARENT_RES, QUERY_LAYOUT, ZONE_BOXES, ZONE_CONVEX

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.celltype import CellType, convert as ct_convert
-from ..core.grid import Extent, GridBounds, GridExtent, LayoutDefinition
+from ..core.grid import Extent, LayoutDefinition
 from ..sources.raster_source import Raster, RasterSource
 
 TILE_SCHEMA = pa.schema(
