@@ -1,1 +1,1 @@
-from . import documents  # noqa: F401
+from . import documents, raster_source, registry  # noqa: F401

@@ -78,6 +78,14 @@ class RasterSource:
     def attributes_for_band(self, band: int) -> dict[str, str]:
         return {}
 
+    def metadata_for_domain(self, domain: str = "") -> dict[str, str]:
+        """GDAL-style domain-selected metadata (GDALMetadataF.apply /
+        metadataForDomain, gdal/.../GDALRasterSource.scala:92-97).  The empty
+        domain is the default attribute map."""
+        if domain == "":
+            return self.attributes
+        return {}
+
     # derived (RasterMetadataF.scala:33-41)
     @property
     def extent(self) -> Extent:
@@ -211,6 +219,14 @@ class SyntheticRasterSource(RasterSource):
     @property
     def attributes(self) -> dict[str, str]:
         return dict(self._attributes)
+
+    def metadata_for_domain(self, domain: str = "") -> dict[str, str]:
+        if domain == "":
+            return self.attributes
+        return dict(self._attributes.get("_domains", {}).get(domain, {})) if isinstance(self._attributes.get("_domains"), dict) else {}
+
+    def attributes_for_band(self, band: int) -> dict[str, str]:
+        return {"band": str(band), "cell_type": self._cell_type.name}
 
     @property
     def resolutions(self) -> list[GridExtent]:

@@ -166,3 +166,33 @@ def test_multiband_band_selection():
     r2 = s.read(Extent(630000.0, 228400.0, 630100.0, 228500.0), bands=[0, 2])
     assert r2.pixels.shape[0] == 2
     assert r2.pixels[1, 0, 0] - r2.pixels[0, 0, 0] == 2
+
+
+def test_metadata_domains_and_band_attributes():
+    s = make_source(2)
+    assert s.metadata_for_domain("") == s.attributes
+    assert s.metadata_for_domain("nonexistent") == {}
+    assert s.attributes_for_band(1)["band"] == "1"
+
+
+def test_reader_registry():
+    from geotrellis_contrib_ray.sources.registry import (
+        register_scheme,
+        registered_schemes,
+        source_for_uri,
+    )
+
+    s = source_for_uri("synthetic://100x50@10")
+    assert s.dimensions == (100, 50)
+    assert "synthetic" in registered_schemes()
+
+    class Custom:
+        def __init__(self, uri):
+            self.uri = uri
+
+    register_scheme("custom", Custom)
+    assert source_for_uri("custom://abc").uri == "custom://abc"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        source_for_uri("unknown://x")
