@@ -126,3 +126,27 @@ def test_polygon_intersects_box():
     assert geom.polygon_intersects_box(ring, -1, -1, 1, 1)  # overlap corner
     assert not geom.polygon_intersects_box(ring, 11, 11, 12, 12)  # disjoint
     assert geom.polygon_intersects_box(ring, -1, -1, 11, 11)  # polygon inside box
+
+
+def test_hex_wkb_bigendian_ewkb_golden():
+    # verbatim fixture from PostGisProjectionSupportSpec.scala:93-108: a
+    # big-endian EWKB polygon (SRID 3857) in hex, with and without \x prefix
+    hexs = (
+        "002000000300000f110000000100000005"
+        "c170b8793ccc8e80415ca9f4683a18dc"
+        "c170b8793ccc8e8041631bf8457c1091"
+        "c16ca9f4683a18dc41631bf8457c1091"
+        "c16ca9f4683a18dc415ca9f4683a18dc"
+        "c170b8793ccc8e80415ca9f4683a18dc"
+    )
+    expected = [
+        (-17532819.799940586, 7514065.628545966),
+        (-17532819.799940586, 10018754.171394618),
+        (-15028131.257091932, 10018754.171394618),
+        (-15028131.257091932, 7514065.628545966),
+        (-17532819.799940586, 7514065.628545966),
+    ]
+    for s in (hexs, "\\x" + hexs):
+        kind, rings, srid = geom.wkb_to_geometry(s)
+        assert kind == "Polygon" and srid == 3857
+        assert [tuple(p) for p in rings[0]] == expected
