@@ -460,6 +460,39 @@ def q_quality_scores(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest signup at or
+    before it (bucketed merge_asof; DuckDB ASOF JOIN oracle)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.joins import asof_join
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def prep(kind, value_col=None):
+        def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            b = b.filter(pc.equal(b["event_type"], kind))
+            secs = (
+                b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(np.int64)
+            )
+            cols = {"user_id": b["user_id"], "purchase_ts": pa.array(secs)}
+            if value_col:
+                cols[value_col] = pa.array(secs)
+            return pa.table(cols)
+
+        return f
+
+    purchases = ev.map_batches(prep("purchase"), batch_format="pyarrow", batch_size=None)
+    signups = ev.map_batches(
+        prep("signup", value_col="signup_ts"), batch_format="pyarrow", batch_size=None
+    )
+    return asof_join(
+        purchases, signups, by="user_id", on="purchase_ts", right_value="signup_ts", buckets=16
+    )
+
+
 def q_raster_pyramid(sf_dir: str):
     """Raster tile pipeline (rows-only: no SQL twin for binary tiles):
     synthetic raster -> layout tile table -> one pyramid level up; returns
@@ -523,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_indexed": q_knn_indexed,
         "pip_zones_indexed": q_pip_zones_indexed,
         "order_lineitem_join": q_order_lineitem_join,
+        "asof_join": q_asof_join,
         "orders_by_segment": q_orders_by_segment,
         "ann_cosine": q_ann_cosine,
         "minhash_pairs": q_minhash_pairs,
@@ -704,6 +738,18 @@ SELECT c_mktsegment,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
+
+    sql["asof_join"] = """
+WITH p AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS signup_ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.user_id, p.purchase_ts, s.signup_ts
+FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts"""
 
     sql["order_lineitem_join"] = """
 SELECT o_orderpriority,

@@ -82,3 +82,54 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int = 32, how: str = "i
         return lg.merge(rg, on=on, how=how)
 
     return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int = 32):
+    """As-of join (custom operator the Dataset API lacks): for each left row,
+    the latest right row of the same ``by`` key with right.on <= left.on.
+
+    Scale shape: hash-bucket both sides on ``by`` (a key's rows never split),
+    union, groupby(bucket), per-bucket ``pd.merge_asof`` over sorted frames.
+    Inner semantics: left rows with no prior right row are dropped — matches
+    ``ASOF JOIN`` in SQL.  Partitioning assumption: one bucket's rows fit a
+    worker (raise ``buckets`` for skewed key spaces)."""
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch[by].to_numpy(zero_copy_only=False)
+            bucket = (keys.astype(np.int64) * np.int64(2654435761)) % buckets
+            cols = {by: batch[by], on: batch[on]}
+            if side == 1:
+                cols[right_value] = batch[right_value]
+            else:
+                cols[right_value] = pa.nulls(len(batch), pa.int64())
+            t = pa.table(cols)
+            return t.append_column("_bucket", pa.array(bucket)).append_column(
+                "_side", pa.array(np.full(len(batch), side, dtype=np.int8))
+            )
+
+        return f
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow", batch_size=None).union(
+        right.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
+    )
+
+    def per_bucket(g):
+        import pandas as pd
+
+        lg = g[g["_side"] == 0][[by, on]].sort_values(on, kind="mergesort")
+        rg = g[g["_side"] == 1][[by, on, right_value]].sort_values(on, kind="mergesort")
+        if len(lg) == 0 or len(rg) == 0:
+            return pd.DataFrame(
+                {
+                    by: pd.Series([], dtype=np.int64),
+                    on: pd.Series([], dtype=np.int64),
+                    right_value: pd.Series([], dtype=np.int64),
+                }
+            )
+        out = pd.merge_asof(lg, rg, on=on, by=by)
+        out = out.dropna(subset=[right_value])
+        out[right_value] = out[right_value].astype(np.int64)
+        return out[[by, on, right_value]]
+
+    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
