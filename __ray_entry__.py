@@ -194,6 +194,15 @@ def q_event_windows(sf_dir: str):
     return windows.tumbling_window_agg(ds, WINDOW_SEC)
 
 
+def q_sliding_windows(sf_dir: str):
+    """Sliding (hopping) windows: size 3600s, hop 1800s — each event in 2
+    overlapping windows."""
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    return windows.sliding_window_agg(ds, size_sec=3600, hop_sec=1800)
+
+
 def q_sessionize(sf_dir: str):
     """Session windows per user (gap = 1800 s)."""
     from geotrellis_contrib_ray.stages import windows
@@ -548,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_profile": q_lang_profile,
         "event_windows": q_event_windows,
         "sessionize": q_sessionize,
+        "sliding_windows": q_sliding_windows,
         "lineitem_pricing": q_lineitem_pricing,
         "zone_anti_join": q_zone_anti_join,
         "top_chars": q_top_chars,
@@ -705,6 +715,18 @@ SELECT event_type,
        CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
        count(*) AS n_events
 FROM events GROUP BY 1, 2"""
+
+    sql["sliding_windows"] = """
+WITH expanded AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / 1800) AS BIGINT) - g.k) * 1800 AS window_start,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS g(k)
+)
+SELECT event_type, window_start,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       count(*) AS n_events
+FROM expanded GROUP BY event_type, window_start"""
 
     sql["sessionize"] = """
 WITH e AS (

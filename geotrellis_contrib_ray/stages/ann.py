@@ -112,3 +112,49 @@ def ann_lsh_topk(ds, queries: np.ndarray, k: int, dim: int, n_planes: int = 8, i
 
     filtered = ds.map_batches(in_qbuckets, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     return ann_topk(filtered, queries, k, id_col=id_col)
+
+
+class IVFIndex:
+    """IVF coarse quantizer (the second scale path named alongside LSH):
+    k-means-lite centroids fit once on a sample (seed-fixed Lloyd iterations,
+    driver- or actor-side), vectors bucketed by nearest centroid, queries
+    probe the nprobe closest lists and exact-rerank inside them."""
+
+    def __init__(self, sample: np.ndarray, n_lists: int = 16, iters: int = 10, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        sample = np.asarray(sample, dtype=np.float64)
+        init = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+        cent = init.copy()
+        for _ in range(iters):
+            d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cent)):
+                m = assign == c
+                if m.any():
+                    cent[c] = sample[m].mean(axis=0)
+        self.centroids = cent
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        d = ((np.asarray(vecs, dtype=np.float64)[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    def probe_lists(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
+        d = ((np.asarray(queries, dtype=np.float64)[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        return np.argsort(d, axis=1)[:, :nprobe]
+
+
+def ann_ivf_topk(ds, queries: np.ndarray, k: int, *, sample: np.ndarray, n_lists: int = 16,
+                 nprobe: int = 4, id_col: str = "vec_id"):
+    """IVF ANN: centroids fit on the broadcast sample, vectors filtered to the
+    union of the queries' probed lists (semi-join on the coarse code), exact
+    cosine rerank on the survivors.  Approximate: recall grows with nprobe."""
+    ivf = IVFIndex(sample, n_lists=n_lists)
+    probe = set(ivf.probe_lists(np.asarray(queries, dtype=np.float64), nprobe).ravel().tolist())
+
+    def in_probed(batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch["embedding"])
+        codes = ivf.assign(emb)
+        return batch.filter(pa.array(np.isin(codes, list(probe))))
+
+    filtered = ds.map_batches(in_probed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return ann_topk(filtered, queries, k, id_col=id_col)

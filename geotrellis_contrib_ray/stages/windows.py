@@ -68,3 +68,40 @@ def sessionize(ds, gap_sec: int = 1800):
         return out[["user_id", "session_start", "n_events"]]
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sliding_window_agg(ds, size_sec: int = 3600, hop_sec: int = 1800):
+    """Sliding (hopping) event-time windows: each event lands in
+    size/hop overlapping windows (vectorized repeat + shift), then the same
+    partial-agg -> tiny-groupby shape as the tumbling path.
+
+    Output: event_type, window_start, n_events, sum_cents."""
+    k = size_sec // hop_sec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        secs = ts // 1_000_000
+        cents = np.floor(batch["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        n = len(secs)
+        offs = np.repeat(np.arange(k, dtype=np.int64), n)
+        secs_r = np.tile(secs, k)
+        ws = (secs_r // hop_sec - offs) * hop_sec
+        t = pa.table(
+            {
+                "event_type": pa.array(np.tile(et, k).astype(object), pa.string()),
+                "window_start": ws,
+                "cents": np.tile(cents, k),
+            }
+        )
+        g = t.group_by(["event_type", "window_start"], use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["event_type", "window_start", "psum", "pcnt"])
+
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return part.groupby(["event_type", "window_start"]).aggregate(
+        Sum("psum", alias_name="sum_cents"), Sum("pcnt", alias_name="n_events")
+    )

@@ -1,0 +1,42 @@
+"""IVF ANN recall vs brute force."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.ann import IVFIndex, ann_ivf_topk, ann_topk
+
+    rng = np.random.default_rng(9)
+    n, d = 5000, 16
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(emb)})
+    queries = emb[:3].astype(np.float64)
+    ds = rd.from_arrow(t)
+    exact = ann_topk(ds, queries, k=10).to_pandas()
+    approx = ann_ivf_topk(
+        rd.from_arrow(t), queries, k=10, sample=emb[rng.choice(n, 500, replace=False)],
+        n_lists=8, nprobe=4,
+    ).to_pandas()
+    # recall@10 across queries >= 0.5 with nprobe=half the lists
+    hits = 0
+    for q in range(3):
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        hits += len(e & a)
+    assert hits / 30 >= 0.5
+    # the query vector itself (cosine 1.0) is always found: its own list is probed
+    for q in range(3):
+        assert q in set(approx[approx.query_id == q].vec_id)
+
+
+def test_ivf_assign_deterministic():
+    from geotrellis_contrib_ray.stages.ann import IVFIndex
+
+    rng = np.random.default_rng(2)
+    sample = rng.standard_normal((200, 8))
+    a = IVFIndex(sample, n_lists=4).assign(sample)
+    b = IVFIndex(sample, n_lists=4).assign(sample)
+    assert np.array_equal(a, b)
