@@ -449,6 +449,33 @@ def q_minhash_pairs(sf_dir: str):
     return dedup.minhash_candidate_pairs(ds)
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup candidate pairs with exact hamming verify (rows-only)."""
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.simhash_candidate_pairs(ds, max_hamming=8)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup: LSH candidates + exact Jaccard >= 0.5
+    (rows-only; exact float verify happens Ray-side)."""
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via LSH buckets + exact rerank
+    (rows-only; the synthetic embeddings are near-orthogonal, so the
+    'near-dup' threshold is set at the top of their cosine distribution)."""
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return dedup.embedding_neardup_pairs(ds, threshold=0.3, n_planes=4)
+
+
 def q_quality_scores(sf_dir: str):
     """Actor-pool quality scoring (regex state per actor; rows-only check)."""
     from geotrellis_contrib_ray.stages import text as textmod
@@ -461,7 +488,7 @@ def q_quality_scores(sf_dir: str):
         batch_size=None,
         concurrency=2,
     )
-    return ds.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality"])
+    return ds.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality", "n_bpe_tokens"])
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q_orders_by_segment,
         "ann_cosine": q_ann_cosine,
         "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
         "quality_scores": q_quality_scores,
         "raster_pyramid": q_raster_pyramid,
     }

@@ -222,6 +222,134 @@ class SimHash:
         return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 
+def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4):
+    """SimHash near-dup: 64-bit signatures banded into ``bands`` 16-bit
+    chunks; docs sharing any chunk are candidates (guaranteed to catch all
+    pairs with < bands bit flips), verified by exact hamming distance.
+    Output: id1 < id2, hamming."""
+    signed = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        width = 64 // bands
+        out_band, out_key, out_id, out_sh = [], [], [], []
+        for b in range(bands):
+            chunk = (sh >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
+            out_band.append(np.full(n, b, dtype=np.int32))
+            out_key.append(chunk)
+            out_id.append(ids)
+            out_sh.append(sh)
+        return pa.table(
+            {
+                "band_id": np.concatenate(out_band),
+                "band_key": np.concatenate(out_key),
+                "doc_id": np.concatenate(out_id),
+                "simhash": np.concatenate(out_sh),
+            }
+        )
+
+    banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def pairs(g):
+        import pandas as pd
+
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order]
+        sh = g["simhash"].to_numpy()[order].astype(np.uint64)
+        if len(ids) < 2 or len(ids) > 1000:
+            return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
+                                 "id2": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hd = hamming_distance(sh[ii], sh[jj])
+        keep = (hd <= max_hamming) & (ids[ii] != ids[jj])
+        return pd.DataFrame({"id1": ids[ii][keep].astype(np.int64),
+                             "id2": ids[jj][keep].astype(np.int64),
+                             "hamming": hd[keep].astype(np.int64)})
+
+    cand = banded.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pandas")
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        return b.group_by(["id1", "id2"], use_threads=False).aggregate([("hamming", "min")]).rename_columns(["id1", "id2", "hamming"])
+
+    from ray.data.aggregate import Min
+
+    return (
+        cand.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby(["id1", "id2"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
+                        num_perm: int = 64, bands: int = 16):
+    """n-gram Jaccard near-dup: MinHash-LSH candidates -> exact Jaccard
+    verify inside the join stage (texts re-read via broadcast dict built from
+    the candidates' ids — at corpus scale this is a bucketed join instead).
+    Output: id1 < id2, jaccard >= threshold (exact, float64)."""
+    import ray
+
+    cand = minhash_candidate_pairs(ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    texts_ref = ray.put(
+        {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        texts = _ray.get(texts_ref)
+        id1 = b["id1"].to_numpy(zero_copy_only=False)
+        id2 = b["id2"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(id1))
+        for i, (a, c) in enumerate(zip(id1, id2)):
+            ta, tc = texts[int(a)], texts[int(c)]
+            sa = {ta[j : j + shingle_k] for j in range(max(0, len(ta) - shingle_k + 1))}
+            sc = {tc[j : j + shingle_k] for j in range(max(0, len(tc) - shingle_k + 1))}
+            jac[i] = len(sa & sc) / max(1, len(sa | sc))
+        t = pa.table({"id1": id1, "id2": id2, "jaccard": jac})
+        return t.filter(pa.array(jac >= threshold))
+
+    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", n_planes: int = 8):
+    """Embedding-cosine near-dup: hyperplane-LSH buckets -> within-bucket
+    exact cosine (float64) -> pairs above threshold.  Output: id1 < id2,
+    cosine."""
+    from .ann import HyperplaneLSH, _embedding_matrix
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch["embedding"])
+        lsh = HyperplaneLSH(emb.shape[1], n_planes=n_planes)
+        return batch.append_column("bucket", pa.array(lsh.bucket(emb)))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def pairs(g):
+        import pandas as pd
+
+        ids = g[id_col].to_numpy()
+        emb = np.stack(g["embedding"].to_numpy())
+        order = np.argsort(ids)
+        ids, emb = ids[order], emb[order].astype(np.float64)
+        if len(ids) < 2 or len(ids) > 2000:
+            return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
+                                 "id2": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms) @ (emb / norms).T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame({"id1": ids[ii][keep].astype(np.int64),
+                             "id2": ids[jj][keep].astype(np.int64),
+                             "cosine": sims[ii, jj][keep]})
+
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a, b)
     cnt = np.zeros(x.shape, dtype=np.int64)

@@ -40,6 +40,8 @@ class QualityScorer:
         import re
 
         self.word_re = re.compile(r"[A-Za-z]+")
+        # BPE-ish pre-tokenizer (GPT-2-style contractions/words/numbers/punct)
+        self.bpe_re = re.compile(r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
         self.stop = {
             "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
             "for", "on", "with", "as", "at", "by",
@@ -59,10 +61,12 @@ class QualityScorer:
         with np.errstate(invalid="ignore", divide="ignore"):
             alpha_ratio = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
         score = 0.5 * stop_ratio + 0.5 * alpha_ratio
+        n_bpe = texts.str.findall(self.bpe_re).map(len).to_numpy(dtype=np.int64)
         return (
             batch.append_column("stop_ratio", pa.array(stop_ratio))
             .append_column("alpha_ratio", pa.array(alpha_ratio))
             .append_column("quality", pa.array(score))
+            .append_column("n_bpe_tokens", pa.array(n_bpe))
         )
 
 
