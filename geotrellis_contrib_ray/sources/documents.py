@@ -207,8 +207,11 @@ def _substr_array(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.
         return pa.array([""] * n, pa.string())
     idx = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens) + np.repeat(starts, lens)
     out_bytes = np.ascontiguousarray(data[idx])
+    # zero-copy buffers over the numpy arrays (no tobytes duplication)
     return pa.StringArray.from_buffers(
-        n, pa.py_buffer(out_off.astype(np.int32).tobytes()), pa.py_buffer(out_bytes.tobytes())
+        n,
+        pa.py_buffer(np.ascontiguousarray(out_off.astype(np.int32))),
+        pa.py_buffer(out_bytes),
     )
 
 
