@@ -13,12 +13,26 @@ import pyarrow as pa
 
 
 def _embedding_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix, zero-copy on the values
-    buffer when the lists are fixed-length."""
+    """list<float> column -> (n, d) float64 matrix.
+
+    Uses ``flatten()`` (offset-aware — ``arr.values`` ignores slice offsets)
+    and validates a fixed dimension from the offsets: ragged rows or nulls
+    raise instead of silently reshaping misaligned data into wrong vectors."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.values.to_numpy(zero_copy_only=False)
     n = len(arr)
-    d = len(flat) // max(n, 1)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if arr.null_count:
+        raise ValueError("embedding column contains nulls")
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+    else:
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        d = int(lens[0])
+        if not np.all(lens == d):
+            raise ValueError(f"ragged embedding lists (lengths {np.unique(lens)})")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(n, d).astype(np.float64)
 
 
@@ -44,7 +58,13 @@ class CosineTopK:
         out_q, out_id, out_s = [], [], []
         for qi in range(sims.shape[1]):
             s = sims[:, qi]
-            cand = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            if len(s) > k:
+                # include ALL candidates tied at the kth similarity so the
+                # (sim desc, id asc) tie-break matches the SQL oracle
+                kth = np.partition(-s, k - 1)[k - 1]
+                cand = np.nonzero(-s <= kth)[0]
+            else:
+                cand = np.arange(len(s))
             order = np.lexsort((ids[cand], -s[cand]))[:k]
             sel = cand[order]
             out_q.append(np.full(len(sel), qi, dtype=np.int64))

@@ -3,12 +3,14 @@
 Three tiers, picked by side sizes (README scale rules):
 1. broadcast — small side via ray.put, lookup inside map_batches (see
    __ray_entry__.q_orders_by_segment);
-2. native hash join — ``Dataset.join`` (hash-partitioned on the key), used
-   when both sides are large and the Ray version ships it;
+2. native hash join — ``Dataset.join`` (hash-partitioned on the key), the
+   DEFAULT when both sides are large: no driver materialization, the engine
+   shuffles each side once into num_partitions hash partitions;
 3. bucketed hash join — the portable fallback: hash both sides into B
-   buckets, tag the side, union, groupby(bucket) and pandas-merge within the
+   buckets, tag the side, union, groupby(bucket) and Arrow-merge within the
    bucket.  Works on any Ray version; B and the optional per-key salt are
-   the documented skew knobs.
+   the documented skew knobs.  B should be >= 4x cluster CPUs so the reduce
+   stage is never parallelism-capped.
 """
 
 from __future__ import annotations
@@ -17,19 +19,39 @@ import numpy as np
 import pyarrow as pa
 
 
-def native_hash_join(left, right, on: str, *, num_partitions: int = 32, join_type: str = "inner"):
-    """Tier-2: Ray's built-in hash-partitioned join."""
+def native_hash_join(left, right, on: str, *, num_partitions: int | None = None, join_type: str = "inner"):
+    """Tier-2 (default): Ray's built-in hash-partitioned join.
+
+    num_partitions defaults to 4x cluster CPUs so each partition-join is
+    small and the reduce stage saturates the cluster."""
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     return left.join(right, join_type, num_partitions, on=(on,))
 
 
-def bucketed_hash_join(left, right, on: str, *, buckets: int = 32, how: str = "inner"):
+def default_join_partitions(factor: int = 4, floor: int = 16, cap: int = 512) -> int:
+    """Partition count for shuffle joins: ~factor x cluster CPUs, bounded."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(floor, min(cap, factor * cpus))
+
+
+def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how: str = "inner"):
     """Tier-3 portable partitioned hash join.
 
     Shuffle payload is both sides' projected rows exactly once; each bucket
-    joins locally with a pandas merge.  Hot join keys can be salted by
-    raising ``buckets`` (key -> bucket is a modular hash, so a single key
-    never splits — skew-sensitive callers should pre-aggregate or use the
-    broadcast tier for dimension-shaped sides)."""
+    joins locally with an Arrow (acero) hash join — dtypes survive exactly
+    (no pandas round-trip: a null-padded int64 column would otherwise come
+    back float64 and break value-hash parity with SQL oracles).  Hot join
+    keys can be salted by raising ``buckets`` (key -> bucket is a modular
+    hash, so a single key never splits — skew-sensitive callers should
+    pre-aggregate or use the broadcast tier for dimension-shaped sides)."""
+    if buckets is None:
+        buckets = default_join_partitions()
 
     # align schemas for the union: each side padded with typed null columns
     # for the other side's exclusive fields
@@ -70,18 +92,21 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int = 32, how: str = "i
         right.map_batches(tag(1, lonly), batch_format="pyarrow", batch_size=None)
     )
 
-    def per_bucket(g):
-        import pandas as pd
+    out_schema = pa.schema([(c, type_of[c]) for c in all_cols])
 
-        lg = g[g["_side"] == 0].drop(columns=["_side", "_bucket"] + ronly, errors="ignore")
-        rg = g[g["_side"] == 1].drop(columns=["_side", "_bucket"] + lonly, errors="ignore")
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g["_side"]
+        lg = g.filter(pc.equal(side, 0)).select([on] + lonly)
+        rg = g.filter(pc.equal(side, 1)).select([on] + ronly)
         if len(lg) == 0 or len(rg) == 0:
             if how == "inner":
-                cols = [c for c in g.columns if c not in ("_side", "_bucket")]
-                return pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in cols})
-        return lg.merge(rg, on=on, how=how)
+                return out_schema.empty_table()
+        joined = lg.join(rg, keys=on, join_type=how)
+        return joined.select(all_cols)
 
-    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int = 32):
@@ -93,6 +118,9 @@ def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int =
     Inner semantics: left rows with no prior right row are dropped — matches
     ``ASOF JOIN`` in SQL.  Partitioning assumption: one bucket's rows fit a
     worker (raise ``buckets`` for skewed key spaces)."""
+    rschema = right.schema()
+    rv_type = dict(zip(rschema.names, rschema.types))[right_value]
+    rv_dtype = rv_type.to_pandas_dtype()
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -102,7 +130,7 @@ def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int =
             if side == 1:
                 cols[right_value] = batch[right_value]
             else:
-                cols[right_value] = pa.nulls(len(batch), pa.int64())
+                cols[right_value] = pa.nulls(len(batch), rv_type)
             t = pa.table(cols)
             return t.append_column("_bucket", pa.array(bucket)).append_column(
                 "_side", pa.array(np.full(len(batch), side, dtype=np.int8))
@@ -124,12 +152,12 @@ def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int =
                 {
                     by: pd.Series([], dtype=np.int64),
                     on: pd.Series([], dtype=np.int64),
-                    right_value: pd.Series([], dtype=np.int64),
+                    right_value: pd.Series([], dtype=rv_dtype),
                 }
             )
         out = pd.merge_asof(lg, rg, on=on, by=by)
         out = out.dropna(subset=[right_value])
-        out[right_value] = out[right_value].astype(np.int64)
+        out[right_value] = out[right_value].astype(rv_dtype)
         return out[[by, on, right_value]]
 
     return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

@@ -218,12 +218,17 @@ def pyramid_build(tiles_ds, levels: int):
         pc, pr = int(first["tile_col"]) >> 1, int(first["tile_row"]) >> 1
         tcols, trows = int(first["cols"]), int(first["rows"])
         acc = np.full((int(first["band_count"]), trows, tcols), nd, dtype=ct.np_dtype)
-        xmin = min(r["xmin"] for r in rows)
-        ymin = min(r["ymin"] for r in rows)
-        xmax = max(r["xmax"] for r in rows)
-        ymax = max(r["ymax"] for r in rows)
-        # parent extent = union of present children (full 2x2 in the interior)
-        ext = Extent(xmin, ymin, xmax, ymax)
+        # parent extent derived from the layout key, NOT the union of present
+        # children: with missing children (ragged edges) the union would no
+        # longer match the full-size pixel grid the quadrants are placed into.
+        # Any child fixes the parent frame via its tile parity: child width w,
+        # parent spans [child_xmin - (col%2)*w, +2w] x [child_ymax + (row%2)*h
+        # downward 2h] (rows grow downward).
+        w = first["xmax"] - first["xmin"]
+        h = first["ymax"] - first["ymin"]
+        pxmin = first["xmin"] - (int(first["tile_col"]) % 2) * w
+        pymax = first["ymax"] + (int(first["tile_row"]) % 2) * h
+        ext = Extent(pxmin, pymax - 2.0 * h, pxmin + 2.0 * w, pymax)
         half_c, half_r = tcols // 2, trows // 2
         for row in rows:
             px = tile_pixels(row)[:, ::2, ::2]  # 2x nearest downsample

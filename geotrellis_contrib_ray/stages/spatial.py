@@ -151,13 +151,16 @@ class KnnPartial:
         qy = self.queries[:, 1][:, None]
         d = np.sqrt((lon[None, :] - qx) * (lon[None, :] - qx) + (lat[None, :] - qy) * (lat[None, :] - qy))
         k = min(self.k, d.shape[1])
-        # lexicographic (dist, id) partial selection per query row
-        part = np.argpartition(d, k - 1, axis=1)[:, :k] if d.shape[1] > k else np.tile(
-            np.arange(d.shape[1]), (len(self.qids), 1)
-        )
         out_q, out_id, out_d = [], [], []
         for qi in range(len(self.qids)):
-            cand = part[qi]
+            if d.shape[1] > k:
+                # keep ALL rows tied at the kth distance so the (dist, id)
+                # tie-break matches the SQL oracle's ORDER BY dist, doc_id
+                # (the integer-lattice geocode makes exact double ties real)
+                kth = np.partition(d[qi], k - 1)[k - 1]
+                cand = np.nonzero(d[qi] <= kth)[0]
+            else:
+                cand = np.arange(d.shape[1])
             dd = d[qi, cand]
             order = np.lexsort((ids[cand], dd))[:k]
             sel = cand[order]

@@ -107,12 +107,22 @@ class GridPointIndex:
         return self.sorted_idx[self.offsets[b] : self.offsets[b + 1]]
 
     def nearest_k(self, qx: float, qy: float, k: int):
-        """Expanding-ring search; exact (dist, id)-ordered top-k."""
+        """Expanding-ring search; exact (dist, id)-ordered top-k.
+
+        Termination: rings expand until the minimum possible distance from
+        the query to the nearest UN-searched cell boundary strictly exceeds
+        the current kth-best candidate distance.  (A fixed "+1 extra ring"
+        is NOT sufficient: after ring r the kth-best can sit at
+        ~sqrt(2)*(r+1)*cell while ring r+2 points start at (r+1)*cell.)
+        The strict `<` keeps exact-distance ties searchable so the (dist, id)
+        tie-break sees every tied candidate."""
         cbx = int(np.clip((qx - self.xmin) / self.dx, 0, self.nx - 1))
         cby = int(np.clip((qy - self.ymin) / self.dy, 0, self.ny - 1))
         found: list[np.ndarray] = []
+        have = 0
         ring = 0
         max_ring = max(self.nx, self.ny)
+        kth_best = np.inf
         while ring <= max_ring:
             members = []
             for bx in range(max(0, cbx - ring), min(self.nx, cbx + ring + 1)):
@@ -120,19 +130,30 @@ class GridPointIndex:
                     if max(abs(bx - cbx), abs(by - cby)) == ring:
                         members.append(self._bucket_members(bx, by))
             if members:
-                found.append(np.concatenate(members))
-            have = int(sum(len(f) for f in found))
+                ring_members = np.concatenate(members)
+                if len(ring_members):
+                    found.append(ring_members)
+                    have += len(ring_members)
             if have >= k:
-                # one extra ring guarantees correctness (candidates in ring r+1
-                # can be closer than the farthest in-ring candidate)
-                members = []
-                r2 = ring + 1
-                for bx in range(max(0, cbx - r2), min(self.nx, cbx + r2 + 1)):
-                    for by in range(max(0, cby - r2), min(self.ny, cby + r2 + 1)):
-                        if max(abs(bx - cbx), abs(by - cby)) == r2:
-                            members.append(self._bucket_members(bx, by))
-                if members:
-                    found.append(np.concatenate(members))
+                cand = np.concatenate(found)
+                d = np.sqrt((self.xs[cand] - qx) ** 2 + (self.ys[cand] - qy) ** 2)
+                kth_best = np.partition(d, k - 1)[k - 1] if len(d) > k else d.max()
+            # distance from q to the nearest boundary of un-searched cells:
+            # the searched region after this ring is the rectangle
+            # [cbx-ring, cbx+ring] x [cby-ring, cby+ring] in cell coords,
+            # clipped to the grid (clipped sides have nothing beyond them).
+            margins = []
+            if cbx - ring > 0:
+                margins.append(qx - (self.xmin + (cbx - ring) * self.dx))
+            if cbx + ring < self.nx - 1:
+                margins.append((self.xmin + (cbx + ring + 1) * self.dx) - qx)
+            if cby - ring > 0:
+                margins.append(qy - (self.ymin + (cby - ring) * self.dy))
+            if cby + ring < self.ny - 1:
+                margins.append((self.ymin + (cby + ring + 1) * self.dy) - qy)
+            if not margins:
+                break  # whole grid searched
+            if kth_best < min(margins):
                 break
             ring += 1
         if not found:

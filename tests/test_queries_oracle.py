@@ -42,6 +42,10 @@ def _to_pandas(res) -> pd.DataFrame:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical column order + sort.  Deliberately does NOT coerce float to
+    int (or vice versa): the external driver hashes values dtype-sensitively,
+    so an int64 column that comes back float64 must FAIL here too.  Only
+    width/signedness within the integer family is normalized."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
@@ -71,6 +75,11 @@ def test_query_matches_oracle(ray_session, name):
     assert list(got.columns) == list(exp.columns), f"{name}: columns {got.columns} vs {exp.columns}"
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
     for c in got.columns:
+        # dtype-kind parity is part of the driver's hash check: an int64
+        # oracle column vs a float64 Ray column is a FAIL even if values match
+        assert np.issubdtype(got[c].dtype, np.floating) == np.issubdtype(
+            exp[c].dtype, np.floating
+        ), f"{name}: column {c} dtype kind {got[c].dtype} vs oracle {exp[c].dtype}"
         if np.issubdtype(got[c].dtype, np.floating):
             assert np.allclose(got[c], exp[c].astype(np.float64), rtol=0, atol=0), (
                 f"{name}: column {c} differs (exact float compare)"

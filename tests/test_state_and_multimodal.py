@@ -52,6 +52,56 @@ def test_point_index_knn_matches_bruteforce():
         assert np.allclose(got_d, d[order])
 
 
+def test_point_index_ring_termination_adversarial():
+    """Regression: the old 'one extra ring' stop rule returned a wrong
+    neighbor when the true nearest sat two+ rings beyond the first candidate
+    (kth-best ~ sqrt(2)*(r+1)*cell vs ring r+2 starting at (r+1)*cell)."""
+    # 20x20 unit cells; query near cell (10,10)'s far corner.  A is found at
+    # ring 3 (dist 4.243); the true nearest B is in ring 5 (dist 4.10).
+    xs = np.array([0.0, 20.0, 13.95, 15.05])
+    ys = np.array([0.0, 20.0, 13.95, 10.95])
+    ids = np.array([0, 1, 2, 3])
+    idx = GridPointIndex(ids, xs, ys, nx=20, ny=20)
+    got_ids, got_d = idx.nearest_k(10.95, 10.95, 1)
+    assert got_ids.tolist() == [3]
+    assert np.isclose(got_d[0], np.sqrt((15.05 - 10.95) ** 2))
+
+
+def test_point_index_knn_random_stress():
+    """nearest_k == brute force on random clustered data, many queries."""
+    rng = np.random.default_rng(11)
+    # clustered (non-uniform) so some rings are empty and others dense
+    centers = rng.uniform(0, 100, (20, 2))
+    pts = (centers[rng.integers(0, 20, 5000)] + rng.normal(0, 2.0, (5000, 2)))
+    ids = np.arange(5000)
+    idx = GridPointIndex(ids, pts[:, 0], pts[:, 1], nx=64, ny=64)
+    for _ in range(50):
+        qx, qy = rng.uniform(-5, 105, 2)
+        got_ids, got_d = idx.nearest_k(qx, qy, 7)
+        d = np.sqrt((pts[:, 0] - qx) ** 2 + (pts[:, 1] - qy) ** 2)
+        order = np.lexsort((ids, d))[:7]
+        assert got_ids.tolist() == ids[order].tolist(), (qx, qy)
+
+
+def test_embedding_matrix_sliced_and_ragged():
+    """Regression: _embedding_matrix must honor list-array slice offsets and
+    reject ragged rows instead of silently misaligning vectors."""
+    from geotrellis_contrib_ray.stages.ann import _embedding_matrix
+
+    arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    sliced = arr.slice(1, 2)
+    m = _embedding_matrix(sliced)
+    assert m.tolist() == [[3.0, 4.0], [5.0, 6.0]]
+    ragged = pa.array([[1.0, 2.0], [3.0]])
+    with pytest.raises(ValueError):
+        _embedding_matrix(ragged)
+    withnull = pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError):
+        _embedding_matrix(withnull)
+    fixed = pa.FixedSizeListArray.from_arrays(pa.array([1.0, 2.0, 3.0, 4.0]), 2)
+    assert _embedding_matrix(fixed).tolist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
 def test_pip_join_indexed_matches_broadcast(ray_session):
     import ray.data as rd
 
