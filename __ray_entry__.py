@@ -286,8 +286,14 @@ def q_orders_by_segment(sf_dir: str):
             )
             return g.rename_columns(["c_mktsegment", "ps", "pc"])
 
+    from geotrellis_contrib_ray.util import default_pool_size
+
     part = ds.map_batches(
-        JoinSegment, batch_format="pyarrow", zero_copy_batch=True, batch_size=None, concurrency=2
+        JoinSegment,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=default_pool_size(),
     )
     return part.groupby("c_mktsegment").aggregate(
         Sum("ps", alias_name="sum_total_cents"), Sum("pc", alias_name="n_orders")
@@ -317,7 +323,7 @@ def q_pip_zones_indexed(sf_dir: str):
     ring = np.array(list(verts) + [verts[0]], dtype=np.float64)
     polys.append((cname, ring))
     ds = _docs_points(sf_dir, columns=("doc_id",))
-    return pip_join_indexed(ds, polys, concurrency=2)
+    return pip_join_indexed(ds, polys)
 
 
 def q_zone_anti_join(sf_dir: str):
@@ -482,13 +488,15 @@ def q_quality_scores(sf_dir: str):
     """Actor-pool quality scoring (regex state per actor; rows-only check)."""
     from geotrellis_contrib_ray.stages import text as textmod
 
+    from geotrellis_contrib_ray.util import default_pool_size
+
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(
         textmod.QualityScorer,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=2,
+        concurrency=default_pool_size(),
     )
     return ds.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality", "n_bpe_tokens"])
 
@@ -543,7 +551,7 @@ def q_raster_pyramid(sf_dir: str):
 
     grid = GridExtent(Extent(630000.0, 215000.0, 645000.0, 228500.0), 10.0, 10.0, 1500, 1350)
     layout = LayoutDefinition.floating(grid, 256)
-    tiles = rst.tile_dataset([SyntheticRasterSource(grid)], layout, concurrency=2)
+    tiles = rst.tile_dataset([SyntheticRasterSource(grid)], layout)
     level1 = rst.pyramid_build(tiles, 1)[1]
 
     def summarize(b: pa.Table) -> pa.Table:

@@ -79,15 +79,18 @@ class CosineTopK:
         )
 
 
-def ann_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id", batch_size=65536):
+def ann_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id", batch_size=65536,
+             concurrency: int | None = None):
     """Brute-force cosine top-k: map_batches partial -> groupby(query) final."""
+    from ..util import default_pool_size
+
     partial = ds.map_batches(
         CosineTopK,
         fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=2,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
     )
 
     def finalize(g):

@@ -141,18 +141,20 @@ class MinHashLSH:
         )
 
 
-def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=2):
+def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=None):
     """Near-dup candidate pairs via LSH banding: actor-pool signature stage ->
     groupby(band) -> per-bucket pair emission (buckets are tiny) -> distinct.
 
     Output: id1 < id2 candidate pairs (verify Jaccard downstream)."""
+    from ..util import default_pool_size
+
     banded = ds.map_batches(
         MinHashLSH,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
     )
 
     def pairs(g):

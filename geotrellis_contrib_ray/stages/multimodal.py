@@ -145,23 +145,27 @@ class AudioFrameSampler:
         )
 
 
-def extract_image_features(ds, *, concurrency=2, batch_size=256):
+def extract_image_features(ds, *, concurrency=None, batch_size=256):
     """Feature-extraction pipeline stage: small batches (wide binary rows),
     actor pool holding the decoder."""
+    from ..util import default_pool_size
+
     return ds.map_batches(
         ImageFeatureExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
     )
 
 
-def sample_audio_frames(ds, *, concurrency=2, batch_size=256):
+def sample_audio_frames(ds, *, concurrency=None, batch_size=256):
+    from ..util import default_pool_size
+
     return ds.map_batches(
         AudioFrameSampler,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
     )

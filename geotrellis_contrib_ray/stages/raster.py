@@ -96,13 +96,17 @@ class WindowReader:
         return pa.Table.from_pylist(out, schema=TILE_SCHEMA)
 
 
-def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concurrency=4, bands=None):
+def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concurrency=None, bands=None):
     """RasterSourceRDD.read analog (CHANGELOG.md:71,85): enumerate layout keys
     intersecting each source (row-major, J4), fan the (src, key) request table
     through a WindowReader actor pool -> tile-row Dataset."""
     import ray
     import ray.data as rd
 
+    from ..util import default_pool_size
+
+    if concurrency is None:
+        concurrency = default_pool_size()
     reqs = {"src_id": [], "tile_col": [], "tile_row": []}
     for sid, s in enumerate(sources):
         for c, r in layout.keys_for_extent(s.extent):

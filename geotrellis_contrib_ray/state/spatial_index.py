@@ -239,16 +239,18 @@ class KnnIndexPartial:
         )
 
 
-def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=2):
+def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=None):
     """kNN via per-partition point indexes (ST5) — identical results to the
     brute-force path, sub-linear probe cost per query."""
+    from ..util import default_pool_size
+
     partial = ds.map_batches(
         KnnIndexPartial,
         fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
     )
 
     def finalize(g):
@@ -257,11 +259,13 @@ def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=2):
     return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
 
 
-def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc_id",), concurrency=4):
+def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc_id",), concurrency=None):
     """J1 at scale: PIP semi-join via the actor-held polygon index.  The
     polygon side is ray.put ONCE and read per actor — never re-shipped per
     batch, never shuffled."""
     import ray
+
+    from ..util import default_pool_size
 
     ref = ray.put([(n, np.asarray(r).tolist()) for n, r in polygons])
     return ds.map_batches(
@@ -270,5 +274,5 @@ def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
     )

@@ -1,0 +1,32 @@
+"""Cluster-aware sizing helpers shared by every actor-pool stage.
+
+Hardcoded ``concurrency=2`` is right for the 4-CPU test fixture but starves
+32-CPU (and 256-node) runs; pool sizes here derive from the live cluster
+resources with a small floor and a cap, keeping the invariant that a pool
+never claims all CPUs (an actor pool with concurrency >= num_cpus starves
+the rest of the pipeline — CLAUDE.md environment note).
+"""
+
+from __future__ import annotations
+
+
+def cluster_cpus(default: int = 4) -> int:
+    """Total cluster CPUs (the driver's view); ``default`` when Ray is not
+    initialised yet (pure unit-test contexts)."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return default
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
+def default_pool_size(cap: int = 16, floor: int = 2) -> int:
+    """Actor-pool concurrency: half the cluster CPUs, bounded to [floor, cap].
+
+    4-CPU test fixture -> 2 (matches the documented starvation limit);
+    32-CPU bench node -> 16; a 256-node cluster caps at ``cap`` per stage —
+    callers with several concurrent pools pass a smaller cap."""
+    return max(floor, min(cap, cluster_cpus() // 2))
