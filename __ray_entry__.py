@@ -475,13 +475,15 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via LSH buckets + exact rerank
-    (rows-only; the synthetic embeddings are near-orthogonal, so the
-    'near-dup' threshold is set at the top of their cosine distribution)."""
+    """Embedding-cosine near-dup pairs via multi-band LSH buckets + exact
+    rerank (rows-only; the synthetic embeddings are near-orthogonal, so the
+    'near-dup' threshold is set at the top of their cosine distribution and
+    the banded-LSH recall at that loose threshold is partial by design —
+    planted-duplicate recall is asserted in tests/test_dedup.py)."""
     from geotrellis_contrib_ray.stages import dedup
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return dedup.embedding_neardup_pairs(ds, threshold=0.3, n_planes=4)
+    return dedup.embedding_neardup_pairs(ds, threshold=0.3, n_planes=6, n_bands=6)
 
 
 def q_quality_scores(sf_dir: str):

@@ -7,9 +7,24 @@ groups with groupby; never move document bodies through the shuffle.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_log = logging.getLogger("geotrellis_contrib_ray.dedup")
+
+# over-cap LSH buckets are skipped, but never silently: the drop is logged
+# with its size so truncated coverage is visible in worker logs/metrics
+def _log_bucket_drop(kind: str, size: int, cap: int) -> None:
+    _log.warning(
+        "%s: dropping candidate bucket of %d members (cap %d) — its pairs are NOT emitted",
+        kind,
+        size,
+        cap,
+    )
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -17,26 +32,48 @@ import pyarrow.compute as pc
 
 
 def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact duplicate groups: hash-partition on the text, per-group first id
-    + count.  Partial per-batch aggregation collapses in-batch duplicates
-    before the shuffle; the shuffled payload is (text, min_id, cnt).
+    """Exact duplicate groups: hash-partition on a 64-bit content FINGERPRINT
+    (not the text itself) — the shuffle key is 8 bytes/group at any corpus
+    size.  Per-batch partial aggregation collapses in-batch duplicates before
+    the shuffle; one exemplar text per group rides along for the output and
+    a min/max pair detects (and refuses) fingerprint collisions.
 
     Output: text, first_doc (min id), n_copies.
     SQL twin: SELECT text, min(doc_id) first_doc, count(*) n_copies GROUP BY text.
     """
+    from .text import add_fingerprint
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.select([text_col, id_col]).group_by(text_col, use_threads=False).aggregate(
-            [(id_col, "min"), (id_col, "count")]
+        batch = add_fingerprint(batch)
+        g = (
+            batch.select(["fingerprint", text_col, id_col])
+            .group_by("fingerprint", use_threads=False)
+            .aggregate(
+                [(id_col, "min"), (id_col, "count"), (text_col, "min"), (text_col, "max")]
+            )
         )
-        return g.rename_columns([text_col, "pmin", "pcnt"])
+        return g.rename_columns(["fingerprint", "pmin", "pcnt", "ptmin", "ptmax"])
 
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-    return part.groupby(text_col).aggregate(
-        Min("pmin", alias_name="first_doc"), Sum("pcnt", alias_name="n_copies")
+    agg = part.groupby("fingerprint").aggregate(
+        Min("pmin", alias_name="first_doc"),
+        Sum("pcnt", alias_name="n_copies"),
+        Min("ptmin", alias_name=text_col),
+        Max("ptmax", alias_name="_tmax"),
     )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        neq = pc.not_equal(b[text_col], b["_tmax"])
+        if len(b) and pc.any(neq).as_py():
+            raise ValueError(
+                "fingerprint collision: two distinct texts share a 64-bit "
+                "fingerprint — widen the fingerprint (128-bit) for this corpus"
+            )
+        return b.select([text_col, "first_doc", "n_copies"])
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def exact_dedup_keep_first(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -161,7 +198,10 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=
         import pandas as pd
 
         ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # skip degenerate giant buckets
+        if len(ids) < 2:
+            return pd.DataFrame({"id1": [], "id2": []})
+        if len(ids) > 1000:  # degenerate giant bucket: skip, but LOUDLY
+            _log_bucket_drop("minhash_candidate_pairs", len(ids), 1000)
             return pd.DataFrame({"id1": [], "id2": []})
         ii, jj = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id1": ids[ii], "id2": ids[jj]})
@@ -261,6 +301,8 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4):
         ids = g["doc_id"].to_numpy()[order]
         sh = g["simhash"].to_numpy()[order].astype(np.uint64)
         if len(ids) < 2 or len(ids) > 1000:
+            if len(ids) > 1000:
+                _log_bucket_drop("simhash_candidate_pairs", len(ids), 1000)
             return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
                                  "id2": pd.Series([], dtype=np.int64),
                                  "hamming": pd.Series([], dtype=np.int64)})
@@ -287,59 +329,161 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4):
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
                         num_perm: int = 64, bands: int = 16):
-    """n-gram Jaccard near-dup: MinHash-LSH candidates -> exact Jaccard
-    verify inside the join stage (texts re-read via broadcast dict built from
-    the candidates' ids — at corpus scale this is a bucketed join instead).
-    Output: id1 < id2, jaccard >= threshold (exact, float64)."""
-    import ray
+    """n-gram Jaccard near-dup: MinHash-LSH candidates -> texts re-attached
+    via a hash-partitioned SHUFFLE JOIN on doc_id (no driver-side corpus
+    materialization, no ray.put of the text column) -> exact Jaccard per
+    candidate pair.
+
+    Scale shape: the candidate side is tiny (near-dup pairs), the text side
+    streams through a hash-partitioned join once; the inner join IS the
+    semi-join that drops non-candidate texts.  (At 100 TB a bloom-filter
+    pushdown on doc_id would additionally prune before the shuffle.)  The
+    bucketed tier is used rather than Dataset.join because this join sits
+    mid-pipeline between two other shuffles — the groupby-based bucket join
+    shares the sort-shuffle machinery instead of spawning a separate
+    aggregator-actor pool that competes for CPUs with the up/downstream
+    stages.  Output: id1 < id2, jaccard >= threshold (exact, float64)."""
+    from .joins import bucketed_hash_join
 
     cand = minhash_candidate_pairs(ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k)
-    texts_ref = ray.put(
-        {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
-    )
 
-    def verify(b: pa.Table) -> pa.Table:
-        import ray as _ray
+    # explode each candidate pair into two (doc_id, id1, id2, slot) probe rows
+    def explode(b: pa.Table) -> pa.Table:
+        id1 = b["id1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        id2 = b["id2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(id1)
+        return pa.table(
+            {
+                "doc_id": np.concatenate([id1, id2]),
+                "id1": np.concatenate([id1, id1]),
+                "id2": np.concatenate([id2, id2]),
+                "slot": np.concatenate(
+                    [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                ),
+            }
+        )
 
-        texts = _ray.get(texts_ref)
-        id1 = b["id1"].to_numpy(zero_copy_only=False)
-        id2 = b["id2"].to_numpy(zero_copy_only=False)
-        jac = np.empty(len(id1))
-        for i, (a, c) in enumerate(zip(id1, id2)):
-            ta, tc = texts[int(a)], texts[int(c)]
-            sa = {ta[j : j + shingle_k] for j in range(max(0, len(ta) - shingle_k + 1))}
-            sc = {tc[j : j + shingle_k] for j in range(max(0, len(tc) - shingle_k + 1))}
-            jac[i] = len(sa & sc) / max(1, len(sa | sc))
-        t = pa.table({"id1": id1, "id2": id2, "jaccard": jac})
-        return t.filter(pa.array(jac >= threshold))
+    probes = cand.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    texts = ds.select_columns(["doc_id", "text"])
+    attached = bucketed_hash_join(probes, texts, on="doc_id")
 
-    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    def jac(g):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id1": pd.Series([], dtype=np.int64),
+                "id2": pd.Series([], dtype=np.int64),
+                "jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+        t0 = g[g["slot"] == 0]["text"]
+        t1 = g[g["slot"] == 1]["text"]
+        if len(t0) == 0 or len(t1) == 0:
+            return empty
+        ta, tc = t0.iloc[0], t1.iloc[0]
+        sa = {ta[j : j + shingle_k] for j in range(max(0, len(ta) - shingle_k + 1))}
+        sc = {tc[j : j + shingle_k] for j in range(max(0, len(tc) - shingle_k + 1))}
+        j = len(sa & sc) / max(1, len(sa | sc))
+        if j < threshold:
+            return empty
+        return pd.DataFrame(
+            {
+                "id1": [np.int64(g["id1"].iloc[0])],
+                "id2": [np.int64(g["id2"].iloc[0])],
+                "jaccard": [np.float64(j)],
+            }
+        )
+
+    return attached.groupby(["id1", "id2"]).map_groups(jac, batch_format="pandas")
 
 
-def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", n_planes: int = 8):
-    """Embedding-cosine near-dup: hyperplane-LSH buckets -> within-bucket
-    exact cosine (float64) -> pairs above threshold.  Output: id1 < id2,
-    cosine."""
-    from .ann import HyperplaneLSH, _embedding_matrix
+class MultiBandHyperplaneLSH:
+    """Actor-pool stage: banded random-hyperplane signatures — ``n_bands``
+    independent hash tables of ``n_planes`` planes each (2^n_planes buckets
+    per band).  A near-dup pair collides in >=1 band with high probability;
+    each band's bucket space is 2^n_planes (>= 2^12 by default), so no bucket
+    holds a constant fraction of the corpus the way a single-table 2^4 layout
+    did.  Plane matrices are seed-fixed and built once per actor on the first
+    batch (dimension comes from the data)."""
 
-    def bucketize(batch: pa.Table) -> pa.Table:
+    def __init__(self, n_planes: int = 12, n_bands: int = 4, seed: int = 42):
+        self.n_planes = n_planes
+        self.n_bands = n_bands
+        self.seed = seed
+        self._planes: list[np.ndarray] | None = None
+
+    def _ensure_planes(self, dim: int):
+        if self._planes is None:
+            rng = np.random.default_rng(self.seed)
+            self._planes = [
+                rng.standard_normal((dim, self.n_planes)) for _ in range(self.n_bands)
+            ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import _embedding_matrix
+
         emb = _embedding_matrix(batch["embedding"])
-        lsh = HyperplaneLSH(emb.shape[1], n_planes=n_planes)
-        return batch.append_column("bucket", pa.array(lsh.bucket(emb)))
+        if emb.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "embedding": batch["embedding"],
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        self._ensure_planes(emb.shape[1])
+        weights = 1 << np.arange(self.n_planes, dtype=np.int64)
+        outs = []
+        for b, planes in enumerate(self._planes):
+            bucket = ((emb @ planes) > 0).astype(np.int64) @ weights
+            outs.append(
+                pa.table(
+                    {
+                        "vec_id": batch["vec_id"],
+                        "embedding": batch["embedding"],
+                        "band": pa.array(np.full(len(batch), b, dtype=np.int32)),
+                        "bucket": pa.array(bucket),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                            n_planes: int = 12, n_bands: int = 4, max_bucket: int = 2000):
+    """Embedding-cosine near-dup: multi-band hyperplane LSH (n_bands tables x
+    2^n_planes buckets) -> within-(band,bucket) exact cosine (float64) ->
+    distinct pairs above threshold (max cosine across bands).
+
+    Over-cap buckets are skipped with a LOGGED drop (never silent); shuffle
+    payload is n_bands copies of (id, embedding, band, bucket).
+    Output: id1 < id2, cosine."""
+    from ..util import default_pool_size
+
+    bucketed = ds.map_batches(
+        MultiBandHyperplaneLSH,
+        fn_constructor_kwargs={"n_planes": n_planes, "n_bands": n_bands},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=default_pool_size(),
+    )
 
     def pairs(g):
         import pandas as pd
 
         ids = g[id_col].to_numpy()
-        emb = np.stack(g["embedding"].to_numpy())
         order = np.argsort(ids)
-        ids, emb = ids[order], emb[order].astype(np.float64)
-        if len(ids) < 2 or len(ids) > 2000:
+        ids = ids[order]
+        if len(ids) < 2 or len(ids) > max_bucket:
+            if len(ids) > max_bucket:
+                _log_bucket_drop("embedding_neardup_pairs", len(ids), max_bucket)
             return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
                                  "id2": pd.Series([], dtype=np.int64),
                                  "cosine": pd.Series([], dtype=np.float64)})
+        emb = np.stack(g["embedding"].to_numpy())[order].astype(np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (emb / norms) @ (emb / norms).T
@@ -349,7 +493,20 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
                              "id2": ids[jj][keep].astype(np.int64),
                              "cosine": sims[ii, jj][keep]})
 
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+
+    # distinct across bands: a true pair can collide in several bands
+    from ray.data.aggregate import Max
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["id1", "id2"], use_threads=False).aggregate([("cosine", "max")])
+        return g.rename_columns(["id1", "id2", "cosine"])
+
+    return (
+        cand.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby(["id1", "id2"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

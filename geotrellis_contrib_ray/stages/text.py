@@ -100,18 +100,22 @@ def add_lang_guess(batch: pa.Table) -> pa.Table:
 
 def add_fingerprint(batch: pa.Table) -> pa.Table:
     """Rolling/content hash fingerprint per document (xxhash-style mix over
-    the utf8 bytes, vectorized via numpy on the shared buffer)."""
+    the utf8 bytes, vectorized via numpy on the shared buffer).
+
+    Emitted as int64 (the uint64 hash bit-viewed): values above 2^63 as
+    uint64 overflow Ray's arrow<->python round-trips in shuffle stages
+    ("Python int too large to convert to C long" -> pickled-object blocks)."""
     texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
     texts = texts.cast(pa.string())
     n = len(texts)
     if n == 0:
-        return batch.append_column("fingerprint", pa.array([], pa.uint64()))
+        return batch.append_column("fingerprint", pa.array([], pa.int64()))
     off_buf = texts.buffers()[1]
     offs = np.frombuffer(off_buf, dtype=np.int32)[texts.offset : texts.offset + n + 1].astype(np.int64)
     data_buf = texts.buffers()[2]
     data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.zeros(0, np.uint8)
-    fp = _segment_hash(data, offs)
-    return batch.append_column("fingerprint", pa.array(fp, pa.uint64()))
+    fp = _segment_hash(data, offs).view(np.int64)
+    return batch.append_column("fingerprint", pa.array(fp, pa.int64()))
 
 
 def _segment_hash(data: np.ndarray, offs: np.ndarray) -> np.ndarray:

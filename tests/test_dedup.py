@@ -1,0 +1,126 @@
+"""Dedup-family planted-duplicates fixtures: exact groups, MinHash/SimHash/
+n-gram-Jaccard candidate recall, embedding-cosine near-dup recall.
+
+The planted pairs are REAL near-duplicates (small edits / tiny vector noise),
+so banded LSH must recall them with high probability at fixed seeds; the
+sketch parameters are the library defaults."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geotrellis_contrib_ray.stages import dedup
+
+
+def _mk_texts(n_base=60, seed=3):
+    """Base texts + a near-dup variant for every 3rd one (one word changed)."""
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november"]
+    texts, planted = [], []
+    for i in range(n_base):
+        ws = [words[j] for j in rng.integers(0, len(words), 30)]
+        texts.append(" ".join(ws))
+        if i % 3 == 0:
+            dup = list(ws)
+            dup[15] = "changed"
+            planted.append((len(texts) - 1, len(texts)))
+            texts.append(" ".join(dup))
+    ids = np.arange(len(texts), dtype=np.int64)
+    return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())}), planted
+
+
+def test_exact_dedup_groups_fingerprint_keyed(ray_session):
+    import ray.data as rd
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa", ""]
+    t = pa.table({"doc_id": np.arange(7, dtype=np.int64), "text": pa.array(texts, pa.string())})
+    out = (
+        dedup.exact_dedup_groups(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    exp = (
+        t.to_pandas()
+        .groupby("text", as_index=False)
+        .agg(first_doc=("doc_id", "min"), n_copies=("doc_id", "count"))
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == exp["text"].tolist()
+    assert out["first_doc"].astype(np.int64).tolist() == exp["first_doc"].tolist()
+    assert out["n_copies"].astype(np.int64).tolist() == exp["n_copies"].tolist()
+
+
+def test_minhash_planted_recall(ray_session):
+    import ray.data as rd
+
+    t, planted = _mk_texts()
+    pairs = dedup.minhash_candidate_pairs(rd.from_arrow(t)).to_pandas()
+    got = set(zip(pairs["id1"].astype(int), pairs["id2"].astype(int)))
+    hit = sum(1 for p in planted if p in got)
+    # one-word-changed 30-word docs have Jaccard ~0.9; 16 bands x 4 rows
+    # recall them essentially always
+    assert hit / len(planted) >= 0.9, (hit, len(planted))
+
+
+def test_ngram_jaccard_pairs_dataflow(ray_session):
+    """The shuffle-join text re-attach must produce exact Jaccard values
+    matching a driver-side python oracle (no broadcast corpus dict)."""
+    import ray.data as rd
+
+    t, planted = _mk_texts(n_base=30)
+    out = dedup.ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5).to_pandas()
+    texts = t["text"].to_pylist()
+
+    def jac(a, b, k=5):
+        sa = {a[i: i + k] for i in range(max(0, len(a) - k + 1))}
+        sb = {b[i: i + k] for i in range(max(0, len(b) - k + 1))}
+        return len(sa & sb) / max(1, len(sa | sb))
+
+    got = {(int(r.id1), int(r.id2)): r.jaccard for r in out.itertuples()}
+    hit = sum(1 for p in planted if p in got)
+    assert hit / len(planted) >= 0.9, (hit, len(planted))
+    for (i, j), v in got.items():
+        assert np.isclose(v, jac(texts[i], texts[j])), (i, j)
+        assert v >= 0.5
+
+
+def test_simhash_planted_recall(ray_session):
+    import ray.data as rd
+
+    t, planted = _mk_texts()
+    pairs = dedup.simhash_candidate_pairs(rd.from_arrow(t), max_hamming=16).to_pandas()
+    got = set(zip(pairs["id1"].astype(int), pairs["id2"].astype(int)))
+    hit = sum(1 for p in planted if p in got)
+    assert hit / len(planted) >= 0.7, (hit, len(planted))
+
+
+def test_embedding_neardup_planted_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((80, 16))
+    vecs, planted = [], []
+    for i in range(80):
+        vecs.append(base[i])
+        if i % 4 == 0:
+            vecs.append(base[i] + rng.normal(0, 0.01, 16))  # cosine ~0.9999
+            planted.append((len(vecs) - 2, len(vecs) - 1))
+    vecs = np.asarray(vecs)
+    t = pa.table(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": pa.array(list(vecs.astype(np.float64))),
+        }
+    )
+    out = dedup.embedding_neardup_pairs(rd.from_arrow(t), threshold=0.99).to_pandas()
+    got = set(zip(out["id1"].astype(int), out["id2"].astype(int)))
+    hit = sum(1 for p in planted if p in got)
+    assert hit / len(planted) >= 0.9, (hit, len(planted))
+    # no false accepts below the exact-cosine threshold
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i, j in got:
+        assert float(norm[i] @ norm[j]) >= 0.99
