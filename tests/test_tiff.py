@@ -1,0 +1,160 @@
+"""Tiled-GeoTIFF codec: round-trip, windowed reads vs in-memory oracle,
+once-only lazy header parse, file-native overview routing, registry."""
+
+import numpy as np
+import pytest
+
+from geotrellis_contrib_ray.core.celltype import CellType
+from geotrellis_contrib_ray.core.grid import Extent, GridBounds, GridExtent
+from geotrellis_contrib_ray.sources.raster_source import InMemoryRasterSource
+from geotrellis_contrib_ray.sources.tiff import TiffRasterSource, write_tiff
+
+
+def _grid(cols=600, rows=500, cell=10.0):
+    return GridExtent(
+        Extent(630000.0, 215000.0, 630000.0 + cols * cell, 215000.0 + rows * cell),
+        cell, cell, cols, rows,
+    )
+
+
+def _pixels(grid, bands=1, dtype=np.int16):
+    cgrid = np.arange(grid.rows, dtype=np.int64)[:, None] * grid.cols + np.arange(grid.cols)
+    return np.stack([((cgrid + b) % (1 << 15)).astype(dtype) for b in range(bands)])
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+def test_roundtrip_windowed_reads(tmp_path, compression):
+    grid = _grid()
+    px = _pixels(grid)
+    ct = CellType("int16", -32768.0)
+    path = str(tmp_path / f"t_{compression}.tif")
+    write_tiff(path, px, grid, cell_type=ct, compression=compression)
+    src = TiffRasterSource(path)
+    mem = InMemoryRasterSource(px, grid, "EPSG:4326", ct)
+
+    assert src.dimensions == (600, 500)
+    assert src.cell_type == ct
+    assert src.crs == "EPSG:4326"
+    assert src.band_count == 1
+
+    windows = [
+        GridBounds(0, 0, 255, 255),          # aligned tile
+        GridBounds(100, 50, 400, 300),       # crosses 4 tiles, unaligned
+        GridBounds(500, 400, 599, 499),      # edge (padded) tiles
+        GridBounds(590, 490, 700, 600),      # clipped past the edge
+    ]
+    for gb in windows:
+        got = src.read_bounds(gb)
+        exp = mem.read_bounds(gb)
+        assert got.extent == exp.extent
+        np.testing.assert_array_equal(got.pixels, exp.pixels)
+
+    # empty intersection -> None (T7)
+    assert src.read_bounds(GridBounds(700, 600, 800, 700)) is None
+
+
+def test_header_parsed_once_and_lazy(tmp_path):
+    grid = _grid(300, 300)
+    path = str(tmp_path / "lazy.tif")
+    write_tiff(path, _pixels(grid), grid)
+    src = TiffRasterSource(path)
+    assert src.parse_count == 0  # nothing read yet (lazy)
+    src.read(src.extent)
+    src.read_bounds(GridBounds(0, 0, 99, 99))
+    _ = src.cell_type, src.resolutions, src.attributes
+    assert src.parse_count == 1  # memoized across reads + metadata
+
+
+def test_multiband_float_nodata_roundtrip(tmp_path):
+    grid = _grid(200, 150, 5.0)
+    px = np.stack([
+        np.linspace(0, 1, 200 * 150, dtype=np.float32).reshape(150, 200),
+        np.linspace(1, 2, 200 * 150, dtype=np.float32).reshape(150, 200),
+        np.linspace(2, 3, 200 * 150, dtype=np.float32).reshape(150, 200),
+    ])
+    ct = CellType("float32", -9999.0)
+    path = str(tmp_path / "mb.tif")
+    write_tiff(path, px, grid, cell_type=ct, crs="EPSG:3857")
+    src = TiffRasterSource(path)
+    assert src.band_count == 3
+    assert src.crs == "EPSG:3857"
+    assert src.cell_type == ct
+    full = src.read()
+    np.testing.assert_array_equal(full.pixels, px)
+    # band selection
+    b2 = src.read_bounds(GridBounds(10, 10, 50, 40), bands=[2])
+    np.testing.assert_array_equal(b2.pixels[0], px[2, 10:41, 10:51])
+
+
+def test_file_native_overviews_and_routing(tmp_path):
+    grid = _grid(512, 512, 10.0)
+    px = _pixels(grid)
+    path = str(tmp_path / "ov.tif")
+    write_tiff(path, px, grid, overview_levels=(2, 4))
+    src = TiffRasterSource(path)
+    res = src.resolutions
+    assert len(res) == 3
+    assert [g.cols for g in res] == [512, 256, 128]
+    assert np.isclose(res[1].cellwidth, 20.0) and np.isclose(res[2].cellwidth, 40.0)
+
+    # overview_source picks the closest level <= requested cell size
+    ov = src.overview_source(res[2])
+    full = ov.read(src.extent)
+    np.testing.assert_array_equal(full.pixels, px[:, ::4, ::4])
+
+    # resample routes through the overview and matches the decimated values
+    target = GridExtent(grid.extent, 40.0, 40.0, 128, 128)
+    resampled = src.resample_to_grid(target).read(src.extent)
+    assert resampled.pixels.shape == (1, 128, 128)
+
+
+def test_registry_resolves_file_scheme(tmp_path):
+    from geotrellis_contrib_ray.sources.registry import source_for_uri
+
+    grid = _grid(100, 100)
+    path = str(tmp_path / "reg.tif")
+    write_tiff(path, _pixels(grid), grid)
+    import geotrellis_contrib_ray.sources.tiff  # noqa: F401  (registers "file")
+
+    src = source_for_uri(f"file://{path}")
+    assert isinstance(src, TiffRasterSource)
+    assert src.dimensions == (100, 100)
+
+
+def test_pickle_reopens_not_ships(tmp_path):
+    import pickle
+
+    grid = _grid(100, 100)
+    path = str(tmp_path / "pk.tif")
+    write_tiff(path, _pixels(grid), grid)
+    src = TiffRasterSource(path)
+    src.read(src.extent)  # force parse + cache
+    clone = pickle.loads(pickle.dumps(src))
+    assert clone.parse_count == 0  # not shipped parsed
+    np.testing.assert_array_equal(clone.read(clone.extent).pixels, src.read(src.extent).pixels)
+    assert len(pickle.dumps(src)) < 1000  # handle, not file body
+
+
+def test_tile_dataset_reads_tiff_windows(ray_session, tmp_path):
+    """WindowReader actor pool over a real TIFF: tile table byte-equal to the
+    in-memory source's tiles (S1 + ST1 end-to-end)."""
+    from geotrellis_contrib_ray.core.grid import LayoutDefinition
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid = _grid(600, 500)
+    px = _pixels(grid)
+    ct = CellType("int16", -32768.0)
+    path = str(tmp_path / "win.tif")
+    write_tiff(path, px, grid, cell_type=ct)
+    layout = LayoutDefinition.floating(grid, 256)
+
+    def tiles_of(source):
+        df = rst.tile_dataset([source], layout, concurrency=2).to_pandas()
+        return df.sort_values(["tile_col", "tile_row"]).reset_index(drop=True)
+
+    got = tiles_of(TiffRasterSource(path))
+    exp = tiles_of(InMemoryRasterSource(px, grid, "EPSG:4326", ct))
+    assert len(got) == len(exp) > 0
+    for c in ["tile_col", "tile_row", "cols", "rows", "xmin", "ymax"]:
+        assert got[c].tolist() == exp[c].tolist()
+    assert all(a == b for a, b in zip(got["pixels"], exp["pixels"]))
