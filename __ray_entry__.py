@@ -541,36 +541,110 @@ def q_asof_join(sf_dir: str):
     )
 
 
-def q_raster_pyramid(sf_dir: str):
-    """Raster tile pipeline (rows-only: no SQL twin for binary tiles):
-    synthetic raster -> layout tile table -> one pyramid level up; returns
-    tile keys + dims + per-tile pixel checksum (deterministic)."""
-    import pyarrow as pa
+def _raster_layout():
+    from geotrellis_contrib_ray.core.grid import LayoutDefinition
+    from geotrellis_contrib_ray.pipelines.query_defs import RASTER_TILE, raster_grid
 
-    from geotrellis_contrib_ray.core.grid import Extent, GridExtent, LayoutDefinition
+    grid = raster_grid()
+    return grid, LayoutDefinition.floating(grid, RASTER_TILE)
+
+
+_TIFF_CACHE = "/tmp/graft_raster_cache"
+
+
+def _raster_tiff_path() -> str:
+    """Deterministic synthetic GeoTIFF written once under /tmp (single-node
+    sandbox; on a cluster this is the shared-store raster the job reads)."""
+    import os
+
+    from geotrellis_contrib_ray.core.celltype import CellType
+    from geotrellis_contrib_ray.pipelines.query_defs import RASTER_COLS, RASTER_ROWS
+    from geotrellis_contrib_ray.sources.tiff import write_tiff
+
+    os.makedirs(_TIFF_CACHE, exist_ok=True)
+    path = f"{_TIFF_CACHE}/base_{RASTER_COLS}x{RASTER_ROWS}.tif"
+    if not os.path.exists(path):
+        grid, _ = _raster_layout()
+        cgrid = (
+            np.arange(RASTER_ROWS, dtype=np.int64)[:, None] * RASTER_COLS
+            + np.arange(RASTER_COLS, dtype=np.int64)
+        )
+        px = (cgrid % (1 << 15)).astype(np.int16)[None]
+        write_tiff(path, px, grid, cell_type=CellType("int16", -32768.0))
+    return path
+
+
+def q_raster_tile_read(sf_dir: str):
+    """S1/T7/T8 oracle: windowed tile reads of a REAL tiled GeoTIFF — tile
+    table from the WindowReader actor pool, per-tile pixel checksums match a
+    DuckDB generate_series reproduction of the synthetic formula."""
+    from geotrellis_contrib_ray.sources.tiff import TiffRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    _, layout = _raster_layout()
+    tiles = rst.tile_dataset([TiffRasterSource(_raster_tiff_path())], layout)
+    return rst.summarize_tiles(tiles, nodata_aware=False)
+
+
+def q_raster_convert(sf_dir: str):
+    """T6 oracle: cell-type conversion (int16 -> uint8 two's-complement wrap)
+    over the tile table; checksums of the converted pixels."""
+    from geotrellis_contrib_ray.core.celltype import CellType
     from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
     from geotrellis_contrib_ray.stages import raster as rst
 
-    grid = GridExtent(Extent(630000.0, 215000.0, 645000.0, 228500.0), 10.0, 10.0, 1500, 1350)
-    layout = LayoutDefinition.floating(grid, 256)
+    grid, layout = _raster_layout()
     tiles = rst.tile_dataset([SyntheticRasterSource(grid)], layout)
-    level1 = rst.pyramid_build(tiles, 1)[1]
+    conv = rst.convert_tiles(tiles, CellType("uint8", None))
+    return rst.summarize_tiles(conv, nodata_aware=False)
 
-    def summarize(b: pa.Table) -> pa.Table:
-        sums = []
-        for row in b.to_pylist():
-            sums.append(int(rst.tile_pixels(row).sum(dtype=np.int64)))
-        return pa.table(
-            {
-                "tile_col": b["tile_col"],
-                "tile_row": b["tile_row"],
-                "cols": b["cols"],
-                "rows": b["rows"],
-                "pixel_sum": pa.array(sums, pa.int64()),
-            }
-        )
 
-    return level1.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+def q_raster_mosaic(sf_dir: str):
+    """S3/J2/A3 oracle: two overlapping sources merged first-non-nodata-wins
+    (deterministic source order); per-tile NoData-aware checksums."""
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        MOSAIC_B_OFF,
+        MOSAIC_SPLIT_A,
+        RASTER_CELL,
+        RASTER_COLS,
+        RASTER_ROWS,
+        RASTER_X0,
+        RASTER_Y0,
+    )
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    _, layout = _raster_layout()
+    y1 = RASTER_Y0 + RASTER_ROWS * RASTER_CELL
+    grid_a = GridExtent(
+        Extent(RASTER_X0, RASTER_Y0, RASTER_X0 + MOSAIC_SPLIT_A * RASTER_CELL, y1),
+        RASTER_CELL, RASTER_CELL, MOSAIC_SPLIT_A, RASTER_ROWS,
+    )
+    b_cols = RASTER_COLS - MOSAIC_B_OFF
+    grid_b = GridExtent(
+        Extent(RASTER_X0 + MOSAIC_B_OFF * RASTER_CELL, RASTER_Y0,
+               RASTER_X0 + RASTER_COLS * RASTER_CELL, y1),
+        RASTER_CELL, RASTER_CELL, b_cols, RASTER_ROWS,
+    )
+    tiles = rst.tile_dataset(
+        [SyntheticRasterSource(grid_a), SyntheticRasterSource(grid_b)], layout
+    )
+    merged = rst.mosaic_merge(tiles, layout)
+    return rst.summarize_tiles(merged, nodata_aware=True, include_dims=False)
+
+
+def q_raster_pyramid(sf_dir: str):
+    """A7 oracle: true tile pyramid one level up (2x2 children -> layout-
+    framed parent, 2x nearest decimation); NoData-aware parent checksums
+    match the DuckDB even-cell rollup."""
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid, layout = _raster_layout()
+    tiles = rst.tile_dataset([SyntheticRasterSource(grid)], layout)
+    level1 = rst.pyramid_build(tiles, 1, layout)[1]
+    return rst.summarize_tiles(level1, nodata_aware=True, include_dims=False)
 
 
 def entry() -> Any:
@@ -613,6 +687,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "quality_scores": q_quality_scores,
+        "raster_tile_read": q_raster_tile_read,
+        "raster_convert": q_raster_convert,
+        "raster_mosaic": q_raster_mosaic,
         "raster_pyramid": q_raster_pyramid,
     }
 
@@ -844,6 +921,55 @@ SELECT DISTINCT lang, source FROM documents"""
 SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents
 ) WHERE rn % 5 = 1 ORDER BY doc_id LIMIT 100"""
+
+    # --- raster family: DuckDB reproduces the synthetic pixel formula with
+    # generate_series CTEs and compares per-tile integer checksums ----------
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        RASTER_COLS,
+        RASTER_ROWS,
+        RASTER_TILE,
+        mosaic_cells_cte,
+        raster_cells_cte,
+    )
+
+    T = RASTER_TILE
+    _tile_rollup = f"""
+  g AS (
+    SELECT CAST(floor(col / {T}) AS BIGINT) AS tile_col,
+           CAST(floor(row / {T}) AS BIGINT) AS tile_row,
+           CAST(sum({{vexpr}}) AS BIGINT) AS pixel_sum,
+           count(*) AS n_valid
+    FROM cells GROUP BY 1, 2
+  )
+SELECT tile_col, tile_row,
+       CAST(least({T}, {RASTER_COLS} - tile_col * {T}) AS BIGINT) AS cols,
+       CAST(least({T}, {RASTER_ROWS} - tile_row * {T}) AS BIGINT) AS rows,
+       pixel_sum, n_valid
+FROM g"""
+
+    sql["raster_tile_read"] = f"""
+WITH {raster_cells_cte()},
+{_tile_rollup.format(vexpr="v")}"""
+
+    sql["raster_convert"] = f"""
+WITH {raster_cells_cte()},
+{_tile_rollup.format(vexpr="v % 256")}"""
+
+    sql["raster_mosaic"] = f"""
+WITH {mosaic_cells_cte()}
+SELECT CAST(floor(col / {T}) AS BIGINT) AS tile_col,
+       CAST(floor(row / {T}) AS BIGINT) AS tile_row,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       count(*) AS n_valid
+FROM cells GROUP BY 1, 2"""
+
+    sql["raster_pyramid"] = f"""
+WITH {raster_cells_cte()}
+SELECT CAST(floor(col / {2 * T}) AS BIGINT) AS tile_col,
+       CAST(floor(row / {2 * T}) AS BIGINT) AS tile_row,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       count(*) AS n_valid
+FROM cells WHERE row % 2 = 0 AND col % 2 = 0 GROUP BY 1, 2"""
 
     # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
     # (float-summation order / regex semantics not bit-reproducible in SQL);

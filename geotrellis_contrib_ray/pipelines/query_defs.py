@@ -78,6 +78,64 @@ DIST_THETA = 0.1
 # tumbling window size for the events query (seconds)
 WINDOW_SEC = 3600
 
+# --- raster-family oracle constants ----------------------------------------
+# synthetic raster: value(col, row) = (row * RASTER_COLS + col) % 2^15 as
+# int16 with nodata -32768 (never produced by the formula), anchored grid —
+# the SAME formula SyntheticRasterSource evaluates and the DuckDB CTE
+# reproduces with generate_series, so per-tile pixel checksums hash-match.
+RASTER_COLS = 1500
+RASTER_ROWS = 1350
+RASTER_CELL = 10.0
+RASTER_X0 = 630000.0
+RASTER_Y0 = 215000.0
+RASTER_TILE = 256
+
+# mosaic fixture: source A covers cols [0, MOSAIC_SPLIT_A), source B covers
+# [MOSAIC_B_OFF, RASTER_COLS); both full height, same cell grid.  Merge is
+# first-non-nodata-wins in (A, B) order -> cell value = A's where col <
+# MOSAIC_SPLIT_A else B's.
+MOSAIC_SPLIT_A = 900
+MOSAIC_B_OFF = 600
+
+
+def raster_grid():
+    """The shared synthetic raster grid (engine side)."""
+    from ..core.grid import Extent, GridExtent
+
+    return GridExtent(
+        Extent(RASTER_X0, RASTER_Y0, RASTER_X0 + RASTER_COLS * RASTER_CELL,
+               RASTER_Y0 + RASTER_ROWS * RASTER_CELL),
+        RASTER_CELL, RASTER_CELL, RASTER_COLS, RASTER_ROWS,
+    )
+
+
+def raster_cells_cte() -> str:
+    """DuckDB CTE enumerating every base cell with its synthetic value —
+    textually the SyntheticRasterSource formula."""
+    return f"""
+  cells AS (
+    SELECT r.r AS row, c.c AS col, (r.r * {RASTER_COLS} + c.c) % 32768 AS v
+    FROM generate_series(0, {RASTER_ROWS - 1}) AS r(r)
+    CROSS JOIN generate_series(0, {RASTER_COLS - 1}) AS c(c)
+  )"""
+
+
+def mosaic_cells_cte() -> str:
+    """DuckDB CTE for the two-source mosaic: each source evaluates the
+    synthetic formula in its OWN local grid (cols = its width); A wins in the
+    overlap (first-non-nodata, source order)."""
+    a_cols = MOSAIC_SPLIT_A
+    b_cols = RASTER_COLS - MOSAIC_B_OFF
+    return f"""
+  cells AS (
+    SELECT r.r AS row, c.c AS col,
+           CASE WHEN c.c < {MOSAIC_SPLIT_A}
+                THEN (r.r * {a_cols} + c.c) % 32768
+                ELSE (r.r * {b_cols} + c.c - {MOSAIC_B_OFF}) % 32768 END AS v
+    FROM generate_series(0, {RASTER_ROWS - 1}) AS r(r)
+    CROSS JOIN generate_series(0, {RASTER_COLS - 1}) AS c(c)
+  )"""
+
 
 def geo_cte() -> str:
     """The shared DuckDB CTE deriving (doc_id, lon, lat, n_chars) from

@@ -202,47 +202,58 @@ def convert_tiles(tiles_ds, target: CellType, gdal_clamp: bool = False):
     return tiles_ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
-def pyramid_build(tiles_ds, levels: int):
+def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None):
     """A7: true pyramid build — each level is produced by groupby(parent key)
     assembling the 2x2 children into one tile downsampled 2x (nearest).
     Returns list of per-level Datasets, finest (input) first.
+
+    With ``layout`` (the finest level's LayoutDefinition) parent frames are
+    derived from the LAYOUT: uniform (tile_cols x tile_rows) parent pixel
+    grids and key-derived extents, so ragged data edges (partial children)
+    land in a correctly georeferenced full-size parent with NoData padding.
+    Without a layout, the parent frame is inferred from the first child's
+    dims + tile parity (valid only for uniform child tiles).
 
     The per-level shuffle moves ~1/4 the previous level's bytes; at 100 TB
     the levels are written out as they are produced (write_tiles)."""
     out = [tiles_ds]
     cur = tiles_ds
+    cur_tw = layout.tile_width if layout is not None else None
+    cur_th = layout.tile_height if layout is not None else None
 
-    def make_parent(g):
-        import pandas as pd
+    def mk_make_parent(tw, th):
+        def make_parent(g):
+            import pandas as pd
 
-        rows = g.to_dict("records")
-        first = rows[0]
-        ct = CellType.of(first["cell_type"])
-        nd = ct.nodata if ct.nodata is not None else 0
-        pc, pr = int(first["tile_col"]) >> 1, int(first["tile_row"]) >> 1
-        tcols, trows = int(first["cols"]), int(first["rows"])
-        acc = np.full((int(first["band_count"]), trows, tcols), nd, dtype=ct.np_dtype)
-        # parent extent derived from the layout key, NOT the union of present
-        # children: with missing children (ragged edges) the union would no
-        # longer match the full-size pixel grid the quadrants are placed into.
-        # Any child fixes the parent frame via its tile parity: child width w,
-        # parent spans [child_xmin - (col%2)*w, +2w] x [child_ymax + (row%2)*h
-        # downward 2h] (rows grow downward).
-        w = first["xmax"] - first["xmin"]
-        h = first["ymax"] - first["ymin"]
-        pxmin = first["xmin"] - (int(first["tile_col"]) % 2) * w
-        pymax = first["ymax"] + (int(first["tile_row"]) % 2) * h
-        ext = Extent(pxmin, pymax - 2.0 * h, pxmin + 2.0 * w, pymax)
-        half_c, half_r = tcols // 2, trows // 2
-        for row in rows:
-            px = tile_pixels(row)[:, ::2, ::2]  # 2x nearest downsample
-            qc = (int(row["tile_col"]) % 2) * half_c
-            qr = (int(row["tile_row"]) % 2) * half_r
-            acc[:, qr : qr + px.shape[1], qc : qc + px.shape[2]] = px[:, :half_r, :half_c]
-        merged = tile_row(int(first["src_id"]), (pc, pr), Raster(acc, ext), ct)
-        return pd.DataFrame([merged])
+            rows = g.to_dict("records")
+            first = rows[0]
+            ct = CellType.of(first["cell_type"])
+            nd = ct.nodata if ct.nodata is not None else 0
+            pc, pr = int(first["tile_col"]) >> 1, int(first["tile_row"]) >> 1
+            if layout is not None:
+                tcols, trows = layout.tile_cols, layout.tile_rows
+                pxmin = layout.extent.xmin + pc * 2.0 * tw
+                pymax = layout.extent.ymax - pr * 2.0 * th
+                ext = Extent(pxmin, pymax - 2.0 * th, pxmin + 2.0 * tw, pymax)
+            else:
+                tcols, trows = int(first["cols"]), int(first["rows"])
+                w = first["xmax"] - first["xmin"]
+                h = first["ymax"] - first["ymin"]
+                pxmin = first["xmin"] - (int(first["tile_col"]) % 2) * w
+                pymax = first["ymax"] + (int(first["tile_row"]) % 2) * h
+                ext = Extent(pxmin, pymax - 2.0 * h, pxmin + 2.0 * w, pymax)
+            acc = np.full((int(first["band_count"]), trows, tcols), nd, dtype=ct.np_dtype)
+            half_c, half_r = tcols // 2, trows // 2
+            for row in rows:
+                px = tile_pixels(row)[:, ::2, ::2]  # 2x nearest downsample
+                qc = (int(row["tile_col"]) % 2) * half_c
+                qr = (int(row["tile_row"]) % 2) * half_r
+                px = px[:, :half_r, :half_c]
+                acc[:, qr : qr + px.shape[1], qc : qc + px.shape[2]] = px
+            merged = tile_row(int(first["src_id"]), (pc, pr), Raster(acc, ext), ct)
+            return pd.DataFrame([merged])
 
-    import pandas as pd  # noqa: F401
+        return make_parent
 
     for _ in range(levels):
 
@@ -256,10 +267,51 @@ def pyramid_build(tiles_ds, levels: int):
         cur = (
             cur.map_batches(add_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
             .groupby(["pcol", "prow"])
-            .map_groups(make_parent, batch_format="pandas")
+            .map_groups(mk_make_parent(cur_tw, cur_th), batch_format="pandas")
         )
         out.append(cur)
+        if layout is not None:
+            cur_tw *= 2.0
+            cur_th *= 2.0
     return out
+
+
+def summarize_tiles(tiles_ds, nodata_aware: bool = True, include_dims: bool = True):
+    """Per-tile integer checksum table for oracle comparison: (tile_col,
+    tile_row[, cols, rows], pixel_sum, n_valid) — sums exclude NoData cells
+    when ``nodata_aware``.  Vectorized buffer decode (no per-pixel python)."""
+
+    def summarize(b: pa.Table) -> pa.Table:
+        sums, valids = [], []
+        cts = b["cell_type"].to_pylist()
+        bandc = b["band_count"].to_numpy(zero_copy_only=False)
+        ncols = b["cols"].to_numpy(zero_copy_only=False)
+        nrows = b["rows"].to_numpy(zero_copy_only=False)
+        pixels = b["pixels"]
+        for i in range(len(b)):
+            ct = CellType.of(cts[i])
+            px = np.frombuffer(pixels[i].as_py(), dtype=ct.np_dtype).reshape(
+                int(bandc[i]), int(nrows[i]), int(ncols[i])
+            )
+            if nodata_aware and ct.nodata is not None:
+                mask = ~ct.mask(px)
+                sums.append(int(px[mask].sum(dtype=np.int64)) if mask.any() else 0)
+                valids.append(int(mask.sum()))
+            else:
+                sums.append(int(px.sum(dtype=np.int64)))
+                valids.append(px.size)
+        cols = {
+            "tile_col": b["tile_col"],
+            "tile_row": b["tile_row"],
+        }
+        if include_dims:
+            cols["cols"] = pa.array(ncols.astype(np.int64))
+            cols["rows"] = pa.array(nrows.astype(np.int64))
+        cols["pixel_sum"] = pa.array(sums, pa.int64())
+        cols["n_valid"] = pa.array(valids, pa.int64())
+        return pa.table(cols)
+
+    return tiles_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
 
 
 def sparse_stitch(tile_rows: list[dict], cell_type: CellType | None = None) -> Raster | None:
