@@ -288,6 +288,7 @@ def geometry_to_wkb(kind: str, coords, srid: int | None = None) -> bytes:
         "MultiPoint": WKB_MULTIPOINT,
         "MultiLineString": WKB_MULTILINESTRING,
         "MultiPolygon": WKB_MULTIPOLYGON,
+        "GeometryCollection": WKB_GEOMETRYCOLLECTION,
     }[kind]
     if srid is not None:
         out += struct.pack("<BII", 1, gtype | 0x20000000, srid)
@@ -305,14 +306,17 @@ def geometry_to_wkb(kind: str, coords, srid: int | None = None) -> bytes:
             arr = np.asarray(ring, dtype="<f8")
             out += struct.pack("<I", len(arr))
             out += arr.tobytes()
-    else:  # multi*
+    else:  # multi* / collection: parts are (kind, coords[, srid]) tuples
         out += struct.pack("<I", len(coords))
-        for part_kind, part_coords in coords:
-            out += geometry_to_wkb(part_kind, part_coords)
+        for part in coords:
+            out += geometry_to_wkb(part[0], part[1])
     return bytes(out)
 
 
-# --- WKT (minimal: points + EWKT literal form) ------------------------------
+# --- WKT codec (S6): all 7 geometry kinds + SRID=…;WKT literals -------------
+# Grammar per the OGC simple-features text form, the surface
+# PostGisSupport.scala:93-98 (readWktOrWkb) and the SRID=…;WKT literal form
+# (PostGisProjectionSupport.scala:103-126) accept.
 
 
 def point_to_ewkt(x: float, y: float, srid: int) -> str:
@@ -321,11 +325,196 @@ def point_to_ewkt(x: float, y: float, srid: int) -> str:
 
 
 def parse_point_wkt(wkt: str) -> tuple[float, float, int | None]:
-    srid = None
+    kind, coords, srid = parse_wkt(wkt)
+    if kind != "Point":
+        raise ValueError(f"expected POINT, got {kind}")
+    return coords[0], coords[1], srid
+
+
+class _WktReader:
+    """Recursive-descent WKT reader producing the same (kind, coords, srid)
+    tuples as wkb_to_geometry: Point -> (x, y); LineString -> (N,2) array;
+    Polygon -> [rings]; Multi*/GeometryCollection -> [child tuples]."""
+
+    def __init__(self, s: str):
+        self.s = s
+        self.pos = 0
+
+    def _skip_ws(self):
+        while self.pos < len(self.s) and self.s[self.pos].isspace():
+            self.pos += 1
+
+    def _expect(self, ch: str):
+        self._skip_ws()
+        if self.pos >= len(self.s) or self.s[self.pos] != ch:
+            raise ValueError(f"expected {ch!r} at position {self.pos} in {self.s!r}")
+        self.pos += 1
+
+    def _peek(self) -> str:
+        self._skip_ws()
+        return self.s[self.pos] if self.pos < len(self.s) else ""
+
+    def _word(self) -> str:
+        self._skip_ws()
+        start = self.pos
+        while self.pos < len(self.s) and (self.s[self.pos].isalpha()):
+            self.pos += 1
+        return self.s[start : self.pos].upper()
+
+    def _number(self) -> float:
+        self._skip_ws()
+        start = self.pos
+        while self.pos < len(self.s) and self.s[self.pos] not in " ,()\t\n":
+            self.pos += 1
+        return float(self.s[start : self.pos])
+
+    def _coord(self) -> tuple[float, float]:
+        return self._number(), self._number()
+
+    def _coord_list(self) -> np.ndarray:
+        self._expect("(")
+        pts = [self._coord()]
+        while self._peek() == ",":
+            self.pos += 1
+            pts.append(self._coord())
+        self._expect(")")
+        return np.array(pts, dtype=np.float64)
+
+    def _ring_list(self) -> list[np.ndarray]:
+        self._expect("(")
+        rings = [self._coord_list()]
+        while self._peek() == ",":
+            self.pos += 1
+            rings.append(self._coord_list())
+        self._expect(")")
+        return rings
+
+    def read(self, srid: int | None = None):
+        kind = self._word()
+        # EMPTY geometries
+        save = self.pos
+        if self._word() == "EMPTY":
+            empty = {
+                "POINT": (float("nan"), float("nan")),
+                "LINESTRING": np.zeros((0, 2)),
+                "POLYGON": [],
+            }.get(kind, [])
+            name = _WKT_KIND[kind]
+            return (name, empty, srid)
+        self.pos = save
+
+        if kind == "POINT":
+            self._expect("(")
+            xy = self._coord()
+            self._expect(")")
+            return ("Point", xy, srid)
+        if kind == "LINESTRING":
+            return ("LineString", self._coord_list(), srid)
+        if kind == "POLYGON":
+            return ("Polygon", self._ring_list(), srid)
+        if kind == "MULTIPOINT":
+            self._expect("(")
+            parts = []
+            while True:
+                if self._peek() == "(":  # parenthesized form (1 1), (2 2)
+                    self._expect("(")
+                    parts.append(("Point", self._coord(), srid))
+                    self._expect(")")
+                else:  # bare form 1 1, 2 2
+                    parts.append(("Point", self._coord(), srid))
+                if self._peek() != ",":
+                    break
+                self.pos += 1
+            self._expect(")")
+            return ("MultiPoint", parts, srid)
+        if kind == "MULTILINESTRING":
+            self._expect("(")
+            parts = [("LineString", self._coord_list(), srid)]
+            while self._peek() == ",":
+                self.pos += 1
+                parts.append(("LineString", self._coord_list(), srid))
+            self._expect(")")
+            return ("MultiLineString", parts, srid)
+        if kind == "MULTIPOLYGON":
+            self._expect("(")
+            parts = [("Polygon", self._ring_list(), srid)]
+            while self._peek() == ",":
+                self.pos += 1
+                parts.append(("Polygon", self._ring_list(), srid))
+            self._expect(")")
+            return ("MultiPolygon", parts, srid)
+        if kind == "GEOMETRYCOLLECTION":
+            self._expect("(")
+            parts = [self.read(srid)]
+            while self._peek() == ",":
+                self.pos += 1
+                parts.append(self.read(srid))
+            self._expect(")")
+            return ("GeometryCollection", parts, srid)
+        raise ValueError(f"unsupported WKT geometry kind {kind!r}")
+
+
+_WKT_KIND = {
+    "POINT": "Point",
+    "LINESTRING": "LineString",
+    "POLYGON": "Polygon",
+    "MULTIPOINT": "MultiPoint",
+    "MULTILINESTRING": "MultiLineString",
+    "MULTIPOLYGON": "MultiPolygon",
+    "GEOMETRYCOLLECTION": "GeometryCollection",
+}
+
+
+def parse_wkt(wkt: str):
+    """Parse WKT (optionally with the ``SRID=<n>;`` EWKT prefix) into the
+    same (kind, coords, srid) tuple shape wkb_to_geometry returns."""
     s = wkt.strip()
+    srid = None
     if s.upper().startswith("SRID="):
         head, s = s.split(";", 1)
         srid = int(head.split("=")[1])
-    body = s[s.index("(") + 1 : s.rindex(")")].strip()
-    xs, ys = body.split()
-    return float(xs), float(ys), srid
+    return _WktReader(s).read(srid)
+
+
+def _wkt_coords(kind: str, coords) -> str:
+    def pt(xy):
+        return f"{_fmt_coord(xy[0])} {_fmt_coord(xy[1])}"
+
+    def coord_list(arr) -> str:
+        return "(" + ", ".join(pt(p) for p in np.asarray(arr)) + ")"
+
+    if kind == "Point":
+        return f"({pt(coords)})"
+    if kind == "LineString":
+        return coord_list(coords)
+    if kind == "Polygon":
+        return "(" + ", ".join(coord_list(r) for r in coords) + ")"
+    if kind == "MultiPoint":
+        return "(" + ", ".join(f"({pt(c)})" for _, c, _ in coords) + ")"
+    if kind in ("MultiLineString", "MultiPolygon"):
+        return "(" + ", ".join(_wkt_coords(k, c) for k, c, _ in coords) + ")"
+    if kind == "GeometryCollection":
+        return "(" + ", ".join(geometry_to_wkt(k, c) for k, c, _ in coords) + ")"
+    raise ValueError(f"unsupported kind {kind}")
+
+
+def geometry_to_wkt(kind: str, coords, srid: int | None = None) -> str:
+    """(kind, coords) -> WKT; with srid -> ``SRID=<n>;WKT`` EWKT literal
+    (PostGisProjectionSupport.toLiteral form)."""
+    body = f"{kind.upper()} {_wkt_coords(kind, coords)}"
+    return f"SRID={srid};{body}" if srid is not None else body
+
+
+_HEX_CHARS = set("0123456789abcdefABCDEF")
+
+
+def read_wkt_or_wkb(s: str):
+    """PostGisSupport.readWktOrWkb (PostGisSupport.scala:93-98): hex-WKB
+    (with or without the ``\\x`` prefix) is auto-detected, everything else is
+    parsed as (E)WKT."""
+    t = s.strip()
+    if t.startswith("\\x"):
+        return wkb_to_geometry(t)
+    if len(t) >= 10 and all(c in _HEX_CHARS for c in t[:10]) and t[:2] in ("00", "01"):
+        return wkb_to_geometry(t)
+    return parse_wkt(t)

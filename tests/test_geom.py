@@ -150,3 +150,69 @@ def test_hex_wkb_bigendian_ewkb_golden():
         kind, rings, srid = geom.wkb_to_geometry(s)
         assert kind == "Polygon" and srid == 3857
         assert [tuple(p) for p in rings[0]] == expected
+
+
+def test_wkt_all_seven_kinds_roundtrip():
+    """WKT -> parse -> WKB -> parse -> WKT identity for all 7 geometry kinds
+    (general WKT reader, PostGisSupport.scala:93-98 readWktOrWkb surface)."""
+    fixtures = [
+        "POINT (1 2)",
+        "LINESTRING (1 1, 1 3)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOINT ((1 1), (2 2))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+    ]
+    for wkt in fixtures:
+        kind, coords, srid = geom.parse_wkt(wkt)
+        assert srid is None
+        # WKT -> WKB -> geometry round-trip preserves structure + coords
+        wkb = geom.geometry_to_wkb(kind, coords)
+        kind2, coords2, _ = geom.wkb_to_geometry(wkb)
+        assert kind2 == kind
+        # and back out to WKT text identity
+        assert geom.geometry_to_wkt(kind2, coords2) == wkt
+
+
+def test_wkt_srid_literal_all_kinds():
+    """SRID=…;WKT literal form (PostGisProjectionSupport.scala:103-126)."""
+    kind, coords, srid = geom.parse_wkt("SRID=3131;LINESTRING (1 1, 1 3)")
+    assert (kind, srid) == ("LineString", 3131)
+    assert geom.line_length(coords) == 2.0  # reference golden (spec :69-71)
+    kind, coords, srid = geom.parse_wkt("SRID=3131;MULTIPOINT ((1 1), (2 2))")
+    pts = np.array([c for _, c, _ in coords])
+    assert geom.multipoint_centroid(pts) == (1.5, 1.5)  # golden (spec :89-91)
+    assert srid == 3131
+    # round-trip keeps the literal form
+    assert geom.geometry_to_wkt("Point", (1.0, 1.0), 43211) == "SRID=43211;POINT (1 1)"
+
+
+def test_wkt_multipoint_bare_form_and_empty():
+    kind, coords, _ = geom.parse_wkt("MULTIPOINT (1 1, 2 2)")
+    assert kind == "MultiPoint" and len(coords) == 2
+    kind, coords, _ = geom.parse_wkt("POLYGON EMPTY")
+    assert kind == "Polygon" and coords == []
+    kind, coords, _ = geom.parse_wkt("GEOMETRYCOLLECTION EMPTY")
+    assert kind == "GeometryCollection" and coords == []
+
+
+def test_read_wkt_or_wkb_autodetect():
+    """readWktOrWkb: hex-WKB with/without \\x prefix and plain WKT all parse
+    (PostGisProjectionSupportSpec.scala:93-108 behavior)."""
+    hexs = (
+        "002000000300000f110000000100000005"
+        "c170b8793ccc8e80415ca9f4683a18dc"
+        "c170b8793ccc8e8041631bf8457c1091"
+        "c16ca9f4683a18dc41631bf8457c1091"
+        "c16ca9f4683a18dc415ca9f4683a18dc"
+        "c170b8793ccc8e80415ca9f4683a18dc"
+    )
+    for s in (hexs, "\\x" + hexs):
+        kind, rings, srid = geom.read_wkt_or_wkb(s)
+        assert kind == "Polygon" and srid == 3857
+    kind, coords, srid = geom.read_wkt_or_wkb("SRID=4326;POINT (75.97 40.38)")
+    assert kind == "Point" and coords == (75.97, 40.38) and srid == 4326
+    # scientific-notation coords parse too
+    kind, coords, _ = geom.read_wkt_or_wkb("POINT (1e3 -2.5e-2)")
+    assert coords == (1000.0, -0.025)
