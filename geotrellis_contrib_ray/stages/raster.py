@@ -107,24 +107,38 @@ def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concu
 
     if concurrency is None:
         concurrency = default_pool_size()
-    reqs = {"src_id": [], "tile_col": [], "tile_row": []}
-    for sid, s in enumerate(sources):
-        for c, r in layout.keys_for_extent(s.extent):
-            reqs["src_id"].append(sid)
-            reqs["tile_col"].append(c)
-            reqs["tile_row"].append(r)
-    req_table = pa.table(
-        {
-            "src_id": pa.array(reqs["src_id"], pa.int32()),
-            "tile_col": pa.array(reqs["tile_col"], pa.int64()),
-            "tile_row": pa.array(reqs["tile_row"], pa.int64()),
-        }
-    )
     sources_ref = ray.put(sources)
-    ds = rd.from_arrow(req_table)
-    if ds.num_blocks() < concurrency * 2:
-        ds = ds.repartition(concurrency * 4)
-    return ds.map_batches(
+
+    # request generation is DATAFLOW, not a driver loop: the driver holds one
+    # row per source; each task enumerates its sources' layout keys (which
+    # for lazy sources also keeps metadata/header reads off the driver).
+    # Driver memory stays O(sources), not O(tiles) — a million-tile catalog
+    # never materializes its key list in one process.
+    src_table = pa.table({"src_id": pa.array(np.arange(len(sources), dtype=np.int32))})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        srcs = ray.get(sources_ref)
+        sid_out, col_out, row_out = [], [], []
+        for sid in batch["src_id"].to_numpy(zero_copy_only=False):
+            keys = layout.keys_for_extent(srcs[sid].extent)
+            sid_out.append(np.full(len(keys), sid, dtype=np.int32))
+            arr = np.asarray(keys, dtype=np.int64).reshape(len(keys), 2)
+            col_out.append(arr[:, 0])
+            row_out.append(arr[:, 1])
+        return pa.table(
+            {
+                "src_id": pa.array(np.concatenate(sid_out) if sid_out else [], pa.int32()),
+                "tile_col": pa.array(np.concatenate(col_out) if col_out else [], pa.int64()),
+                "tile_row": pa.array(np.concatenate(row_out) if row_out else [], pa.int64()),
+            }
+        )
+
+    reqs = (
+        rd.from_arrow(src_table)
+        .map_batches(expand, batch_format="pyarrow", batch_size=max(1, len(sources) // (concurrency * 2)) if sources else 1)
+        .repartition(concurrency * 4)
+    )
+    return reqs.map_batches(
         WindowReader,
         fn_constructor_kwargs={"sources_ref": sources_ref, "layout": layout, "bands": bands},
         batch_format="pyarrow",
