@@ -403,15 +403,16 @@ def q_stride_sample(sf_dir: str):
 
 
 def q_order_lineitem_join(sf_dir: str):
-    """Both-sides-large hash join (tier 2: Ray's native hash-partitioned
-    Dataset.join): lineitem x orders on orderkey, rolled up by order
-    priority.  The bucketed tier (stages/joins.bucketed_hash_join) stays the
-    portable fallback, tested in tests/test_joins.py."""
+    """Both-sides-large hash join (tier 2: bucketed union + per-bucket
+    Arrow merge — dtype-exact, one sort-shuffle pass per side): lineitem x
+    orders on orderkey, rolled up by order priority.  Measured 4x faster
+    than round 1's pandas-merge version and ~5x faster than Ray's native
+    aggregator-actor join on this host (see stages/joins.py docstring)."""
     import pyarrow as pa
 
     from ray.data.aggregate import Sum
 
-    from geotrellis_contrib_ray.stages.joins import native_hash_join
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
 
     li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
 
@@ -421,7 +422,7 @@ def q_order_lineitem_join(sf_dir: str):
 
     li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
-    joined = native_hash_join(li, orders, on="o_orderkey")
+    joined = bucketed_hash_join(li, orders, on="o_orderkey")
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.select(["o_orderpriority", "cents"]).group_by("o_orderpriority", use_threads=False).aggregate(

@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "ann_cosine",
     "order_lineitem_join",
     "pip_zones_indexed",
+    "knn_indexed",
+    "raster_tile_read",
+    "minhash_pairs",
 ]
 
 
@@ -127,25 +130,38 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    import statistics
+
     lo_cpus, hi_cpus = 8, 32
-    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
-    # alternate the two levels across rounds and take per-level minima — the
-    # host is shared and noisy, so a single pair of processes can land in
-    # different load regimes and produce nonsense ratios
-    lo_vals, hi_vals = [], []
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "4"))
+    # alternate the two levels across >= 4 rounds — the host is shared and
+    # noisy (serialized first-touch faults), so a single pair of processes
+    # can land in different load regimes and produce nonsense ratios.  Report
+    # BOTH the best (per-level minima: the engine's steady-state capability)
+    # and the median (per-level medians: the robust estimate), plus the full
+    # distribution so the spread is auditable.
+    lo_secs, hi_secs = [], []
+    lo_last = hi_last = None
     for _ in range(rounds):
-        lo_vals.append(run(lo_cpus))
-        hi_vals.append(run(hi_cpus))
-    lo = min(lo_vals, key=lambda r: r["value"])
-    hi = min(hi_vals, key=lambda r: r["value"])
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+        lo_last = run(lo_cpus)
+        hi_last = run(hi_cpus)
+        lo_secs.append(lo_last["value"])
+        hi_secs.append(hi_last["value"])
+    factor = hi_cpus / lo_cpus
+    eff_best = (min(lo_secs) / min(hi_secs)) / factor
+    eff_median = (statistics.median(lo_secs) / statistics.median(hi_secs)) / factor
+    eff_rounds = [round((l / h) / factor, 3) for l, h in zip(lo_secs, hi_secs)]
     return {
         "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, same input)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "sec_8": min(lo_secs),
+        "sec_32": min(hi_secs),
+        "sec_8_all": lo_secs,
+        "sec_32_all": hi_secs,
+        "docs_per_sec_8": lo_last["docs_per_sec"] * lo_last["value"] / min(lo_secs),
+        "docs_per_sec_32": hi_last["docs_per_sec"] * hi_last["value"] / min(hi_secs),
+        "scaling_efficiency": round(eff_best, 3),
+        "scaling_efficiency_median": round(eff_median, 3),
+        "scaling_efficiency_rounds": eff_rounds,
         "sf": SF_DIR,
         "rounds": rounds,
     }

@@ -3,14 +3,19 @@
 Three tiers, picked by side sizes (README scale rules):
 1. broadcast — small side via ray.put, lookup inside map_batches (see
    __ray_entry__.q_orders_by_segment);
-2. native hash join — ``Dataset.join`` (hash-partitioned on the key), the
-   DEFAULT when both sides are large: no driver materialization, the engine
-   shuffles each side once into num_partitions hash partitions;
-3. bucketed hash join — the portable fallback: hash both sides into B
-   buckets, tag the side, union, groupby(bucket) and Arrow-merge within the
-   bucket.  Works on any Ray version; B and the optional per-key salt are
-   the documented skew knobs.  B should be >= 4x cluster CPUs so the reduce
-   stage is never parallelism-capped.
+2. bucketed hash join — the DEFAULT when both sides are large: hash both
+   sides into B buckets, tag the side, union, groupby(bucket) and
+   Arrow-merge within the bucket.  One sort-shuffle pass per side, no extra
+   actor pools; B and the optional per-key salt are the documented skew
+   knobs.  B defaults to ~2x cluster CPUs (measured sweet spot — enough
+   reduce parallelism without per-bucket overhead dominating).
+3. native hash join — ``Dataset.join`` (Ray's hash-shuffle operator with a
+   dedicated aggregator-actor pool).  Kept as an alternate tier: on this
+   sandbox its aggregator-pool startup dominates (measured sf0.1
+   lineitem x orders: bucketed b32 4.2 s vs native p32 25 s / p16 14 s), and
+   mid-pipeline it competes for CPUs with neighboring stages; on a
+   long-lived multi-node cluster with warm actor pools the economics can
+   flip, so the tier stays selectable.
 """
 
 from __future__ import annotations
@@ -20,16 +25,16 @@ import pyarrow as pa
 
 
 def native_hash_join(left, right, on: str, *, num_partitions: int | None = None, join_type: str = "inner"):
-    """Tier-2 (default): Ray's built-in hash-partitioned join.
+    """Tier-3 alternate: Ray's built-in hash-partitioned join.
 
-    num_partitions defaults to 4x cluster CPUs so each partition-join is
-    small and the reduce stage saturates the cluster."""
+    num_partitions defaults to ~cluster CPUs (bounded by Ray's 64-aggregator
+    cap) — more partitions than aggregators only adds scheduling overhead."""
     if num_partitions is None:
-        num_partitions = default_join_partitions()
+        num_partitions = default_join_partitions(factor=1, cap=64)
     return left.join(right, join_type, num_partitions, on=(on,))
 
 
-def default_join_partitions(factor: int = 4, floor: int = 16, cap: int = 512) -> int:
+def default_join_partitions(factor: int = 2, floor: int = 16, cap: int = 256) -> int:
     """Partition count for shuffle joins: ~factor x cluster CPUs, bounded."""
     try:
         import ray

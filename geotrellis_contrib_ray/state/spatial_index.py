@@ -200,16 +200,31 @@ class PolygonIndexActor:
 
 
 class KnnIndexPartial:
-    """O4 scale path: per-batch point index probed by the broadcast query set
-    (index built per batch in the task; for a static corpus the index would be
-    built once per partition and cached in the actor).  Emits <= k rows per
-    query per batch; final merge is the same tiny groupby as the brute path —
-    output is IDENTICAL to the brute-force kNN (exact index)."""
+    """O4 scale path: per-partition point index probed by the broadcast query
+    set, held in ACTOR state (ST5): indexes are cached per actor keyed by a
+    cheap block fingerprint (row count + id endpoints), so a static corpus
+    probed by successive query batches builds each partition's index ONCE.
+    Grid resolution adapts to the block size (~8 points/bucket).  Emits <= k
+    rows per query per batch; final merge is the same tiny groupby as the
+    brute path — output is IDENTICAL to the brute-force kNN (exact index)."""
 
-    def __init__(self, queries, k: int, id_col: str = "doc_id"):
+    def __init__(self, queries, k: int, id_col: str = "doc_id", cache_blocks: int = 8):
         self.queries = [(int(q[0]), float(q[1]), float(q[2])) for q in queries]
         self.k = k
         self.id_col = id_col
+        self._cache: dict[tuple, GridPointIndex] = {}
+        self._cache_cap = cache_blocks
+
+    def _index_for(self, ids, xs, ys) -> GridPointIndex:
+        key = (len(ids), int(ids[0]), int(ids[-1]))
+        idx = self._cache.get(key)
+        if idx is None:
+            n_side = int(np.clip(np.sqrt(len(ids) / 8.0), 8, 128))
+            idx = GridPointIndex(ids, xs, ys, nx=n_side, ny=n_side)
+            if len(self._cache) >= self._cache_cap:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = idx
+        return idx
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -223,7 +238,7 @@ class KnnIndexPartial:
                     "dist": pa.array([], pa.float64()),
                 }
             )
-        idx = GridPointIndex(ids, xs, ys, nx=32, ny=32)
+        idx = self._index_for(ids, xs, ys)
         out_q, out_id, out_d = [], [], []
         for qid, qx, qy in self.queries:
             nid, nd = idx.nearest_k(qx, qy, self.k)

