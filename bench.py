@@ -101,10 +101,11 @@ def run_bench() -> dict:
 
     qs = e.queries()
     qtimes = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(qs[name](SF_DIR))
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+    if not int(os.environ.get("GRAFT_HEADLINE_ONLY", "0")):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            qtimes[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
     return {
@@ -120,7 +121,9 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        # headline-only: the scaling criterion measures the flagship pipeline
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -153,15 +153,18 @@ class RasterSource:
     def reproject_to_region(self, target_crs, region: GridExtent, method: str = rs.NEAREST) -> "RasterSource":
         return self.reproject(target_crs, method, target_grid=region)
 
-    def resample(self, cols: int, rows: int, method: str = rs.NEAREST) -> "RasterSource":
+    def resample(self, cols: int, rows: int, method: str = rs.NEAREST,
+                 strategy: str = "auto-higher") -> "RasterSource":
         grid = GridExtent.from_extent(self.extent, cols, rows)
-        return self.resample_to_grid(grid, method)
+        return self.resample_to_grid(grid, method, strategy)
 
-    def resample_to_grid(self, grid: GridExtent, method: str = rs.NEAREST) -> "RasterSource":
-        return ResampleRasterSource(self, grid, method)
+    def resample_to_grid(self, grid: GridExtent, method: str = rs.NEAREST,
+                         strategy: str = "auto-higher") -> "RasterSource":
+        return ResampleRasterSource(self, grid, method, strategy)
 
-    def resample_to_cell_size(self, cellwidth: float, cellheight: float, method: str = rs.NEAREST) -> "RasterSource":
-        return self.resample_to_grid(self.grid.with_resolution(cellwidth, cellheight), method)
+    def resample_to_cell_size(self, cellwidth: float, cellheight: float, method: str = rs.NEAREST,
+                              strategy: str = "auto-higher") -> "RasterSource":
+        return self.resample_to_grid(self.grid.with_resolution(cellwidth, cellheight), method, strategy)
 
     def convert(self, cell_type: CellType, gdal_clamp: bool = False) -> "RasterSource":
         return ConvertRasterSource(self, cell_type, gdal_clamp)
@@ -171,11 +174,32 @@ class RasterSource:
         return InterpretRasterSource(self, nodata)
 
     # --- helpers -----------------------------------------------------------
-    def closest_resolution(self, cell_size: float) -> GridExtent:
-        """Closest overview whose cell size <= requested (ST4 memoized in
-        actors; pure here)."""
-        best = self.resolutions[0]
-        for g in self.resolutions:
+    def closest_resolution(self, cell_size: float, strategy: str = "auto-higher") -> GridExtent:
+        """Overview selection per ``OverviewStrategy``
+        (GeoTiffReprojectRasterSource.scala:92-103; strategies mirror the
+        reference's OverviewStrategy variants):
+
+        - ``auto-higher`` (reference default AutoHigherResolution): the
+          coarsest overview that is still NOT coarser than the requested cell
+          size — never degrades below the requested resolution;
+        - ``auto``: the overview whose cell size is closest to the request in
+          either direction (may pick a coarser one);
+        - ``base``: always the full-resolution grid;
+        - ``level-N``: the N-th overview (clamped), file order.
+
+        (ST4: memoized per (source, target grid) in reader actors; pure here.)
+        """
+        res = self.resolutions
+        if strategy == "base":
+            return res[0]
+        if strategy.startswith("level-"):
+            n = int(strategy.split("-", 1)[1])
+            return res[min(max(n, 0), len(res) - 1)]
+        if strategy == "auto":
+            return min(res, key=lambda g: abs(g.cellwidth - cell_size))
+        # auto-higher
+        best = res[0]
+        for g in res:
             if g.cellwidth <= cell_size + 1e-12:
                 best = g
         return best
@@ -318,10 +342,12 @@ class ResampleRasterSource(RasterSource):
     """T4: resample view — reads route through the closest overview, then
     resample to the target grid (GeoTiffResampleRasterSource.scala:35-142)."""
 
-    def __init__(self, base: RasterSource, grid: GridExtent, method: str):
+    def __init__(self, base: RasterSource, grid: GridExtent, method: str,
+                 strategy: str = "auto-higher"):
         self.base = base
         self._target = grid
         self.method = method
+        self.strategy = strategy
 
     @property
     def crs(self):
@@ -350,7 +376,7 @@ class ResampleRasterSource(RasterSource):
         target_extent = self._target.extent_for(inter)
         # route through the closest overview for coarse targets (T4,
         # GeoTiffResampleRasterSource.scala:74-75)
-        ov = self.base.closest_resolution(self._target.cellwidth)
+        ov = self.base.closest_resolution(self._target.cellwidth, self.strategy)
         reader = self.base.overview_source(ov) if ov.cellwidth > self.base.grid.cellwidth else self.base
         src = reader.read(target_extent, bands)
         if src is None:

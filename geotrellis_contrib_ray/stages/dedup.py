@@ -178,11 +178,30 @@ class MinHashLSH:
         )
 
 
-def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=None):
-    """Near-dup candidate pairs via LSH banding: actor-pool signature stage ->
-    groupby(band) -> per-bucket pair emission (buckets are tiny) -> distinct.
+def _bucket_runs(hashes: np.ndarray, order: np.ndarray):
+    """Sorted-run detection: -> (starts, ends) of equal-hash runs in
+    ``hashes[order]``.  Vectorized; the caller loops only over runs with
+    >= 2 members (the duplicate tail, a small fraction of rows)."""
+    h = hashes[order]
+    starts = np.nonzero(np.r_[True, h[1:] != h[:-1]])[0]
+    ends = np.r_[starts[1:], len(h)]
+    return starts, ends
 
-    Output: id1 < id2 candidate pairs (verify Jaccard downstream)."""
+
+def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=None,
+                            group_salt: int = 64, max_bucket: int = 1000):
+    """Near-dup candidate pairs via LSH banding: actor-pool signature stage ->
+    groupby((band, band_hash % group_salt)) -> vectorized run-based pair
+    emission -> distinct.
+
+    The group key is the band hash SALTED DOWN to ``group_salt`` partitions
+    per band, not the raw hash: grouping by the raw hash makes one tiny
+    group per bucket (per-group overhead dominates — measured 15 s at sf0.1),
+    while salting bounds the group COUNT at bands x group_salt and equal
+    hashes still co-locate.  Partitioning assumption: one salted group
+    (corpus x bands / (bands x group_salt) rows) fits a worker — scale
+    ``group_salt`` with the corpus.  Output: id1 < id2 candidate pairs
+    (verify Jaccard downstream)."""
     from ..util import default_pool_size
 
     banded = ds.map_batches(
@@ -194,19 +213,38 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=
         concurrency=concurrency if concurrency is not None else default_pool_size(),
     )
 
+    def add_salt(b: pa.Table) -> pa.Table:
+        salt = (b["band_hash"].to_numpy(zero_copy_only=False) % np.uint64(group_salt)).astype(np.int64)
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = banded.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
     def pairs(g):
         import pandas as pd
 
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id1": [], "id2": []})
-        if len(ids) > 1000:  # degenerate giant bucket: skip, but LOUDLY
-            _log_bucket_drop("minhash_candidate_pairs", len(ids), 1000)
-            return pd.DataFrame({"id1": [], "id2": []})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id1": ids[ii], "id2": ids[jj]})
+        ids = g["doc_id"].to_numpy()
+        hashes = g["band_hash"].to_numpy()
+        order = np.lexsort((ids, hashes))
+        starts, ends = _bucket_runs(hashes, order)
+        sids = ids[order]
+        id1s, id2s = [], []
+        counts = ends - starts
+        for ri in np.nonzero(counts >= 2)[0]:
+            n = int(counts[ri])
+            if n > max_bucket:
+                _log_bucket_drop("minhash_candidate_pairs", n, max_bucket)
+                continue
+            run = np.sort(sids[starts[ri] : ends[ri]])
+            ii, jj = np.triu_indices(n, k=1)
+            id1s.append(run[ii])
+            id2s.append(run[jj])
+        if not id1s:
+            return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
+                                 "id2": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"id1": np.concatenate(id1s).astype(np.int64),
+                             "id2": np.concatenate(id2s).astype(np.int64)})
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = salted.groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas")
 
     def dedup_batch(b: pa.Table) -> pa.Table:
         return b.group_by(["id1", "id2"], use_threads=False).aggregate([])
@@ -244,7 +282,9 @@ def jaccard_verify(pairs_df, texts_by_id: dict, shingle_k: int = 5, threshold: f
 
 class SimHash:
     """64-bit SimHash over byte 4-gram hashes; near-dups differ in few bits.
-    Stateless math but kept as a class for parity with the actor pattern."""
+    Vectorized ACROSS the batch: all rows' shingle hashes are expanded to one
+    (S_total, 64) bit matrix and per-row bit votes come from a single
+    ``np.add.reduceat`` over row segments — no python loop over documents."""
 
     def __init__(self, shingle_k: int = 4):
         self.k = shingle_k
@@ -253,21 +293,30 @@ class SimHash:
         shingle_lists = _shingle_hashes(batch["text"], self.k)
         n = len(batch)
         out = np.zeros(n, dtype=np.uint64)
-        for i, sh in enumerate(shingle_lists):
-            if len(sh) == 0:
-                continue
-            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((votes > 0)[::-1]).view(">u8")[0]
+        lens = np.array([len(sh) for sh in shingle_lists], dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            all_sh = np.concatenate([sh for sh in shingle_lists if len(sh)])
+            bits = (
+                (all_sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            ones = np.add.reduceat(bits, starts, axis=0)  # per-row count of 1-bits
+            votes = 2 * ones - lens[nz][:, None]          # ones - zeros
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            out[nz] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
         return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 
-def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4):
+def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4,
+                            group_salt: int = 64, max_bucket: int = 1000):
     """SimHash near-dup: 64-bit signatures banded into ``bands`` 16-bit
     chunks; docs sharing any chunk are candidates (guaranteed to catch all
     pairs with < bands bit flips), verified by exact hamming distance.
+    Groups are salted to ``bands x group_salt`` partitions (see
+    minhash_candidate_pairs for why raw-hash groups don't scale down);
+    pair emission is vectorized run detection within each group.
     Output: id1 < id2, hamming."""
     signed = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -283,10 +332,12 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4):
             out_key.append(chunk)
             out_id.append(ids)
             out_sh.append(sh)
+        key = np.concatenate(out_key)
         return pa.table(
             {
                 "band_id": np.concatenate(out_band),
-                "band_key": np.concatenate(out_key),
+                "band_key": key,
+                "gsalt": (key % np.uint64(group_salt)).astype(np.int64),
                 "doc_id": np.concatenate(out_id),
                 "simhash": np.concatenate(out_sh),
             }
@@ -297,23 +348,36 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4):
     def pairs(g):
         import pandas as pd
 
-        order = np.argsort(g["doc_id"].to_numpy())
-        ids = g["doc_id"].to_numpy()[order]
-        sh = g["simhash"].to_numpy()[order].astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 1000:
-            if len(ids) > 1000:
-                _log_bucket_drop("simhash_candidate_pairs", len(ids), 1000)
+        ids = g["doc_id"].to_numpy()
+        keys = g["band_key"].to_numpy()
+        sh_all = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        starts, ends = _bucket_runs(keys, order)
+        sids, ssh = ids[order], sh_all[order]
+        id1s, id2s, hds = [], [], []
+        counts = ends - starts
+        for ri in np.nonzero(counts >= 2)[0]:
+            n = int(counts[ri])
+            if n > max_bucket:
+                _log_bucket_drop("simhash_candidate_pairs", n, max_bucket)
+                continue
+            run_ids = sids[starts[ri] : ends[ri]]
+            run_sh = ssh[starts[ri] : ends[ri]]
+            ii, jj = np.triu_indices(n, k=1)
+            hd = hamming_distance(run_sh[ii], run_sh[jj])
+            keep = (hd <= max_hamming) & (run_ids[ii] != run_ids[jj])
+            id1s.append(run_ids[ii][keep])
+            id2s.append(run_ids[jj][keep])
+            hds.append(hd[keep])
+        if not id1s:
             return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
                                  "id2": pd.Series([], dtype=np.int64),
                                  "hamming": pd.Series([], dtype=np.int64)})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hd = hamming_distance(sh[ii], sh[jj])
-        keep = (hd <= max_hamming) & (ids[ii] != ids[jj])
-        return pd.DataFrame({"id1": ids[ii][keep].astype(np.int64),
-                             "id2": ids[jj][keep].astype(np.int64),
-                             "hamming": hd[keep].astype(np.int64)})
+        return pd.DataFrame({"id1": np.concatenate(id1s).astype(np.int64),
+                             "id2": np.concatenate(id2s).astype(np.int64),
+                             "hamming": np.concatenate(hds).astype(np.int64)})
 
-    cand = banded.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pandas")
+    cand = banded.groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas")
 
     def dedup_batch(b: pa.Table) -> pa.Table:
         return b.group_by(["id1", "id2"], use_threads=False).aggregate([("hamming", "min")]).rename_columns(["id1", "id2", "hamming"])
@@ -509,10 +573,12 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     )
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a, b)
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    """Vectorized 64-bit hamming distance via a byte popcount LUT (8 table
+    gathers per word instead of 64 shift-mask rounds)."""
+    x = np.ascontiguousarray(np.bitwise_xor(a, b))
+    by = x.view(np.uint8).reshape(x.shape + (8,))
+    return _POPCNT8[by].sum(axis=-1, dtype=np.int64)
