@@ -1,13 +1,17 @@
 """Multimodal (image/audio/video) stages over opaque binary columns.
 
 Media payloads are ``binary`` columns + typed metadata (media_type, width,
-height, sample_rate...).  Decode / resize / feature-extract / frame-sample are
-actor-pool map_batches stages; the image/audio codec libraries are NOT in this
-container, so the codec call sites are stubbed behind ``DecodeBackend``:
-``FakeDecodeBackend`` produces deterministic arrays (shape derived from the
-payload hash) so the Ray-side plumbing — schema, batch shaping, actor
-signature, output layout — is real and tested; ``RealDecodeBackend`` raises
-NotImplementedError with the dependency note.
+height, sample_rate...).  Decode / resize / feature-extract / frame-sample
+are actor-pool map_batches stages behind a pluggable ``DecodeBackend``:
+
+- ``StdlibDecodeBackend`` — REAL decoding, zero dependencies: PPM/BMP/PNG
+  images and PCM WAV audio via ``functions/codecs.py`` (struct+zlib+wave).
+  The default for actual media payloads.
+- ``FakeDecodeBackend`` — deterministic arrays derived from the payload
+  hash; used for plumbing tests over synthetic (non-media) payloads.
+- ``RealDecodeBackend`` — the deploy-time slot for exotic formats
+  (JPEG/MP3/video) whose codec libs (Pillow/libsndfile/PyAV) are not in
+  this container; raises with the dependency note.
 """
 
 from __future__ import annotations
@@ -34,15 +38,31 @@ class DecodeBackend:
         raise NotImplementedError
 
 
-class RealDecodeBackend(DecodeBackend):
-    """STUB: real codecs (Pillow / libsndfile / PyAV) are not installed in
-    this environment.  Swap in at deploy time; the stage contract is fixed."""
+class StdlibDecodeBackend(DecodeBackend):
+    """Real decoding with stdlib-only codecs: PPM/BMP/PNG images, PCM WAV
+    audio (functions/codecs.py).  Format sniffed from magic bytes."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
-        raise NotImplementedError("image codec not available in this container (install Pillow)")
+        from ..functions.codecs import sniff_and_decode_image
+
+        return sniff_and_decode_image(payload)
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
-        raise NotImplementedError("audio codec not available in this container (install soundfile)")
+        from ..functions.codecs import sniff_and_decode_audio
+
+        return sniff_and_decode_audio(payload)
+
+
+class RealDecodeBackend(DecodeBackend):
+    """Deploy-time slot for formats beyond the stdlib codecs (JPEG/MP3/
+    video): Pillow / libsndfile / PyAV are not installed in this container.
+    The stage contract is fixed; swap in at deploy time."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError("JPEG/exotic image codecs not available (install Pillow)")
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError("MP3/exotic audio codecs not available (install soundfile)")
 
 
 class FakeDecodeBackend(DecodeBackend):
@@ -145,13 +165,17 @@ class AudioFrameSampler:
         )
 
 
-def extract_image_features(ds, *, concurrency=None, batch_size=256):
+def extract_image_features(ds, *, backend: DecodeBackend | None = None,
+                           concurrency=None, batch_size=256):
     """Feature-extraction pipeline stage: small batches (wide binary rows),
-    actor pool holding the decoder."""
+    actor pool holding the decoder.  Default backend = the real stdlib
+    codecs (PPM/BMP/PNG); pass FakeDecodeBackend() for synthetic payloads or
+    RealDecodeBackend() at deploy time for exotic formats."""
     from ..util import default_pool_size
 
     return ds.map_batches(
         ImageFeatureExtractor,
+        fn_constructor_kwargs={"backend": backend or StdlibDecodeBackend()},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -159,11 +183,13 @@ def extract_image_features(ds, *, concurrency=None, batch_size=256):
     )
 
 
-def sample_audio_frames(ds, *, concurrency=None, batch_size=256):
+def sample_audio_frames(ds, *, backend: DecodeBackend | None = None,
+                        concurrency=None, batch_size=256):
     from ..util import default_pool_size
 
     return ds.map_batches(
         AudioFrameSampler,
+        fn_constructor_kwargs={"backend": backend or StdlibDecodeBackend()},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -157,17 +157,20 @@ def test_multimodal_image_features(ray_session):
     import ray.data as rd
 
     from geotrellis_contrib_ray.stages.multimodal import (
+        FakeDecodeBackend,
         extract_image_features,
         synth_media_table,
     )
 
+    # synthetic (non-media) payloads: the deterministic Fake backend tests
+    # the plumbing; real formats go through StdlibDecodeBackend (test_codecs)
     t = synth_media_table([f"media://b/{i}" for i in range(50)])
-    out = extract_image_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    out = extract_image_features(rd.from_arrow(t), backend=FakeDecodeBackend(), concurrency=2).to_pandas()
     assert len(out) == 50
     assert set(out.columns) == {"media_ref", "width", "height", "features"}
     assert all(len(f) == 8 * 8 * 3 for f in out["features"])
     # deterministic across runs
-    out2 = extract_image_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    out2 = extract_image_features(rd.from_arrow(t), backend=FakeDecodeBackend(), concurrency=2).to_pandas()
     a = out.sort_values("media_ref").reset_index(drop=True)
     b = out2.sort_values("media_ref").reset_index(drop=True)
     assert (a["width"] == b["width"]).all()
@@ -177,10 +180,14 @@ def test_multimodal_image_features(ray_session):
 def test_multimodal_audio_frames(ray_session):
     import ray.data as rd
 
-    from geotrellis_contrib_ray.stages.multimodal import sample_audio_frames, synth_media_table
+    from geotrellis_contrib_ray.stages.multimodal import (
+        FakeDecodeBackend,
+        sample_audio_frames,
+        synth_media_table,
+    )
 
     t = synth_media_table([f"media://a/{i}" for i in range(20)], media_type="audio")
-    out = sample_audio_frames(rd.from_arrow(t), concurrency=2).to_pandas()
+    out = sample_audio_frames(rd.from_arrow(t), backend=FakeDecodeBackend(), concurrency=2).to_pandas()
     assert len(out) == 20
     assert (out["n_frames"] > 0).all()
     assert all(len(e) == n for e, n in zip(out["frame_energy"], out["n_frames"]))
