@@ -648,6 +648,67 @@ def q_raster_pyramid(sf_dir: str):
     return rst.summarize_tiles(level1, nodata_aware=True, include_dims=False)
 
 
+def q_media_image_decode(sf_dir: str):
+    """Multimodal oracle: REAL image decode (stdlib PNG/BMP/PPM codecs)
+    through the feature-extractor actor pool — decoded dims must match the
+    deterministic generator formulas the DuckDB oracle replays.  Payload
+    format rotates PNG/BMP/PPM by index to exercise magic-byte sniffing."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.functions import codecs
+    from geotrellis_contrib_ray.stages import multimodal as mm
+
+    n = 64
+    encs = [codecs.encode_png, codecs.encode_bmp, codecs.encode_ppm]
+    refs, payloads = [], []
+    for i in range(n):
+        h = 16 + (i % 17)
+        w = 16 + ((i * 7) % 19)
+        col = np.arange(w, dtype=np.int64)[None, :]
+        row = np.arange(h, dtype=np.int64)[:, None]
+        px = ((row * w + col) % 256).astype(np.uint8)
+        img = np.repeat(px[:, :, None], 3, axis=2)
+        refs.append(f"img{i:03d}")
+        payloads.append(encs[i % 3](img))
+    t = pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = _rd().from_arrow(t)
+    out = mm.extract_image_features(ds, batch_size=16)
+    return out.select_columns(["media_ref", "width", "height"])
+
+
+def q_media_audio_frames(sf_dir: str):
+    """Multimodal oracle: REAL PCM WAV decode through the frame sampler —
+    frame counts must match the sample-count formula the oracle replays."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.functions import codecs
+    from geotrellis_contrib_ray.stages import multimodal as mm
+
+    n = 32
+    refs, payloads = [], []
+    for i in range(n):
+        samples = 1000 + 37 * i
+        tt = np.arange(samples, dtype=np.float64)
+        wav = (0.25 * np.sin(2 * np.pi * tt * (i + 1) / 128.0)).astype(np.float32)
+        refs.append(f"aud{i:03d}")
+        payloads.append(codecs.encode_wav(wav, 16000))
+    t = pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = _rd().from_arrow(t)
+    return mm.sample_audio_frames(ds, batch_size=8).select_columns(["media_ref", "n_frames"])
+
+
 def entry() -> Any:
     """Flagship interleaved-corpus pipeline on sf0.001."""
     from geotrellis_contrib_ray.pipelines.flagship import flagship
@@ -692,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_convert": q_raster_convert,
         "raster_mosaic": q_raster_mosaic,
         "raster_pyramid": q_raster_pyramid,
+        "media_image_decode": q_media_image_decode,
+        "media_audio_frames": q_media_audio_frames,
     }
 
 
@@ -971,6 +1034,18 @@ SELECT CAST(floor(col / {2 * T}) AS BIGINT) AS tile_col,
        CAST(sum(v) AS BIGINT) AS pixel_sum,
        count(*) AS n_valid
 FROM cells WHERE row % 2 = 0 AND col % 2 = 0 GROUP BY 1, 2"""
+
+    # --- multimodal: decoded dims / frame counts vs the generator formulas --
+    sql["media_image_decode"] = """
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
+       CAST(16 + (i * 7) % 19 AS INTEGER) AS width,
+       CAST(16 + i % 17 AS INTEGER) AS height
+FROM generate_series(0, 63) AS t(i)"""
+
+    sql["media_audio_frames"] = """
+SELECT 'aud' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
+       CAST(floor((1000 + 37 * i) / 256) AS INTEGER) AS n_frames
+FROM generate_series(0, 31) AS t(i)"""
 
     # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
     # (float-summation order / regex semantics not bit-reproducible in SQL);
