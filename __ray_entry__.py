@@ -587,6 +587,27 @@ def q_raster_tile_read(sf_dir: str):
     return rst.summarize_tiles(tiles, nodata_aware=False)
 
 
+def q_raster_stride_windows(sf_dir: str):
+    """The reference's benchmark workload as an oracle query
+    (GeotrellisRasterSourceBench.scala:32-43: FloatingLayoutScheme(256) keys
+    row-major, every 5th key, take 100, read each window): stride-sampled
+    tile reads of the real GeoTIFF with per-window checksums."""
+    from geotrellis_contrib_ray.sources.tiff import TiffRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    _, layout = _raster_layout()
+    src = TiffRasterSource(_raster_tiff_path())
+    ncols = layout.layout_cols
+
+    # row-major key index stride (O1) applied to the REQUESTS — unsampled
+    # windows are never read, matching the reference's take-then-read order
+    def every_5th(cols, rows):
+        return (rows * ncols + cols) % 5 == 0
+
+    sampled = rst.tile_dataset([src], layout, key_filter=every_5th)
+    return rst.summarize_tiles(sampled, nodata_aware=False)
+
+
 def q_raster_convert(sf_dir: str):
     """T6 oracle: cell-type conversion (int16 -> uint8 two's-complement wrap)
     over the tile table; checksums of the converted pixels."""
@@ -750,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "quality_scores": q_quality_scores,
         "raster_tile_read": q_raster_tile_read,
+        "raster_stride_windows": q_raster_stride_windows,
         "raster_convert": q_raster_convert,
         "raster_mosaic": q_raster_mosaic,
         "raster_pyramid": q_raster_pyramid,
@@ -1018,6 +1040,12 @@ WITH {raster_cells_cte()},
     sql["raster_convert"] = f"""
 WITH {raster_cells_cte()},
 {_tile_rollup.format(vexpr="v % 256")}"""
+
+    _ncols_layout = -(-RASTER_COLS // T)
+    sql["raster_stride_windows"] = f"""
+WITH {raster_cells_cte()},
+{_tile_rollup.format(vexpr="v")}
+WHERE (tile_row * {_ncols_layout} + tile_col) % 5 = 0"""
 
     sql["raster_mosaic"] = f"""
 WITH {mosaic_cells_cte()}

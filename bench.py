@@ -53,6 +53,36 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _bench_tiff_windows(n: int = 5888, tile: int = 256):
+    """The reference's JMH workload (GeotrellisRasterSourceBench.scala:24-50):
+    100 windowed reads of a real GeoTIFF — every 5th SpatialKey of a
+    FloatingLayoutScheme(256) layout, take 100 — through the WindowReader
+    actor pool.  File generated once under /tmp (deflate-tiled, int16)."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.celltype import CellType
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent, LayoutDefinition
+    from geotrellis_contrib_ray.sources.tiff import TiffRasterSource, write_tiff
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    path = f"/tmp/graft_raster_cache/bench_{n}.tif"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/graft_raster_cache", exist_ok=True)
+        grid = GridExtent(Extent(0.0, 0.0, n * 10.0, n * 10.0), 10.0, 10.0, n, n)
+        cg = np.arange(n, dtype=np.int64)[:, None] * n + np.arange(n)
+        write_tiff(path, (cg % 32768).astype(np.int16)[None], grid,
+                   cell_type=CellType("int16", -32768.0))
+    src = TiffRasterSource(path)
+    layout = LayoutDefinition.floating(src.grid, tile)
+    ncols = layout.layout_cols
+
+    def every_5th_take_100(cols, rows):
+        idx = rows * ncols + cols
+        return (idx % 5 == 0) & (idx // 5 < 100)
+
+    return rst.tile_dataset([src], layout, key_filter=every_5th_take_100).count()
+
+
 def _consume(res) -> int:
     """Materialize a result to row count without holding blocks."""
     if hasattr(res, "count"):
@@ -106,6 +136,10 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             _consume(qs[name](SF_DIR))
             qtimes[name] = round(time.perf_counter() - t0, 3)
+        # reference JMH workload: 100 windowed GeoTIFF reads (warm file cache,
+        # min of 2 — JMH also reports steady state)
+        _bench_tiff_windows()
+        qtimes["tiff_windows_100"] = round(min(_timed(_bench_tiff_windows) for _ in range(2)), 3)
 
     ray.shutdown()
     return {

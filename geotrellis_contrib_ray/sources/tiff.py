@@ -44,7 +44,10 @@ T_IMAGE_LENGTH = 257
 T_BITS_PER_SAMPLE = 258
 T_COMPRESSION = 259
 T_PHOTOMETRIC = 262
+T_STRIP_OFFSETS = 273
 T_SAMPLES_PER_PIXEL = 277
+T_ROWS_PER_STRIP = 278
+T_STRIP_BYTE_COUNTS = 279
 T_PLANAR_CONFIG = 284
 T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
@@ -87,11 +90,15 @@ def _epsg_of(crs) -> int:
 
 def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:4326",
                cell_type: CellType | None = None, tile_size: int = 256,
-               compression: str = "deflate", overview_levels: tuple = ()) -> str:
-    """Write (bands, rows, cols) pixels as a tiled little-endian GeoTIFF.
+               compression: str = "deflate", overview_levels: tuple = (),
+               layout: str = "tiled") -> str:
+    """Write (bands, rows, cols) pixels as a little-endian GeoTIFF.
 
-    ``overview_levels`` adds reduced-resolution IFDs (nearest 1/f decimation)
-    chained after the base image — the COG-style file-native pyramid."""
+    ``layout="tiled"`` (default) writes ``tile_size`` square tiles;
+    ``"striped"`` writes classic strips of ``tile_size`` rows (last strip
+    short).  ``overview_levels`` adds reduced-resolution IFDs (nearest 1/f
+    decimation) chained after the base image — the COG-style file-native
+    pyramid."""
     if pixels.ndim == 2:
         pixels = pixels[None]
     bands, rows, cols = pixels.shape
@@ -99,6 +106,7 @@ def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:432
         cell_type = CellType(pixels.dtype.name, None)
     comp_code = {"none": 1, "deflate": 8}[compression]
     dtype = np.dtype(cell_type.dtype).newbyteorder("<")
+    striped = layout == "striped"
 
     buf = bytearray(b"II*\x00\x00\x00\x00\x00")  # header; IFD0 offset patched
 
@@ -108,23 +116,38 @@ def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:432
 
     def emit_level(px: np.ndarray, g: GridExtent, is_overview: bool, next_ptr_pos_holder: list):
         bands_, rows_, cols_ = px.shape
-        ntx = -(-cols_ // tile_size)
-        nty = -(-rows_ // tile_size)
         offsets, counts = [], []
-        for ty in range(nty):
-            for tx in range(ntx):
-                tile = np.zeros((tile_size, tile_size, bands_), dtype=dtype)
-                r0, c0 = ty * tile_size, tx * tile_size
+        if striped:
+            nstrips = -(-rows_ // tile_size)
+            for si in range(nstrips):
+                r0 = si * tile_size
                 h = min(tile_size, rows_ - r0)
-                w = min(tile_size, cols_ - c0)
-                tile[:h, :w, :] = np.moveaxis(px[:, r0 : r0 + h, c0 : c0 + w], 0, -1)
-                raw = tile.tobytes()
+                raw = np.ascontiguousarray(
+                    np.moveaxis(px[:, r0 : r0 + h, :], 0, -1).astype(dtype)
+                ).tobytes()
                 if comp_code == 8:
                     raw = zlib.compress(raw, 6)
                 align()
                 offsets.append(len(buf))
                 counts.append(len(raw))
                 buf.extend(raw)
+        else:
+            ntx = -(-cols_ // tile_size)
+            nty = -(-rows_ // tile_size)
+            for ty in range(nty):
+                for tx in range(ntx):
+                    tile = np.zeros((tile_size, tile_size, bands_), dtype=dtype)
+                    r0, c0 = ty * tile_size, tx * tile_size
+                    h = min(tile_size, rows_ - r0)
+                    w = min(tile_size, cols_ - c0)
+                    tile[:h, :w, :] = np.moveaxis(px[:, r0 : r0 + h, c0 : c0 + w], 0, -1)
+                    raw = tile.tobytes()
+                    if comp_code == 8:
+                        raw = zlib.compress(raw, 6)
+                    align()
+                    offsets.append(len(buf))
+                    counts.append(len(raw))
+                    buf.extend(raw)
 
         # tag payloads: (tag, type, values)
         sf, bits = _DTYPE_TO_SF[cell_type.dtype]
@@ -137,12 +160,21 @@ def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:432
             (T_PHOTOMETRIC, FT_SHORT, [1]),
             (T_SAMPLES_PER_PIXEL, FT_SHORT, [bands_]),
             (T_PLANAR_CONFIG, FT_SHORT, [1]),
-            (T_TILE_WIDTH, FT_LONG, [tile_size]),
-            (T_TILE_LENGTH, FT_LONG, [tile_size]),
-            (T_TILE_OFFSETS, FT_LONG, offsets),
-            (T_TILE_BYTE_COUNTS, FT_LONG, counts),
             (T_SAMPLE_FORMAT, FT_SHORT, [sf] * bands_),
         ]
+        if striped:
+            entries += [
+                (T_STRIP_OFFSETS, FT_LONG, offsets),
+                (T_ROWS_PER_STRIP, FT_LONG, [tile_size]),
+                (T_STRIP_BYTE_COUNTS, FT_LONG, counts),
+            ]
+        else:
+            entries += [
+                (T_TILE_WIDTH, FT_LONG, [tile_size]),
+                (T_TILE_LENGTH, FT_LONG, [tile_size]),
+                (T_TILE_OFFSETS, FT_LONG, offsets),
+                (T_TILE_BYTE_COUNTS, FT_LONG, counts),
+            ]
         if not is_overview:
             e = g.extent
             epsg = _epsg_of(crs)
@@ -202,15 +234,24 @@ def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:432
 
 
 class _TiffLevel:
-    """One parsed IFD: enough to decode any tile."""
+    """One parsed IFD: enough to decode any tile (or strip — a strip is
+    treated as a full-width tile of RowsPerStrip rows; the last strip is
+    short, not padded)."""
 
     def __init__(self, tags: dict, data: bytes, endian: str):
         self.width = tags[T_IMAGE_WIDTH][0]
         self.height = tags[T_IMAGE_LENGTH][0]
-        self.tile_w = tags[T_TILE_WIDTH][0]
-        self.tile_h = tags[T_TILE_LENGTH][0]
-        self.offsets = tags[T_TILE_OFFSETS]
-        self.counts = tags[T_TILE_BYTE_COUNTS]
+        self.striped = T_TILE_OFFSETS not in tags
+        if self.striped:
+            self.tile_w = self.width
+            self.tile_h = tags.get(T_ROWS_PER_STRIP, [self.height])[0]
+            self.offsets = tags[T_STRIP_OFFSETS]
+            self.counts = tags[T_STRIP_BYTE_COUNTS]
+        else:
+            self.tile_w = tags[T_TILE_WIDTH][0]
+            self.tile_h = tags[T_TILE_LENGTH][0]
+            self.offsets = tags[T_TILE_OFFSETS]
+            self.counts = tags[T_TILE_BYTE_COUNTS]
         self.compression = tags.get(T_COMPRESSION, [1])[0]
         self.spp = tags.get(T_SAMPLES_PER_PIXEL, [1])[0]
         bits = tags[T_BITS_PER_SAMPLE][0]
@@ -224,14 +265,18 @@ class _TiffLevel:
             raise ValueError("only PlanarConfiguration=1 (chunky) is supported")
 
     def decode_tile(self, ti: int) -> np.ndarray:
-        """-> (spp, tile_h, tile_w) pixel block."""
+        """-> (spp, h, tile_w) pixel block; h < tile_h only for a short last
+        strip (tiled layouts are edge-padded to full size)."""
         raw = self._data[self.offsets[ti] : self.offsets[ti] + self.counts[ti]]
         if self.compression == 8:
             raw = zlib.decompress(raw)
         elif self.compression != 1:
             raise ValueError(f"unsupported TIFF compression {self.compression}")
-        arr = np.frombuffer(raw, dtype=self.dtype, count=self.tile_h * self.tile_w * self.spp)
-        return np.moveaxis(arr.reshape(self.tile_h, self.tile_w, self.spp), -1, 0)
+        h = self.tile_h
+        if self.striped:
+            h = min(self.tile_h, self.height - ti * self.tile_h)
+        arr = np.frombuffer(raw, dtype=self.dtype, count=h * self.tile_w * self.spp)
+        return np.moveaxis(arr.reshape(h, self.tile_w, self.spp), -1, 0)
 
 
 def _parse_tiff(data: bytes) -> tuple[list[_TiffLevel], dict]:
@@ -260,8 +305,8 @@ def _parse_tiff(data: bytes) -> tuple[list[_TiffLevel], dict]:
                 (voff,) = struct.unpack(endian + "I", raw)
                 vals = struct.unpack_from(endian + str(cnt) + _FT_FMT[ft], data, voff)
             tags[tag] = list(vals)
-        if T_TILE_OFFSETS not in tags:
-            raise ValueError("only tiled TIFFs are supported (no strip layout)")
+        if T_TILE_OFFSETS not in tags and T_STRIP_OFFSETS not in tags:
+            raise ValueError("TIFF has neither tile nor strip offsets")
         levels.append(_TiffLevel(tags, data, endian))
         if tags0 is None:
             tags0 = tags

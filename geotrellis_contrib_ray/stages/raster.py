@@ -96,7 +96,8 @@ class WindowReader:
         return pa.Table.from_pylist(out, schema=TILE_SCHEMA)
 
 
-def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concurrency=None, bands=None):
+def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concurrency=None,
+                 bands=None, key_filter=None):
     """RasterSourceRDD.read analog (CHANGELOG.md:71,85): enumerate layout keys
     intersecting each source (row-major, J4), fan the (src, key) request table
     through a WindowReader actor pool -> tile-row Dataset."""
@@ -121,8 +122,11 @@ def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concu
         sid_out, col_out, row_out = [], [], []
         for sid in batch["src_id"].to_numpy(zero_copy_only=False):
             keys = layout.keys_for_extent(srcs[sid].extent)
-            sid_out.append(np.full(len(keys), sid, dtype=np.int32))
             arr = np.asarray(keys, dtype=np.int64).reshape(len(keys), 2)
+            if key_filter is not None:
+                # prune REQUESTS, not tiles: filtered windows are never read
+                arr = arr[key_filter(arr[:, 0], arr[:, 1])]
+            sid_out.append(np.full(len(arr), sid, dtype=np.int32))
             col_out.append(arr[:, 0])
             row_out.append(arr[:, 1])
         return pa.table(

@@ -158,3 +158,35 @@ def test_tile_dataset_reads_tiff_windows(ray_session, tmp_path):
     for c in ["tile_col", "tile_row", "cols", "rows", "xmin", "ymax"]:
         assert got[c].tolist() == exp[c].tolist()
     assert all(a == b for a, b in zip(got["pixels"], exp["pixels"]))
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+def test_striped_layout_roundtrip(tmp_path, compression):
+    """Strip-organized TIFF (RowsPerStrip, short last strip): windowed reads
+    byte-equal to the in-memory oracle."""
+    grid = _grid(300, 250)
+    px = _pixels(grid)
+    ct = CellType("int16", -32768.0)
+    path = str(tmp_path / f"strip_{compression}.tif")
+    write_tiff(path, px, grid, cell_type=ct, compression=compression,
+               layout="striped", tile_size=64)
+    src = TiffRasterSource(path)
+    mem = InMemoryRasterSource(px, grid, "EPSG:4326", ct)
+    assert src.dimensions == (300, 250)
+    for gb in [GridBounds(0, 0, 299, 249),      # full (incl. short last strip)
+               GridBounds(10, 60, 200, 70),     # crosses a strip boundary
+               GridBounds(0, 192, 299, 249)]:   # ends in the short strip
+        got = src.read_bounds(gb)
+        exp = mem.read_bounds(gb)
+        np.testing.assert_array_equal(got.pixels, exp.pixels)
+
+
+def test_striped_multiband(tmp_path):
+    grid = _grid(100, 90, 5.0)
+    px = _pixels(grid, bands=2)
+    path = str(tmp_path / "strip_mb.tif")
+    write_tiff(path, px, grid, layout="striped", tile_size=32)
+    src = TiffRasterSource(path)
+    assert src.band_count == 2
+    full = src.read()
+    np.testing.assert_array_equal(full.pixels, px)
