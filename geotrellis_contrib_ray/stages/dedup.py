@@ -431,35 +431,45 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     texts = ds.select_columns(["doc_id", "text"])
     attached = bucketed_hash_join(probes, texts, on="doc_id")
 
-    def jac(g):
+    # final verify: pairs grouped by a SALT of the pair key (bounded group
+    # count — one map_groups call per pair would pay per-group overhead for
+    # every candidate), each group verifying its pairs with python set
+    # jaccard (texts are short; the candidate set is the small side)
+    def add_pair_salt(b: pa.Table) -> pa.Table:
+        id1 = b["id1"].to_numpy(zero_copy_only=False)
+        id2 = b["id2"].to_numpy(zero_copy_only=False)
+        salt = ((id1 * np.int64(31) + id2) * np.int64(2654435761)) % 256
+        return b.append_column("psalt", pa.array(salt))
+
+    salted = attached.map_batches(add_pair_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def jac_group(g):
         import pandas as pd
 
-        empty = pd.DataFrame(
-            {
-                "id1": pd.Series([], dtype=np.int64),
-                "id2": pd.Series([], dtype=np.int64),
-                "jaccard": pd.Series([], dtype=np.float64),
-            }
-        )
-        t0 = g[g["slot"] == 0]["text"]
-        t1 = g[g["slot"] == 1]["text"]
-        if len(t0) == 0 or len(t1) == 0:
-            return empty
-        ta, tc = t0.iloc[0], t1.iloc[0]
-        sa = {ta[j : j + shingle_k] for j in range(max(0, len(ta) - shingle_k + 1))}
-        sc = {tc[j : j + shingle_k] for j in range(max(0, len(tc) - shingle_k + 1))}
-        j = len(sa & sc) / max(1, len(sa | sc))
-        if j < threshold:
-            return empty
+        def shingles(t):
+            return {t[j : j + shingle_k] for j in range(max(0, len(t) - shingle_k + 1))}
+
+        out_id1, out_id2, out_j = [], [], []
+        for (i1, i2), sub in g.groupby(["id1", "id2"], sort=True):
+            t0 = sub[sub["slot"] == 0]["text"]
+            t1 = sub[sub["slot"] == 1]["text"]
+            if len(t0) == 0 or len(t1) == 0:
+                continue
+            sa, sc = shingles(t0.iloc[0]), shingles(t1.iloc[0])
+            j = len(sa & sc) / max(1, len(sa | sc))
+            if j >= threshold:
+                out_id1.append(np.int64(i1))
+                out_id2.append(np.int64(i2))
+                out_j.append(np.float64(j))
         return pd.DataFrame(
             {
-                "id1": [np.int64(g["id1"].iloc[0])],
-                "id2": [np.int64(g["id2"].iloc[0])],
-                "jaccard": [np.float64(j)],
+                "id1": pd.Series(out_id1, dtype=np.int64),
+                "id2": pd.Series(out_id2, dtype=np.int64),
+                "jaccard": pd.Series(out_j, dtype=np.float64),
             }
         )
 
-    return attached.groupby(["id1", "id2"]).map_groups(jac, batch_format="pandas")
+    return salted.groupby("psalt").map_groups(jac_group, batch_format="pandas")
 
 
 class MultiBandHyperplaneLSH:

@@ -360,8 +360,14 @@ def sparse_stitch(tile_rows: list[dict], cell_type: CellType | None = None) -> R
 
 
 def write_tiles(tiles_ds, path: str, partition_key: str | None = None):
-    """S7: resumable tile sink — partitioned parquet, one dir per key range."""
-    tiles_ds.write_parquet(path)
+    """S7: resumable tile sink — partitioned parquet.  With ``partition_key``
+    (e.g. "tile_col" or a precomputed zoom/key-range column) output lands in
+    one directory per key value, so a failed run resumes by skipping
+    completed partitions; never one giant file."""
+    if partition_key is not None:
+        tiles_ds.write_parquet(path, partition_cols=[partition_key])
+    else:
+        tiles_ds.write_parquet(path)
     return path
 
 

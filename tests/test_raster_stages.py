@@ -109,6 +109,17 @@ def test_write_tiles_resumable_layout(ray_session, tmp_path):
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert total == 9  # 3x3 512px layout
 
+    # partitioned variant: one directory per tile_col (resumable layout)
+    tiles2 = rst.tile_dataset([src], layout, concurrency=2)
+    out2 = rst.write_tiles(tiles2, str(tmp_path / "tiles_part"), partition_key="tile_col")
+    part_dirs = sorted(glob.glob(f"{out2}/tile_col=*"))
+    assert len(part_dirs) == 3
+    total2 = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out2}/**/*.parquet", recursive=True)
+    )
+    assert total2 == 9
+
 
 def test_sparse_stitch(ray_session):
     # stitch 3 of 4 tiles of a 2x2 layout: gap stays nodata
