@@ -669,6 +669,40 @@ def q_raster_pyramid(sf_dir: str):
     return rst.summarize_tiles(level1, nodata_aware=True, include_dims=False)
 
 
+def q_pack_sequences(sf_dir: str):
+    """LLM sequence packing: docs assigned to fixed-512-token training
+    sequences by GLOBAL cumulative token count in id order (distributed
+    two-level prefix sum; DuckDB window-cumsum oracle)."""
+    from geotrellis_contrib_ray.stages.pack import pack_sequences
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, budget=512)
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic hash-stratified train/val/test split, rolled up to
+    per-split doc counts + char sums (pure narrow map; integer-hash oracle)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from geotrellis_contrib_ray.stages.pack import train_val_test_split
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    tagged = train_val_test_split(ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["split", "n_chars", "doc_id"]).group_by("split", use_threads=False).aggregate(
+            [("n_chars", "sum"), ("doc_id", "count")]
+        )
+        return g.rename_columns(["split", "pchars", "pcnt"])
+
+    part = tagged.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return part.groupby("split").aggregate(
+        Sum("pchars", alias_name="sum_chars"), Sum("pcnt", alias_name="n_docs")
+    )
+
+
 def q_media_image_decode(sf_dir: str):
     """Multimodal oracle: REAL image decode (stdlib PNG/BMP/PPM codecs)
     through the feature-extractor actor pool — decoded dims must match the
@@ -777,6 +811,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_pyramid": q_raster_pyramid,
         "media_image_decode": q_media_image_decode,
         "media_audio_frames": q_media_audio_frames,
+        "pack_sequences": q_pack_sequences,
+        "train_split": q_train_split,
     }
 
 
@@ -1062,6 +1098,28 @@ SELECT CAST(floor(col / {2 * T}) AS BIGINT) AS tile_col,
        CAST(sum(v) AS BIGINT) AS pixel_sum,
        count(*) AS n_valid
 FROM cells WHERE row % 2 = 0 AND col % 2 = 0 GROUP BY 1, 2"""
+
+    # --- training-data assembly ---------------------------------------------
+    from geotrellis_contrib_ray.stages.pack import SPLIT_A, SPLIT_MOD, SPLIT_P
+
+    sql["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS seq_id
+FROM t"""
+
+    sql["train_split"] = f"""
+SELECT CASE WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < 10 THEN 'test'
+            WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < 20 THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(*) AS n_docs
+FROM documents GROUP BY 1"""
 
     # --- multimodal: decoded dims / frame counts vs the generator formulas --
     sql["media_image_decode"] = """

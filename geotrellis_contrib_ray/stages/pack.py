@@ -1,0 +1,123 @@
+"""Training-data assembly ops: deterministic sequence packing and
+hash-stratified dataset splits.
+
+``pack_sequences`` assigns each document to a fixed-token-budget training
+sequence by GLOBAL cumulative token count in doc_id order — the classic
+LLM-pretraining packing layout, made deterministic (hence oracle-checkable)
+by ordering on doc_id.  Distributed shape: a two-level prefix sum —
+
+  1. per-chunk token totals (chunk = doc_id // chunk_size) via one partial
+     aggregation + tiny groupby: n/chunk_size rows;
+  2. chunk prefix offsets on the driver (broadcast via closure — at 10^12
+     docs this level itself becomes a dataset and the same two steps recurse
+     one level up; the chunk table is 1/chunk_size the corpus);
+  3. per-chunk groupby: within-chunk cumsum + broadcast offset -> seq_id.
+
+``train_val_test_split`` tags each doc by a deterministic integer hash of
+its id — pure map, no shuffle, reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# split-hash constants (shared with the SQL oracle).  The id is reduced mod
+# SPLIT_P BEFORE multiplying so the product stays < 2^52 — identical exact
+# integer arithmetic in numpy and SQL even at 10^12-scale ids (a raw
+# id * A would overflow int64: numpy wraps silently, SQL errors).
+SPLIT_P = 1000003
+SPLIT_A = 2654435761
+SPLIT_MOD = 100
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count (single-space convention — the same expression
+    as text.add_token_stats / its SQL twin)."""
+    n_tokens = pc.add(pc.count_substring(batch[text_col], " "), 1)
+    return batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+
+
+def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "text",
+                   chunk_size: int = 4096):
+    """-> (doc_id, n_tokens, seq_id): seq_id = floor(presum / budget) where
+    presum is the total token count of all lower-id docs.
+
+    A document whose tokens straddle a budget boundary belongs to the
+    sequence its FIRST token lands in (documents are not split — the
+    convention that keeps the op a pure assignment).  Partitioning
+    assumption: one chunk (chunk_size docs) fits a worker."""
+    import ray
+
+    with_tok = ds.map_batches(
+        lambda b: add_token_count(b, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def add_chunk(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("chunk", pa.array(ids // chunk_size))
+
+    chunked = with_tok.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    # level 1: per-chunk totals (partial per batch, tiny final groupby)
+    def chunk_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["chunk", "n_tokens"]).group_by("chunk", use_threads=False).aggregate(
+            [("n_tokens", "sum")]
+        )
+        return g.rename_columns(["chunk", "ptok"])
+
+    from ray.data.aggregate import Sum
+
+    chunk_tot = (
+        chunked.map_batches(chunk_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("chunk")
+        .aggregate(Sum("ptok", alias_name="chunk_tokens"))
+        .to_pandas()
+    )
+    chunk_tot = chunk_tot.sort_values("chunk").reset_index(drop=True)
+    prefix = np.concatenate([[0], np.cumsum(chunk_tot["chunk_tokens"].to_numpy())[:-1]])
+    offsets_ref = ray.put(
+        dict(zip(chunk_tot["chunk"].astype(np.int64).tolist(), prefix.astype(np.int64).tolist()))
+    )
+
+    # level 2: within-chunk cumsum + broadcast chunk offset
+    def assign(g):
+        import pandas as pd
+        import ray as _ray
+
+        offs = _ray.get(offsets_ref)
+        g = g.sort_values(id_col, kind="mergesort")
+        tok = g["n_tokens"].to_numpy(dtype=np.int64)
+        presum = int(offs[int(g["chunk"].iloc[0])]) + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "n_tokens": tok,
+                "seq_id": (presum // budget).astype(np.int64),
+            }
+        )
+
+    return chunked.groupby("chunk").map_groups(assign, batch_format="pandas")
+
+
+def train_val_test_split(ds, id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10):
+    """Deterministic hash split: bucket = ((id % SPLIT_P) * SPLIT_A) % 100; buckets
+    [0, test_pct) -> test, [test_pct, test_pct+val_pct) -> val, rest train.
+    Pure narrow map — reproducible across engines (integer arithmetic only).
+    Output: input columns + split:string."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((ids % SPLIT_P) * np.int64(SPLIT_A)) % SPLIT_MOD
+        split_id = np.where(bucket < test_pct, 0, np.where(bucket < test_pct + val_pct, 1, 2))
+        names = pa.DictionaryArray.from_arrays(
+            pa.array(split_id.astype(np.int32)),
+            pa.array(["test", "val", "train"], pa.string()),
+        ).cast(pa.string())
+        return b.append_column("split", names)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

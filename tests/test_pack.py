@@ -1,0 +1,55 @@
+"""Sequence packing (distributed prefix sum) + hash-stratified splits."""
+
+import numpy as np
+import pyarrow as pa
+
+from geotrellis_contrib_ray.stages.pack import (
+    SPLIT_A,
+    SPLIT_MOD,
+    SPLIT_P,
+    pack_sequences,
+    train_val_test_split,
+)
+
+
+def _docs(n=500, seed=2):
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
+    return pa.table(
+        {"doc_id": np.arange(n, dtype=np.int64), "text": pa.array(texts, pa.string())}
+    )
+
+
+def test_pack_sequences_matches_serial_oracle(ray_session):
+    import ray.data as rd
+
+    t = _docs()
+    # small chunk_size so the global prefix sum crosses MANY chunk boundaries
+    out = (
+        pack_sequences(rd.from_arrow(t), budget=100, chunk_size=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    toks = np.array([s.count(" ") + 1 for s in t["text"].to_pylist()], dtype=np.int64)
+    presum = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    exp_seq = presum // 100
+    assert out["n_tokens"].to_numpy().tolist() == toks.tolist()
+    assert out["seq_id"].to_numpy().tolist() == exp_seq.tolist()
+    # sequences are contiguous id ranges and non-decreasing
+    assert (np.diff(out["seq_id"].to_numpy()) >= 0).all()
+
+
+def test_train_split_deterministic_and_stratified(ray_session):
+    import ray.data as rd
+
+    t = _docs(2000)
+    out = train_val_test_split(rd.from_arrow(t)).to_pandas()
+    bucket = (t["doc_id"].to_numpy() % SPLIT_P) * SPLIT_A % SPLIT_MOD
+    exp = np.where(bucket < 10, "test", np.where(bucket < 20, "val", "train"))
+    assert out.sort_values("doc_id")["split"].tolist() == exp.tolist()
+    frac = (out["split"] == "train").mean()
+    assert 0.7 < frac < 0.9  # ~80% train
+    # rerun identical
+    out2 = train_val_test_split(rd.from_arrow(t)).to_pandas()
+    assert out.sort_values("doc_id")["split"].tolist() == out2.sort_values("doc_id")["split"].tolist()
