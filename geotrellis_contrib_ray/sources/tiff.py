@@ -340,8 +340,15 @@ class TiffRasterSource(RasterSource):
     @property
     def _info(self):
         if self._parsed is None:
-            with open(self.path, "rb") as fh:
-                data = fh.read()
+            # mmap, not read(): the RangeReader semantics
+            # (GeoTiffRasterSource.scala:45 — streaming reader).  Header
+            # parsing touches only the IFD pages; decode_tile slices only
+            # each tile's byte range, so a multi-GB file never fully loads
+            # for a windowed read.
+            import mmap
+
+            self._fh = open(self.path, "rb")
+            data = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
             levels, tags0 = _parse_tiff(data)
             scale = tags0.get(T_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
             tp = tags0.get(T_MODEL_TIEPOINT, [0.0] * 6)
