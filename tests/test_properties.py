@@ -93,3 +93,51 @@ def test_box_pip_agrees_with_raycast_interior(cx, cy, d):
     rc = geom.points_in_ring(px, py, poly.exterior)
     bx = geom.box_contains_points(px, py, cx - d, cy - d, cx + d, cy + d)
     assert np.array_equal(rc[~on_edge], bx[~on_edge])
+
+
+_coord = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(lambda v: round(v, 6))
+_pt = st.tuples(_coord, _coord)
+
+
+def _ring_strategy():
+    # >= 3 distinct points closed back to the start
+    return st.lists(_pt, min_size=3, max_size=8).map(
+        lambda pts: np.array(pts + [pts[0]], dtype=np.float64)
+    )
+
+
+@given(st.lists(_pt, min_size=2, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_wkt_linestring_roundtrip_property(pts):
+    arr = np.array(pts, dtype=np.float64)
+    wkt = geom.geometry_to_wkt("LineString", arr)
+    kind, coords, srid = geom.parse_wkt(wkt)
+    assert kind == "LineString" and srid is None
+    assert np.allclose(coords, arr)
+    # and through WKB
+    kind2, coords2, _ = geom.wkb_to_geometry(geom.geometry_to_wkb(kind, coords))
+    assert np.allclose(coords2, arr)
+
+
+@given(_ring_strategy(), st.integers(min_value=1, max_value=999999))
+@settings(max_examples=50, deadline=None)
+def test_wkt_polygon_srid_roundtrip_property(ring, srid):
+    wkt = geom.geometry_to_wkt("Polygon", [ring], srid)
+    kind, coords, got_srid = geom.parse_wkt(wkt)
+    assert kind == "Polygon" and got_srid == srid
+    assert np.allclose(coords[0], ring)
+    # WKT -> WKB -> WKT text identity (formatting is canonical)
+    wkb = geom.geometry_to_wkb(kind, coords, got_srid)
+    kind2, coords2, srid2 = geom.wkb_to_geometry(wkb)
+    assert srid2 == srid
+    assert geom.geometry_to_wkt(kind2, coords2, srid2) == wkt
+
+
+@given(st.lists(_pt, min_size=1, max_size=6))
+@settings(max_examples=30, deadline=None)
+def test_wkt_multipoint_roundtrip_property(pts):
+    parts = [("Point", p, None) for p in [(float(x), float(y)) for x, y in pts]]
+    wkt = geom.geometry_to_wkt("MultiPoint", parts)
+    kind, coords, _ = geom.parse_wkt(wkt)
+    assert kind == "MultiPoint"
+    assert np.allclose([c for _, c, _ in coords], [c for _, c, _ in parts])
