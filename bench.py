@@ -132,14 +132,19 @@ def run_bench() -> dict:
     qs = e.queries()
     qtimes = {}
     if not int(os.environ.get("GRAFT_HEADLINE_ONLY", "0")):
+        # min of R passes per query, same steady-state rationale as the
+        # headline (single passes swing 2-3x with this host's load regime)
+        qreps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            _consume(qs[name](SF_DIR))
-            qtimes[name] = round(time.perf_counter() - t0, 3)
+            qtimes[name] = round(
+                min(_timed(lambda: _consume(qs[name](SF_DIR))) for _ in range(qreps)), 3
+            )
         # reference JMH workload: 100 windowed GeoTIFF reads (warm file cache,
-        # min of 2 — JMH also reports steady state)
+        # min-of-reps — JMH also reports steady state)
         _bench_tiff_windows()
-        qtimes["tiff_windows_100"] = round(min(_timed(_bench_tiff_windows) for _ in range(2)), 3)
+        qtimes["tiff_windows_100"] = round(
+            min(_timed(_bench_tiff_windows) for _ in range(qreps)), 3
+        )
 
     ray.shutdown()
     return {
