@@ -53,6 +53,21 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _host_calibration(reps: int = 3) -> float:
+    """Fixed pure-numpy workload timing (fresh 256 MB first-touch + sum),
+    min over reps.  This sandbox's wall times swing 3-9x with a host-wide
+    serialized page-fault regime; recording the calibration alongside every
+    bench run makes the regime auditable — compare `host_calib_sec` between
+    two runs before comparing their pipeline numbers."""
+    import numpy as np
+
+    def kernel():
+        a = np.full(1 << 25, 1.0)  # fresh pages every rep
+        return a.sum()
+
+    return round(min(_timed(kernel) for _ in range(reps)), 4)
+
+
 def _bench_tiff_windows(n: int = 5888, tile: int = 256):
     """The reference's JMH workload (GeotrellisRasterSourceBench.scala:24-50):
     100 windowed reads of a real GeoTIFF — every 5th SpatialKey of a
@@ -155,6 +170,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs_per_sec": round(n_docs / headline, 1),
+        "host_calib_sec": _host_calibration(),
     }
 
 
