@@ -53,6 +53,28 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _flagship_stage_stats(n_docs: int) -> dict:
+    """One materialized flagship pass -> {operator: wall_sec} parsed from
+    Dataset.stats(), evidence that wall time sits in the narrow compute
+    stages (UDF-dominated) and the single shuffle is the only barrier."""
+    import re
+
+    from geotrellis_contrib_ray.pipelines.flagship import flagship_synthetic
+
+    ds = flagship_synthetic(n_docs).materialize()
+    stats = ds.stats()
+    out = {}
+    for m in re.finditer(r"Operator \d+ ([^:\n]+):.*?in ([\d.]+)s", stats):
+        name = m.group(1)
+        name = (name[:60] + "...") if len(name) > 60 else name
+        out[name] = float(m.group(2))
+    udf = re.findall(r"UDF time:.*?([\d.]+)(m?s) total", stats)
+    if udf:
+        total_udf = sum(float(v) / (1000.0 if u == "ms" else 1.0) for v, u in udf)
+        out["total_udf_sec"] = round(total_udf, 3)
+    return out
+
+
 def _host_calibration(reps: int = 3) -> float:
     """Fixed pure-numpy workload timing (fresh 256 MB first-touch + sum),
     min over reps.  This sandbox's wall times swing 3-9x with a host-wide
@@ -161,6 +183,7 @@ def run_bench() -> dict:
             min(_timed(_bench_tiff_windows) for _ in range(qreps)), 3
         )
 
+    stages = _flagship_stage_stats(n_docs)  # before shutdown: needs the session
     ray.shutdown()
     return {
         "metric": "flagship spatial-join + tile-assignment pipeline wall time",
@@ -171,6 +194,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs_per_sec": round(n_docs / headline, 1),
         "host_calib_sec": _host_calibration(),
+        "flagship_stages": stages,
     }
 
 
