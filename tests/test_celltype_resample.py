@@ -2,6 +2,7 @@ import numpy as np
 
 from geotrellis_contrib_ray.core.celltype import CellType, convert, interpret_as
 from geotrellis_contrib_ray.core.resample import BILINEAR, NEAREST, resample
+from geotrellis_contrib_ray.core import resample as rs
 
 
 def test_celltype_parse_name_roundtrip():
@@ -66,3 +67,37 @@ def test_resample_bilinear_nodata_excluded():
     out = resample(arr, 2, 2, BILINEAR, nodata=-9999.0)
     # valid neighbors dominate; no -9999 leakage into interpolation
     assert np.all(out[out != -9999.0] == 1.0)
+
+
+def test_cubic_reproduces_linear_ramp():
+    """Catmull-Rom property: cubic interpolation of linear data is exact."""
+    ramp = (np.arange(16, dtype=np.float64)[None, :] * np.ones((16, 1)))[None]
+    up = rs.resample(ramp, 16, 31, rs.CUBIC)
+    exp_cols = (np.arange(31) + 0.5) * (16 / 31) - 0.5
+    interior = (exp_cols >= 1) & (exp_cols <= 14)
+    assert np.allclose(up[0, 8, interior], exp_cols[interior], atol=1e-9)
+
+
+def test_average_block_means_and_nodata():
+    a = np.arange(16, dtype=np.float64).reshape(4, 4)[None]
+    dn = rs.resample(a, 2, 2, rs.AVERAGE)
+    assert np.allclose(dn[0], [[2.5, 4.5], [10.5, 12.5]])
+    b = a.copy()
+    b[0, 0, 0] = -9999.0
+    dn2 = rs.resample(b, 2, 2, rs.AVERAGE, nodata=-9999.0)
+    assert np.isclose(dn2[0, 0, 0], (1 + 4 + 5) / 3)
+    # all-nodata region -> nodata
+    c = np.full((1, 4, 4), -9999.0)
+    assert np.all(rs.resample(c, 2, 2, rs.AVERAGE, nodata=-9999.0) == -9999.0)
+
+
+def test_cubic_via_resample_source():
+    """Cubic routes through the ResampleRasterSource view chain."""
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent
+    from geotrellis_contrib_ray.sources.raster_source import InMemoryRasterSource
+
+    g = GridExtent(Extent(0.0, 0.0, 160.0, 160.0), 10.0, 10.0, 16, 16)
+    ramp = (np.arange(16, dtype=np.float64)[None, :] * np.ones((16, 1)))[None]
+    src = InMemoryRasterSource(ramp, g)
+    out = src.resample(32, 32, method=rs.CUBIC).read()
+    assert out.pixels.shape == (1, 32, 32)
