@@ -450,6 +450,35 @@ def q_ann_cosine(sf_dir: str):
     return ann.ann_topk(ds, queries, k=10)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN (coarse quantizer + nprobe rerank) — the 100TB scale path;
+    rows-only (approximate by design; recall vs brute force asserted in
+    tests/test_ann_ivf.py)."""
+    import pyarrow.parquet as pq
+
+    from geotrellis_contrib_ray.stages import ann
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = ann._embedding_matrix(head["embedding"])
+    queries = emb[:4]
+    sample = emb[:: max(1, len(emb) // 256)]
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.ann_ivf_topk(ds, queries, k=10, sample=sample, n_lists=16, nprobe=4)
+
+
+def q_ann_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed ANN (rows-only; approximate by design)."""
+    import pyarrow.parquet as pq
+
+    from geotrellis_contrib_ray.stages import ann
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = ann._embedding_matrix(head["embedding"])
+    queries = emb[:4]
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.ann_lsh_topk(ds, queries, k=10, dim=emb.shape[1], n_planes=6)
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs (rows-only check)."""
     from geotrellis_contrib_ray.stages import dedup
@@ -799,6 +828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "orders_by_segment": q_orders_by_segment,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -220,7 +220,8 @@ def convert_tiles(tiles_ds, target: CellType, gdal_clamp: bool = False):
     return tiles_ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
-def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None):
+def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None,
+                  method: str = "nearest"):
     """A7: true pyramid build — each level is produced by groupby(parent key)
     assembling the 2x2 children into one tile downsampled 2x (nearest).
     Returns list of per-level Datasets, finest (input) first.
@@ -263,7 +264,16 @@ def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None)
             acc = np.full((int(first["band_count"]), trows, tcols), nd, dtype=ct.np_dtype)
             half_c, half_r = tcols // 2, trows // 2
             for row in rows:
-                px = tile_pixels(row)[:, ::2, ::2]  # 2x nearest downsample
+                child = tile_pixels(row)
+                if method == "average":
+                    from ..core.resample import AVERAGE, resample as rs_resample
+
+                    px = rs_resample(
+                        child, -(-child.shape[1] // 2), -(-child.shape[2] // 2),
+                        AVERAGE, nodata=ct.nodata,
+                    ).astype(ct.np_dtype, copy=False)
+                else:  # nearest 2x decimation (the oracle-checked default)
+                    px = child[:, ::2, ::2]
                 qc = (int(row["tile_col"]) % 2) * half_c
                 qr = (int(row["tile_row"]) % 2) * half_r
                 px = px[:, :half_r, :half_c]
