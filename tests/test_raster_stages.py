@@ -152,3 +152,18 @@ def test_layout_for_summary(ray_session):
     c, r = layout.key_for_point(t["lon"].to_numpy(), t["lat"].to_numpy())
     assert (c >= 0).all() and (c < layout.layout_cols).all()
     assert (r >= 0).all() and (r < layout.layout_rows).all()
+
+
+def test_pyramid_build_average_method(ray_session):
+    """Average-downsample pyramid: constant tiles stay constant; a 2x2-block
+    pattern averages to the block mean."""
+    g = GridExtent(Extent(0.0, 0.0, 80.0, 80.0), 10.0, 10.0, 8, 8)
+    # checkerboard of 0/4 in 1x1 cells -> average halves to 2.0 everywhere
+    px = np.indices((8, 8)).sum(axis=0) % 2 * 4.0
+    src = InMemoryRasterSource(px[None], g)
+    layout = LayoutDefinition(g.extent, 4, 4, 2, 2)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    level1 = rst.pyramid_build(tiles, 1, layout, method="average")[1].take_all()
+    assert len(level1) == 1
+    vals = rst.tile_pixels(level1[0])
+    assert np.allclose(vals, 2.0)
