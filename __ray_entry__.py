@@ -600,7 +600,10 @@ def _raster_tiff_path() -> str:
             + np.arange(RASTER_COLS, dtype=np.int64)
         )
         px = (cgrid % (1 << 15)).astype(np.int16)[None]
-        write_tiff(path, px, grid, cell_type=CellType("int16", -32768.0))
+        # atomic publish: concurrent pytest/bench processes share this cache
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_tiff(tmp, px, grid, cell_type=CellType("int16", -32768.0))
+        os.replace(tmp, path)
     return path
 
 

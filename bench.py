@@ -107,8 +107,10 @@ def _bench_tiff_windows(n: int = 5888, tile: int = 256):
         os.makedirs("/tmp/graft_raster_cache", exist_ok=True)
         grid = GridExtent(Extent(0.0, 0.0, n * 10.0, n * 10.0), 10.0, 10.0, n, n)
         cg = np.arange(n, dtype=np.int64)[:, None] * n + np.arange(n)
-        write_tiff(path, (cg % 32768).astype(np.int16)[None], grid,
+        tmp = f"{path}.{os.getpid()}.tmp"
+        write_tiff(tmp, (cg % 32768).astype(np.int16)[None], grid,
                    cell_type=CellType("int16", -32768.0))
+        os.replace(tmp, path)
     src = TiffRasterSource(path)
     layout = LayoutDefinition.floating(src.grid, tile)
     ncols = layout.layout_cols
