@@ -124,3 +124,18 @@ def test_embedding_neardup_planted_recall(ray_session):
     norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     for i, j in got:
         assert float(norm[i] @ norm[j]) >= 0.99
+
+
+def test_exact_dedup_keep_first_vectorized(ray_session):
+    import ray.data as rd
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+    t = pa.table({"doc_id": np.arange(6, dtype=np.int64), "text": pa.array(texts, pa.string())})
+    out = (
+        dedup.exact_dedup_keep_first(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1, 3]  # min id per distinct text
+    assert out["text"].tolist() == ["aaa", "bbb", "ccc"]
