@@ -152,15 +152,17 @@ def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concu
     )
 
 
-def mosaic_merge(tiles_ds, layout: LayoutDefinition):
+def mosaic_merge(tiles_ds, layout: LayoutDefinition, block_shift: int = 3):
     """J2/A3: groupby(tile key) -> first-non-nodata-wins merge at the widened
-    cell type; source order (src_id) carried into the reduce for determinism."""
+    cell type; source order (src_id) carried into the reduce for determinism.
 
-    def merge(g):
-        import pandas as pd
+    The shuffle key is the tile-key BLOCK ((col >> block_shift,
+    row >> block_shift) — 64 tiles per group at the default): per-group
+    overhead is paid once per block instead of once per tile, and a
+    million-tile layer makes ~16k groups, not a million.  Tiles in a block
+    are merged independently inside the group."""
 
-        g = g.sort_values("src_id", kind="mergesort")
-        rows = g.to_dict("records")
+    def merge_one(rows):
         first = rows[0]
         ct = CellType.of(first["cell_type"])
         for row in rows[1:]:
@@ -199,10 +201,24 @@ def mosaic_merge(tiles_ds, layout: LayoutDefinition):
             write = have & ~filled
             acc[write] = samp[write]
             filled |= have
-        merged = tile_row(-1, key, Raster(acc, ext), ct)
-        return pd.DataFrame([merged])
+        return tile_row(-1, key, Raster(acc, ext), ct)
 
-    return tiles_ds.groupby(["tile_col", "tile_row"]).map_groups(merge, batch_format="pandas")
+    def merge_block(g):
+        import pandas as pd
+
+        g = g.sort_values(["tile_col", "tile_row", "src_id"], kind="mergesort")
+        out = []
+        for _, sub in g.groupby(["tile_col", "tile_row"], sort=True):
+            out.append(merge_one(sub.to_dict("records")))
+        return pd.DataFrame(out)
+
+    def add_block(b: pa.Table) -> pa.Table:
+        bc = b["tile_col"].to_numpy(zero_copy_only=False) >> block_shift
+        br = b["tile_row"].to_numpy(zero_copy_only=False) >> block_shift
+        return b.append_column("_bcol", pa.array(bc)).append_column("_brow", pa.array(br))
+
+    blocked = tiles_ds.map_batches(add_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return blocked.groupby(["_bcol", "_brow"]).map_groups(merge_block, batch_format="pandas")
 
 
 def convert_tiles(tiles_ds, target: CellType, gdal_clamp: bool = False):
@@ -241,10 +257,7 @@ def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None,
     cur_th = layout.tile_height if layout is not None else None
 
     def mk_make_parent(tw, th):
-        def make_parent(g):
-            import pandas as pd
-
-            rows = g.to_dict("records")
+        def make_one(rows):
             first = rows[0]
             ct = CellType.of(first["cell_type"])
             nd = ct.nodata if ct.nodata is not None else 0
@@ -278,23 +291,38 @@ def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None,
                 qr = (int(row["tile_row"]) % 2) * half_r
                 px = px[:, :half_r, :half_c]
                 acc[:, qr : qr + px.shape[1], qc : qc + px.shape[2]] = px
-            merged = tile_row(int(first["src_id"]), (pc, pr), Raster(acc, ext), ct)
-            return pd.DataFrame([merged])
+            return tile_row(int(first["src_id"]), (pc, pr), Raster(acc, ext), ct)
 
-        return make_parent
+        def make_parents(g):
+            import pandas as pd
 
+            g = g.sort_values(["pcol", "prow"], kind="mergesort")
+            rows_out = []
+            for _, sub in g.groupby(["pcol", "prow"], sort=True):
+                rows_out.append(make_one(sub.to_dict("records")))
+            return pd.DataFrame(rows_out)
+
+        return make_parents
+
+    # parents grouped by parent-key BLOCK (64 parents per group): per-group
+    # overhead is per block, not per parent key (same rationale as
+    # mosaic_merge)
+    block_shift = 3
     for _ in range(levels):
 
         def add_parent(batch: pa.Table) -> pa.Table:
             pcol = batch["tile_col"].to_numpy(zero_copy_only=False) >> 1
             prow = batch["tile_row"].to_numpy(zero_copy_only=False) >> 1
-            return batch.append_column("pcol", pa.array(pcol)).append_column(
-                "prow", pa.array(prow)
+            return (
+                batch.append_column("pcol", pa.array(pcol))
+                .append_column("prow", pa.array(prow))
+                .append_column("_bcol", pa.array(pcol >> block_shift))
+                .append_column("_brow", pa.array(prow >> block_shift))
             )
 
         cur = (
             cur.map_batches(add_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-            .groupby(["pcol", "prow"])
+            .groupby(["_bcol", "_brow"])
             .map_groups(mk_make_parent(cur_tw, cur_th), batch_format="pandas")
         )
         out.append(cur)
