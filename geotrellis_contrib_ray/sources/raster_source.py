@@ -143,15 +143,17 @@ class RasterSource:
         return out
 
     # --- view transforms (T1-T6) ------------------------------------------
-    def reproject(self, target_crs, method: str = rs.NEAREST, target_grid: GridExtent | None = None) -> "RasterSource":
+    def reproject(self, target_crs, method: str = rs.NEAREST, target_grid: GridExtent | None = None,
+                  strategy: str = "auto-higher") -> "RasterSource":
         if target_crs == self.crs:  # no-op elision (RasterSourceF.scala:51-53)
             if target_grid is None:
                 return self
-            return self.resample_to_grid(target_grid, method)
-        return ReprojectRasterSource(self, target_crs, method, target_grid)
+            return self.resample_to_grid(target_grid, method, strategy)
+        return ReprojectRasterSource(self, target_crs, method, target_grid, strategy)
 
-    def reproject_to_region(self, target_crs, region: GridExtent, method: str = rs.NEAREST) -> "RasterSource":
-        return self.reproject(target_crs, method, target_grid=region)
+    def reproject_to_region(self, target_crs, region: GridExtent, method: str = rs.NEAREST,
+                            strategy: str = "auto-higher") -> "RasterSource":
+        return self.reproject(target_crs, method, target_grid=region, strategy=strategy)
 
     def resample(self, cols: int, rows: int, method: str = rs.NEAREST,
                  strategy: str = "auto-higher") -> "RasterSource":
@@ -391,10 +393,12 @@ class ReprojectRasterSource(RasterSource):
     reprojection (ReprojectRasterExtent analog), reads by inverse-transform
     sampling of target cell centers (GeoTiffReprojectRasterSource.scala:118-155)."""
 
-    def __init__(self, base: RasterSource, target_crs, method: str, target_grid: GridExtent | None):
+    def __init__(self, base: RasterSource, target_crs, method: str, target_grid: GridExtent | None,
+                 strategy: str = "auto-higher"):
         self.base = base
         self._crs = target_crs
         self.method = method
+        self.strategy = strategy
         self.fwd = Transformer(base.crs, target_crs)
         self.back = self.fwd.inverse()
         if target_grid is None:
@@ -433,7 +437,21 @@ class ReprojectRasterSource(RasterSource):
         sx0, sy0, sx1, sy1 = reproject_extent(
             self.back, t_extent.xmin, t_extent.ymin, t_extent.xmax, t_extent.ymax
         )
-        src = self.base.read(Extent(sx0, sy0, sx1, sy1), bands)
+        # overview routing (ST4, GeoTiffReprojectRasterSource.scala:92-103):
+        # back-project the target cell size at the window center and pick the
+        # closest base overview per the OverviewStrategy
+        mx, my = (t_extent.xmin + t_extent.xmax) / 2.0, (t_extent.ymin + t_extent.ymax) / 2.0
+        bx0, by0 = self.back.transform(np.array([mx]), np.array([my]))
+        bx1, by1 = self.back.transform(
+            np.array([mx + self._target.cellwidth]), np.array([my])
+        )
+        src_cell = float(np.hypot(bx1[0] - bx0[0], by1[0] - by0[0]))
+        reader = self.base
+        if src_cell > 0:
+            ov = self.base.closest_resolution(src_cell, self.strategy)
+            if ov.cellwidth > self.base.grid.cellwidth:
+                reader = self.base.overview_source(ov)
+        src = reader.read(Extent(sx0, sy0, sx1, sy1), bands)
         if src is None:
             return None
         # inverse-transform sampling at target cell centers

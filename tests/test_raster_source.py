@@ -196,3 +196,29 @@ def test_reader_registry():
 
     with _pytest.raises(KeyError):
         source_for_uri("unknown://x")
+
+
+def test_reproject_routes_through_overview():
+    """GeoTiffReprojectRasterSource.scala:92-103: reproject back-projects the
+    target cell size and reads the closest base overview."""
+    grid = GridExtent(Extent(-10.0, 40.0, -9.0, 41.0), 0.001, 0.001, 1000, 1000)
+    src = SyntheticRasterSource(grid)
+    # target grid in 3857, 8x coarser than base -> overview (/4) is closest
+    from geotrellis_contrib_ray.core.crs import Transformer
+
+    fwd = Transformer("EPSG:4326", "EPSG:3857")
+    x0, y0 = fwd.transform(np.array([-10.0]), np.array([40.0]))
+    x1, y1 = fwd.transform(np.array([-9.0]), np.array([41.0]))
+    tgt = GridExtent(Extent(float(x0[0]), float(y0[0]), float(x1[0]), float(y1[0])), 
+                     (float(x1[0]) - float(x0[0])) / 125, (float(y1[0]) - float(y0[0])) / 125, 125, 125)
+    rp = src.reproject("EPSG:3857", target_grid=tgt)
+    before = getattr(src, "overview_reads", 0)
+    out = rp.read()
+    assert out is not None and out.pixels.shape == (1, 125, 125)
+    assert getattr(src, "overview_reads", 0) > before  # overview was used
+
+    # strategy="base" forces full-res reads (no overview)
+    rp_base = src.reproject("EPSG:3857", target_grid=tgt, strategy="base")
+    before2 = getattr(src, "overview_reads", 0)
+    assert rp_base.read() is not None
+    assert getattr(src, "overview_reads", 0) == before2
