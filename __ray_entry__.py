@@ -450,6 +450,25 @@ def q_ann_cosine(sf_dir: str):
     return ann.ann_topk(ds, queries, k=10)
 
 
+def q_ann_rank(sf_dir: str):
+    """Brute-force cosine top-k emitted as integer ranks (query_id, vec_id,
+    rnk) — hash-comparable against the DuckDB list_cosine_similarity oracle
+    because no float column crosses the compare (see ann.ann_topk_ranks)."""
+    import pyarrow.parquet as pq
+
+    from geotrellis_contrib_ray.pipelines.query_defs import ANN_K, ANN_QUERY_IDS
+    from geotrellis_contrib_ray.stages import ann
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = head["vec_id"].to_numpy()
+    emb = ann._embedding_matrix(head["embedding"])
+    order = np.argsort(ids)
+    qsel = order[np.isin(ids[order], ANN_QUERY_IDS)]
+    queries, query_ids = emb[qsel], ids[qsel]
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.ann_topk_ranks(ds, queries, k=ANN_K, query_ids=query_ids)
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF ANN (coarse quantizer + nprobe rerank) — the 100TB scale path;
     rows-only (approximate by design; recall vs brute force asserted in
@@ -531,6 +550,24 @@ def q_quality_scores(sf_dir: str):
         concurrency=default_pool_size(),
     )
     return ds.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality", "n_bpe_tokens"])
+
+
+def q_quality_counts(sf_dir: str):
+    """QualityScorer's integer building blocks (word/stopword/alpha/BPE-token
+    counts) — hash-comparable against the DuckDB regexp_extract_all oracle;
+    the shared regex/stoplist constants live in pipelines/query_defs."""
+    from geotrellis_contrib_ray.stages import text as textmod
+    from geotrellis_contrib_ray.util import default_pool_size
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        textmod.QualityScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=default_pool_size(),
+    )
+    return ds.select_columns(["doc_id", "n_words", "n_stop_words", "n_alpha_chars", "n_bpe_tokens"])
 
 
 # ---------------------------------------------------------------------------
@@ -831,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "orders_by_segment": q_orders_by_segment,
         "ann_cosine": q_ann_cosine,
+        "ann_rank": q_ann_rank,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "minhash_pairs": q_minhash_pairs,
@@ -838,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "quality_scores": q_quality_scores,
+        "quality_counts": q_quality_counts,
         "raster_tile_read": q_raster_tile_read,
         "raster_stride_windows": q_raster_stride_windows,
         "raster_convert": q_raster_convert,
@@ -1167,7 +1206,47 @@ SELECT 'aud' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
        CAST(floor((1000 + 37 * i) / 256) AS INTEGER) AS n_frames
 FROM generate_series(0, 31) AS t(i)"""
 
+    # --- integer-projected oracles for the float/regex families ------------
+    # quality_counts: the scorer's integer building blocks; regex + stoplist
+    # shared via query_defs (Python re and RE2 agree on this syntax subset).
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        ANN_K,
+        ANN_QUERY_IDS,
+        BPE_REGEX,
+        STOP_WORDS,
+        WORD_REGEX,
+    )
+
+    def _sq(s: str) -> str:  # SQL single-quote literal escape
+        return s.replace("'", "''")
+
+    stop_list = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    sql["quality_counts"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_sq(WORD_REGEX)}')) AS n_words,
+       len(list_filter(regexp_extract_all(text, '{_sq(WORD_REGEX)}'),
+                       w -> w IN ({stop_list}))) AS n_stop_words,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha_chars,
+       len(regexp_extract_all(text, '{_sq(BPE_REGEX)}')) AS n_bpe_tokens
+FROM documents"""
+
+    # ann_rank: integer ranks only — both engines agree on the (cosine desc,
+    # vec_id asc) ORDER (rank gaps >> float noise on these embeddings) even
+    # though the similarity BITS differ across summation orders.
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    sql["ann_rank"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN ({ann_ids})),
+ d AS (SELECT q.query_id, e.vec_id,
+              list_cosine_similarity(q.qe, e.embedding) AS sim
+       FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+FROM d QUALIFY rnk <= {ANN_K}"""
+
     # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
     # (float-summation order / regex semantics not bit-reproducible in SQL);
-    # driver records rows-only checks, pytest holds the numpy oracles.
+    # integer-projected twins quality_counts / ann_rank above ARE
+    # oracle-checked; driver records rows-only checks for the float variants,
+    # pytest holds the numpy oracles.
     return sql

@@ -78,6 +78,24 @@ DIST_THETA = 0.1
 # tumbling window size for the events query (seconds)
 WINDOW_SEC = 3600
 
+# --- text-quality oracle constants -----------------------------------------
+# Shared between stages/text.py::QualityScorer (Python re) and the DuckDB
+# oracle (RE2 regexp_extract_all).  Patterns are deliberately restricted to
+# the syntax subset both engines treat identically (verified by
+# tests/test_queries_oracle.py::quality_counts): character classes, +, |.
+WORD_REGEX = r"[A-Za-z]+"
+BPE_REGEX = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+STOP_WORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by",
+)
+
+# ANN oracle: queries are the embedding rows with these vec_ids; top-k by
+# (cosine desc, vec_id asc) emitted as integer ranks only (float sims are
+# not bit-reproducible across summation orders).
+ANN_QUERY_IDS = (0, 1, 2, 3)
+ANN_K = 10
+
 # --- raster-family oracle constants ----------------------------------------
 # synthetic raster: value(col, row) = (row * RASTER_COLS + col) % 2^15 as
 # int16 with nodata -32768 (never produced by the formula), anchored grid —

@@ -99,6 +99,38 @@ def ann_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id", batch_size
     return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
 
 
+def ann_topk_ranks(ds, queries: np.ndarray, k: int, query_ids, id_col: str = "vec_id",
+                   batch_size=65536, concurrency: int | None = None):
+    """ann_topk with an integer-only output (query_id, vec_id, rnk).
+
+    The float similarity is dropped so the result is hash-comparable against
+    a SQL oracle (`list_cosine_similarity` + row_number): both engines agree
+    on the ORDER (sim desc, id asc) as long as rank gaps exceed float noise
+    (~1e-7 here vs ~1e-3 gaps on the synthetic embeddings), but never on the
+    similarity BITS (different summation order).  query_id is remapped from
+    the positional index to the caller's stable id (the query row's vec_id)."""
+    from ..util import default_pool_size
+
+    qid = np.asarray(query_ids, dtype=np.int64)
+    partial = ds.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
+    )
+
+    def finalize(g):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["query_id"] = qid[g["query_id"].to_numpy()]
+        return g[["query_id", "vec_id", "rnk"]]
+
+    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
 class HyperplaneLSH:
     """Scale path: random-hyperplane bucket signature per vector; vectors and
     queries sharing a bucket get exact rerank (candidate recall traded for a

@@ -39,13 +39,13 @@ class QualityScorer:
     def __init__(self):
         import re
 
-        self.word_re = re.compile(r"[A-Za-z]+")
+        # patterns/stoplist shared with the DuckDB oracle (pipelines/query_defs)
+        from ..pipelines.query_defs import BPE_REGEX, STOP_WORDS, WORD_REGEX
+
+        self.word_re = re.compile(WORD_REGEX)
         # BPE-ish pre-tokenizer (GPT-2-style contractions/words/numbers/punct)
-        self.bpe_re = re.compile(r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
-        self.stop = {
-            "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-            "for", "on", "with", "as", "at", "by",
-        }
+        self.bpe_re = re.compile(BPE_REGEX)
+        self.stop = set(STOP_WORDS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pandas()
@@ -67,6 +67,11 @@ class QualityScorer:
             .append_column("alpha_ratio", pa.array(alpha_ratio))
             .append_column("quality", pa.array(score))
             .append_column("n_bpe_tokens", pa.array(n_bpe))
+            # integer building blocks of the ratios, emitted so an oracle can
+            # hash-compare exact counts (SQL twin: regexp_extract_all lengths)
+            .append_column("n_words", pa.array(n_words.astype(np.int64)))
+            .append_column("n_stop_words", pa.array(n_stop.astype(np.int64)))
+            .append_column("n_alpha_chars", pa.array(n_alpha.astype(np.int64)))
         )
 
 
