@@ -523,6 +523,32 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return dedup.ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def q_jaccard_exact_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard self-join (oracle-checked): distributed
+    inverted-index plan — no LSH, no driver materialization; see
+    dedup.jaccard_similarity_join for the 5-stage dataflow.  Runs on the
+    JACCARD_SAMPLE_LIMIT id range (scan-pushed predicate); group_salt=16
+    so the per-group partial aggregation actually collapses the ~60
+    shared-token incidences per pair before the global pair shuffle."""
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        JACCARD_K,
+        JACCARD_SAMPLE_LIMIT,
+        JACCARD_THRESHOLD,
+    )
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < JACCARD_SAMPLE_LIMIT,
+    )
+    return dedup.jaccard_similarity_join(
+        ds, shingle_k=JACCARD_K, threshold=JACCARD_THRESHOLD, group_salt=16
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via multi-band LSH buckets + exact
     rerank (rows-only; the synthetic embeddings are near-orthogonal, so the
@@ -874,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "jaccard_exact_pairs": q_jaccard_exact_pairs,
         "embedding_neardup": q_embedding_neardup,
         "quality_scores": q_quality_scores,
         "quality_counts": q_quality_counts,
@@ -1243,6 +1270,34 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
 SELECT query_id, vec_id,
        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
 FROM d QUALIFY rnk <= {ANN_K}"""
+
+    # jaccard_exact_pairs: the full inverted-index plan reproduced in SQL —
+    # DISTINCT k-gram tokens per doc, token-equality self-join counting the
+    # intersection, sizes re-attached, one int/int double division.  Division
+    # (unlike summation) is order-free, so the float column hash-matches.
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        JACCARD_K,
+        JACCARD_SAMPLE_LIMIT,
+        JACCARD_THRESHOLD,
+    )
+
+    sql["jaccard_exact_pairs"] = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text)-{JACCARD_K}+2)) AS i
+  FROM documents WHERE length(text) >= {JACCARD_K} AND doc_id < {JACCARD_SAMPLE_LIMIT}
+), toks AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {JACCARD_K}) AS tok FROM pos
+), sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_shared,
+       s1.sz + s2.sz - n_shared AS n_union,
+       CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) AS jaccard
+FROM shared JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+WHERE CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) >= {JACCARD_THRESHOLD}"""
 
     # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
     # (float-summation order / regex semantics not bit-reproducible in SQL);

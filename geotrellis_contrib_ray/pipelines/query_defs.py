@@ -90,6 +90,17 @@ STOP_WORDS = (
     "for", "on", "with", "as", "at", "by",
 )
 
+# exact n-gram Jaccard self-join (inverted-index plan): shared between
+# dedup.jaccard_similarity_join and the DuckDB substr/unnest oracle.  The
+# driver-gate query runs on a contiguous id sample (same precedent as
+# DIST_SAMPLE_LIMIT): the synthetic corpus draws every doc from one small
+# vocabulary, so token df — and the exact join's irreducible sum df^2 pair
+# expansion — is pathologically dense; the sample keeps the oracle-checked
+# run bounded while the operator itself stays fully general.
+JACCARD_K = 5
+JACCARD_THRESHOLD = 0.5
+JACCARD_SAMPLE_LIMIT = 250  # doc_id < 250
+
 # ANN oracle: queries are the embedding rows with these vec_ids; top-k by
 # (cosine desc, vec_id asc) emitted as integer ranks only (float sims are
 # not bit-reproducible across summation orders).

@@ -500,6 +500,174 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     return salted.groupby("psalt").map_groups(jac_group, batch_format="pandas")
 
 
+def _distinct_doc_tokens(batch: pa.Table, shingle_k: int, id_col: str, text_col: str):
+    """(doc_id, tok_hash) DISTINCT pairs for one batch, fully vectorized:
+    rolling 64-bit k-gram hashes over the shared utf8 buffer, then one
+    lexsort + run mask for the per-document distinct.  Returns
+    (doc_ids:int64, toks:int64-bit-viewed, per_row_distinct_counts)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    shingle_lists = _shingle_hashes(batch[text_col], shingle_k)
+    n = len(ids)
+    lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+    if n == 0 or lens.sum() == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(n, np.int64)
+    row = np.repeat(np.arange(n), lens)
+    toks = np.concatenate([s for s in shingle_lists if len(s)])
+    order = np.lexsort((toks, row))
+    r, t = row[order], toks[order]
+    keep = np.r_[True, (r[1:] != r[:-1]) | (t[1:] != t[:-1])]
+    r, t = r[keep], t[keep]
+    sz = np.bincount(r, minlength=n).astype(np.int64)
+    # int64 bit-view: uint64 > 2^63 breaks Ray's arrow<->python shuffle paths
+    return ids[r], t.view(np.int64), sz
+
+
+def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            group_salt: int = 256, max_df: int | None = None):
+    """EXACT n-gram Jaccard similarity self-join (no LSH approximation):
+    distributed inverted-index plan, SQL-oracle-checkable.
+
+    Plan (each arrow is a Dataset stage):
+    1. tokens: per batch, distinct k-gram hashes per doc (vectorized rolling
+       hash + one lexsort) -> (tok, doc_id) rows; the shuffle key is the
+       8-byte token hash, never the token text.
+    2. pair partials: groupby(tok % group_salt) -> within each salted group,
+       sort by (tok, doc_id), detect equal-token runs, emit each run's
+       id1<id2 pairs and pre-aggregate their counts (np.unique) BEFORE the
+       wide shuffle.  Salting bounds the group count at ``group_salt`` (one
+       group per raw token would pay ~1 ms/group python overhead).
+    3. n_shared: groupby(id1, id2).sum of the partial counts.
+    4. sizes re-attached with two hash-partitioned bucket joins (the sizes
+       side is corpus-sized at 10^12 docs — never broadcast).
+    5. jaccard = n_shared / (sz1 + sz2 - n_shared) as one int64/int64 double
+       division (bit-identical to the SQL oracle's CAST(... AS DOUBLE)/...).
+
+    Exactness caveat: tokens are compared by 64-bit rolling hash; a hash
+    collision between two k-grams co-occurring in a doc pair would inflate
+    n_shared (probability ~ #tokens^2 / 2^64 — negligible; the text itself
+    never rides the shuffle).  ``max_df`` optionally skips tokens shared by
+    more than max_df docs WITH A LOGGED DROP (turns the join approximate but
+    bounds the run^2 blowup; the exact-at-scale alternative is PPJoin-style
+    prefix filtering, which prunes candidate tokens per doc by global df
+    rank while preserving exactness at a given threshold).
+
+    Output: id1 < id2, n_shared, n_union (int64), jaccard (float64) for all
+    pairs with jaccard >= threshold.  Reference parity: the window-overlap
+    dedup semantics of vlm RasterSourceSpec (overlap detection by shared
+    content) generalized to set similarity."""
+    from ray.data.aggregate import Sum
+
+    from .joins import bucketed_hash_join
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        dids, toks, _sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
+        salt = (toks.view(np.uint64) % np.uint64(group_salt)).astype(np.int64)
+        return pa.table({"tok": toks, "doc_id": dids, "gsalt": salt})
+
+    tok_ds = ds.map_batches(tokens, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def pair_partials(g):
+        # returns an ARROW table: Ray's sort/aggregate path on pandas-format
+        # blocks is ~13x slower (measured 154 s vs 12 s on 470k rows @4 CPUs)
+        toks = g["tok"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, toks))
+        starts, ends = _bucket_runs(toks, order)
+        sids = ids[order]
+        counts = ends - starts
+        id1s, id2s = [], []
+        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for ri in np.nonzero(counts >= 2)[0]:
+            m = int(counts[ri])
+            if max_df is not None and m > max_df:
+                _log_bucket_drop("jaccard_similarity_join", m, max_df)
+                continue
+            run = sids[starts[ri] : ends[ri]]  # id-sorted within the run
+            if m not in triu_cache:
+                triu_cache[m] = np.triu_indices(m, k=1)
+            ii, jj = triu_cache[m]
+            id1s.append(run[ii])
+            id2s.append(run[jj])
+        if not id1s:
+            z = pa.array([], pa.int64())
+            return pa.table({"id1": z, "id2": z, "cnt": z})
+        p1 = np.concatenate(id1s)
+        p2 = np.concatenate(id2s)
+        # partial aggregation inside the group: one row per (id1, id2)
+        o = np.lexsort((p2, p1))
+        a, b = p1[o], p2[o]
+        st = np.nonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])[0]
+        cnt = np.diff(np.r_[st, len(a)])
+        return pa.table({"id1": pa.array(a[st].astype(np.int64)),
+                         "id2": pa.array(b[st].astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    shared = (
+        tok_ds.groupby("gsalt")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby(["id1", "id2"])
+        .aggregate(Sum("cnt", alias_name="n_shared"))
+    )
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _d, _t, sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
+        keep = sz > 0
+        return pa.table({"doc_id": ids[keep], "sz": sz[keep]})
+
+    size_ds = ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def rn(mapping: dict):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns([mapping.get(c, c) for c in b.schema.names])
+
+        return f
+
+    # static schemas: .schema() on a lazy Dataset with all-to-all upstream
+    # stages would EXECUTE the whole token/pair plan once per join
+    i64 = pa.int64()
+    shared_schema = pa.schema([("doc_id", i64), ("id2", i64), ("n_shared", i64)])
+    sz1_schema = pa.schema([("doc_id", i64), ("sz1", i64)])
+    p1_schema = pa.schema([("doc_id", i64), ("id1", i64), ("n_shared", i64), ("sz1", i64)])
+    sz2_schema = pa.schema([("doc_id", i64), ("sz2", i64)])
+
+    p1 = bucketed_hash_join(
+        shared.map_batches(rn({"id1": "doc_id"}), batch_format="pyarrow", batch_size=None),
+        size_ds.map_batches(rn({"sz": "sz1"}), batch_format="pyarrow", batch_size=None),
+        on="doc_id",
+        schemas=(shared_schema, sz1_schema),
+    ).map_batches(rn({"doc_id": "id1"}), batch_format="pyarrow", batch_size=None)
+    p2 = bucketed_hash_join(
+        p1.map_batches(rn({"id2": "doc_id"}), batch_format="pyarrow", batch_size=None),
+        size_ds.map_batches(rn({"sz": "sz2"}), batch_format="pyarrow", batch_size=None),
+        on="doc_id",
+        schemas=(p1_schema, sz2_schema),
+    ).map_batches(rn({"doc_id": "id2"}), batch_format="pyarrow", batch_size=None)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ns = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = (
+            b["sz1"].to_numpy(zero_copy_only=False).astype(np.int64)
+            + b["sz2"].to_numpy(zero_copy_only=False).astype(np.int64)
+            - ns
+        )
+        jac = ns / nu  # int64/int64 -> float64, same IEEE division as SQL
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id1": pa.array(b["id1"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]),
+                "id2": pa.array(b["id2"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]),
+                "n_shared": pa.array(ns[keep]),
+                "n_union": pa.array(nu[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return p2.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 class MultiBandHyperplaneLSH:
     """Actor-pool stage: banded random-hyperplane signatures — ``n_bands``
     independent hash tables of ``n_planes`` planes each (2^n_planes buckets

@@ -45,7 +45,8 @@ def default_join_partitions(factor: int = 2, floor: int = 16, cap: int = 256) ->
     return max(floor, min(cap, factor * cpus))
 
 
-def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how: str = "inner"):
+def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how: str = "inner",
+                       schemas: tuple | None = None):
     """Tier-3 portable partitioned hash join.
 
     Shuffle payload is both sides' projected rows exactly once; each bucket
@@ -54,14 +55,23 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
     back float64 and break value-hash parity with SQL oracles).  Hot join
     keys can be salted by raising ``buckets`` (key -> bucket is a modular
     hash, so a single key never splits — skew-sensitive callers should
-    pre-aggregate or use the broadcast tier for dimension-shaped sides)."""
+    pre-aggregate or use the broadcast tier for dimension-shaped sides).
+
+    ``schemas=(left_schema, right_schema)``: pass the (statically known)
+    Arrow schemas when a side is an expensive lazy pipeline — ``.schema()``
+    on a Dataset with upstream all-to-all stages EXECUTES that upstream to
+    produce its first block, so an unpassed schema can silently run the
+    whole plan an extra time per join."""
     if buckets is None:
         buckets = default_join_partitions()
 
     # align schemas for the union: each side padded with typed null columns
     # for the other side's exclusive fields
-    lschema = left.schema()
-    rschema = right.schema()
+    if schemas is not None:
+        lschema, rschema = schemas
+    else:
+        lschema = left.schema()
+        rschema = right.schema()
     lcols = set(lschema.names)
     rcols = set(rschema.names)
     lonly = sorted(lcols - rcols)

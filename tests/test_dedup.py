@@ -139,3 +139,39 @@ def test_exact_dedup_keep_first_vectorized(ray_session):
     )
     assert out["doc_id"].tolist() == [0, 1, 3]  # min id per distinct text
     assert out["text"].tolist() == ["aaa", "bbb", "ccc"]
+
+
+def test_jaccard_similarity_join_exact(ray_session):
+    """jaccard_similarity_join is EXACT: matches all-pairs brute force."""
+    import ray.data as rd
+
+    t, _planted = _mk_texts(n_base=30)
+    texts = t["text"].to_pylist()
+    k, thr = 5, 0.5
+
+    def shingles(s):
+        return {s[i : i + k] for i in range(max(0, len(s) - k + 1))}
+
+    sets = [shingles(s) for s in texts]
+    expected = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= thr:
+                expected[(i, j)] = (inter, union)
+
+    out = (
+        dedup.jaccard_similarity_join(rd.from_arrow(t), shingle_k=k, threshold=thr, group_salt=16)
+        .to_pandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (int(r.id1), int(r.id2)): (int(r.n_shared), int(r.n_union))
+        for r in out.itertuples()
+    }
+    assert got == expected
+    assert len(expected) > 0  # the planted near-dups must actually qualify
+    for r in out.itertuples():
+        assert r.jaccard == r.n_shared / r.n_union
