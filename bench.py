@@ -216,7 +216,13 @@ def run_scaling() -> dict:
 
     import statistics
 
-    lo_cpus, hi_cpus = 8, 32
+    # N and 4N parallelism levels.  Default 8->32; GRAFT_SCALING_LEVELS="2,8"
+    # measures the pair in a regime where neither level saturates the host's
+    # globally-serialized memory path (~2.3M docs/s observed ceiling) — on
+    # this shared sandbox 32 CPUs hit that ceiling, which caps the measured
+    # ratio regardless of pipeline shape (see BASELINE.md).
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+    lo_cpus, hi_cpus = int(levels[0]), int(levels[1])
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "4"))
     # alternate the two levels across >= 4 rounds — the host is shared and
     # noisy (serialized first-touch faults), so a single pair of processes
@@ -236,13 +242,13 @@ def run_scaling() -> dict:
     eff_median = (statistics.median(lo_secs) / statistics.median(hi_secs)) / factor
     eff_rounds = [round((l / h) / factor, 3) for l, h in zip(lo_secs, hi_secs)]
     return {
-        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, same input)",
-        "sec_8": min(lo_secs),
-        "sec_32": min(hi_secs),
-        "sec_8_all": lo_secs,
-        "sec_32_all": hi_secs,
-        "docs_per_sec_8": lo_last["docs_per_sec"] * lo_last["value"] / min(lo_secs),
-        "docs_per_sec_32": hi_last["docs_per_sec"] * hi_last["value"] / min(hi_secs),
+        "metric": f"scaling efficiency N->4N (num_cpus {lo_cpus} vs {hi_cpus}, same input)",
+        f"sec_{lo_cpus}": min(lo_secs),
+        f"sec_{hi_cpus}": min(hi_secs),
+        f"sec_{lo_cpus}_all": lo_secs,
+        f"sec_{hi_cpus}_all": hi_secs,
+        f"docs_per_sec_{lo_cpus}": lo_last["docs_per_sec"] * lo_last["value"] / min(lo_secs),
+        f"docs_per_sec_{hi_cpus}": hi_last["docs_per_sec"] * hi_last["value"] / min(hi_secs),
         "scaling_efficiency": round(eff_best, 3),
         "scaling_efficiency_median": round(eff_median, 3),
         "scaling_efficiency_rounds": eff_rounds,

@@ -33,6 +33,104 @@ class LocalAffineCRS:
     sy: float  # meters per degree lat
 
 
+# --- ellipsoidal Transverse Mercator (UTM zones) ---------------------------
+# Krüger flattening series (Karney 2011, "Transverse Mercator with an
+# accuracy of a few nanometers" — public formulas; same 6th-order series
+# PROJ's etmerc uses).  WGS84 ellipsoid.
+_A_WGS84 = 6378137.0
+_F_WGS84 = 1.0 / 298.257223563
+_E2 = _F_WGS84 * (2.0 - _F_WGS84)
+_E = np.sqrt(_E2)
+_N = _F_WGS84 / (2.0 - _F_WGS84)  # third flattening
+# rectifying radius A = a/(1+n) * (1 + n^2/4 + n^4/64 + n^6/256)
+_RECT_A = _A_WGS84 / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0 + _N**6 / 256.0)
+# forward series alpha_j, inverse series beta_j (6th order in n)
+_ALPHA = np.array([
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180 - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
+    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440 + 281 * _N**5 / 630 - 1983433 * _N**6 / 1935360,
+    61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880 + 167603 * _N**6 / 181440,
+    49561 * _N**4 / 161280 - 179 * _N**5 / 168 + 6601661 * _N**6 / 7257600,
+    34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
+    212378941 * _N**6 / 319334400,
+])
+_BETA = np.array([
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360 - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
+    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105 - 1118711 * _N**6 / 3870720,
+    17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480 + 5569 * _N**6 / 90720,
+    4397 * _N**4 / 161280 - 11 * _N**5 / 504 - 830251 * _N**6 / 7257600,
+    4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
+    20648693 * _N**6 / 638668800,
+])
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_SOUTH = 10000000.0
+_J6 = 2.0 * np.arange(1, 7)
+
+
+def utm_crs(zone: int, south: bool = False) -> str:
+    """EPSG code string for a WGS84 UTM zone (EPSG:326xx north / 327xx south)."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone out of range: {zone}")
+    return f"EPSG:{32700 + zone if south else 32600 + zone}"
+
+
+def _parse_utm(crs: str):
+    """-> (lon0_deg, false_northing) for EPSG:326xx/327xx, else None."""
+    if not (isinstance(crs, str) and crs.startswith("EPSG:") and len(crs) == 10):
+        return None
+    code = int(crs[5:])
+    if 32601 <= code <= 32660:
+        return (code - 32600) * 6.0 - 183.0, 0.0
+    if 32701 <= code <= 32760:
+        return (code - 32700) * 6.0 - 183.0, _UTM_FN_SOUTH
+    return None
+
+
+def _taupf(tau):
+    """tau' (tangent of the conformal latitude) from tau = tan(phi)."""
+    tau1 = np.sqrt(1.0 + tau * tau)
+    sig = np.sinh(_E * np.arctanh(_E * tau / tau1))
+    return tau * np.sqrt(1.0 + sig * sig) - sig * tau1
+
+
+def _lonlat_to_tm(lon, lat, lon0_deg: float, fn: float):
+    lon = np.asarray(lon, dtype=np.float64)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(lon - lon0_deg)
+    # conformal latitude via the Gauss-Schreiber tau
+    t = _taupf(np.tan(phi))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    j2xi = _J6[:, None] * np.atleast_1d(xi)[None, :]
+    j2eta = _J6[:, None] * np.atleast_1d(eta)[None, :]
+    xi_p = xi + (_ALPHA[:, None] * np.sin(j2xi) * np.cosh(j2eta)).sum(axis=0)
+    eta_p = eta + (_ALPHA[:, None] * np.cos(j2xi) * np.sinh(j2eta)).sum(axis=0)
+    x = _UTM_FE + _UTM_K0 * _RECT_A * eta_p
+    y = fn + _UTM_K0 * _RECT_A * xi_p
+    return x, y
+
+
+def _tm_to_lonlat(x, y, lon0_deg: float, fn: float):
+    xi = (np.asarray(y, dtype=np.float64) - fn) / (_UTM_K0 * _RECT_A)
+    eta = (np.asarray(x, dtype=np.float64) - _UTM_FE) / (_UTM_K0 * _RECT_A)
+    j2xi = _J6[:, None] * np.atleast_1d(xi)[None, :]
+    j2eta = _J6[:, None] * np.atleast_1d(eta)[None, :]
+    xi_p = xi - (_BETA[:, None] * np.sin(j2xi) * np.cosh(j2eta)).sum(axis=0)
+    eta_p = eta - (_BETA[:, None] * np.cos(j2xi) * np.sinh(j2eta)).sum(axis=0)
+    taup = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # invert the conformal latitude tau' -> tau (GeographicLib tauf Newton)
+    e2m = 1.0 - _E2
+    tau = taup / e2m  # first guess overshoots toward the pole, converges fast
+    for _ in range(6):
+        taupa = _taupf(tau)
+        tau = tau + (taup - taupa) * (1.0 + e2m * tau * tau) / (
+            e2m * np.sqrt(1.0 + tau * tau) * np.sqrt(1.0 + taupa * taupa)
+        )
+    phi = np.arctan(tau)
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
 def _lonlat_to_merc(x, y):
     lon = np.asarray(x, dtype=np.float64)
     lat = np.clip(np.asarray(y, dtype=np.float64), -MAX_LAT, MAX_LAT)
@@ -79,6 +177,9 @@ def _to_lonlat(crs, x, y):
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     if crs == EPSG_3857:
         return _merc_to_lonlat(x, y)
+    utm = _parse_utm(crs) if isinstance(crs, str) else None
+    if utm is not None:
+        return _tm_to_lonlat(x, y, utm[0], utm[1])
     if isinstance(crs, LocalAffineCRS):
         return (
             np.asarray(x, dtype=np.float64) / crs.sx + crs.lon0,
@@ -92,6 +193,9 @@ def _from_lonlat(crs, lon, lat):
         return lon, lat
     if crs == EPSG_3857:
         return _lonlat_to_merc(lon, lat)
+    utm = _parse_utm(crs) if isinstance(crs, str) else None
+    if utm is not None:
+        return _lonlat_to_tm(lon, lat, utm[0], utm[1])
     if isinstance(crs, LocalAffineCRS):
         return (lon - crs.lon0) * crs.sx, (lat - crs.lat0) * crs.sy
     raise ValueError(f"unsupported CRS {crs!r}")

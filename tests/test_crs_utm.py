@@ -1,0 +1,85 @@
+"""Ellipsoidal Transverse Mercator (UTM) kernel: Krüger 6th-order series.
+
+Reference parity: the reference's warp path reprojects to UTM codes through
+GDAL/Proj (GDALBaseRasterSource.scala reproject options); our closed-form CRS
+set gains the same EPSG:326xx/327xx family with a pure-numpy kernel.
+
+Correctness anchors are PUBLIC constants, not memorized samples:
+- WGS84 quarter meridian = 10001965.7293 m (so northing at the pole on the
+  central meridian must be k0 * that);
+- scale on the central meridian at the equator = k0 * a * pi/180 per degree;
+- round-trip self-consistency at nanometer level (Karney 2011 accuracy).
+"""
+
+import numpy as np
+
+from geotrellis_contrib_ray.core import crs
+
+
+def test_utm_roundtrip_nanometer():
+    rng = np.random.default_rng(7)
+    lon = -75.0 + rng.uniform(-3.0, 3.0, 2000)
+    lat = rng.uniform(-80.0, 84.0, 2000)  # UTM's official latitude band
+    t = crs.Transformer("EPSG:4326", "EPSG:32618")
+    x, y = t.transform(lon, lat)
+    lon2, lat2 = t.inverse().transform(x, y)
+    # 1e-12 deg ~ 0.1 micrometer on the ground
+    assert np.abs(lon2 - lon).max() < 1e-12
+    assert np.abs(lat2 - lat).max() < 1e-12
+
+
+def test_utm_central_meridian_and_symmetry():
+    t = crs.Transformer("EPSG:4326", "EPSG:32618")  # lon0 = -75
+    x, _ = t.transform(np.array([-75.0]), np.array([40.0]))
+    assert abs(x[0] - 500000.0) < 1e-6  # false easting exactly on the CM
+    xe, _ = t.transform(np.array([-74.0]), np.array([40.0]))
+    xw, _ = t.transform(np.array([-76.0]), np.array([40.0]))
+    assert abs((xe[0] - 500000.0) - (500000.0 - xw[0])) < 1e-6  # mirror
+
+
+def test_utm_quarter_meridian_golden():
+    # northing at the pole = k0 * WGS84 quarter meridian (public constant)
+    t = crs.Transformer("EPSG:4326", "EPSG:32618")
+    _, y = t.transform(np.array([-75.0]), np.array([90.0]))
+    assert abs(y[0] - 0.9996 * 10001965.7293) < 1e-4
+
+
+def test_utm_equator_scale_k0():
+    t = crs.Transformer("EPSG:4326", "EPSG:32618")
+    d = 1e-6
+    x, _ = t.transform(np.array([-75.0, -75.0 + d]), np.array([0.0, 0.0]))
+    m_per_deg = (x[1] - x[0]) / d
+    expected = 0.9996 * np.pi / 180.0 * 6378137.0
+    assert abs(m_per_deg - expected) / expected < 1e-6
+
+
+def test_utm_south_false_northing():
+    ts = crs.Transformer("EPSG:4326", "EPSG:32718")
+    tn = crs.Transformer("EPSG:4326", "EPSG:32618")
+    xs, ys = ts.transform(np.array([-75.0]), np.array([-1.0]))
+    xn, yn = tn.transform(np.array([-75.0]), np.array([-1.0]))
+    assert abs((ys[0] - 10000000.0) - yn[0]) < 1e-6  # same grid, shifted FN
+    assert xs[0] == xn[0]
+
+
+def test_utm_zone_codes():
+    assert crs.utm_crs(18) == "EPSG:32618"
+    assert crs.utm_crs(18, south=True) == "EPSG:32718"
+    assert crs._parse_utm("EPSG:32618") == (-75.0, 0.0)
+    assert crs._parse_utm("EPSG:32718") == (-75.0, 10000000.0)
+    assert crs._parse_utm("EPSG:32661") is None  # UPS, not UTM
+    assert crs._parse_utm("EPSG:3857") is None
+
+
+def test_utm_via_mercator_chain():
+    """4326 -> UTM -> 3857 -> 4326 composition stays consistent."""
+    lon = np.array([-74.5, -75.5, -75.0])
+    lat = np.array([40.0, 41.0, -10.0])
+    a = crs.Transformer("EPSG:4326", "EPSG:32618")
+    b = crs.Transformer("EPSG:32618", "EPSG:3857")
+    c = crs.Transformer("EPSG:3857", "EPSG:4326")
+    x, y = a.transform(lon, lat)
+    mx, my = b.transform(x, y)
+    lon2, lat2 = c.transform(mx, my)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
