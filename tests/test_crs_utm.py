@@ -83,3 +83,42 @@ def test_utm_via_mercator_chain():
     lon2, lat2 = c.transform(mx, my)
     assert np.abs(lon2 - lon).max() < 1e-9
     assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_reproject_raster_source_to_utm(ray_session):
+    """T1 through the view chain with the ellipsoidal UTM target: value
+    round-trip 4326 -> 32618 -> 4326 must reproduce the source raster on
+    the interior (nearest resampling, same pixel counts)."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+
+    # a small lon/lat grid inside zone 18
+    grid = GridExtent(Extent(-76.0, 40.0, -74.0, 41.0), 0.02, 0.02, 100, 50)
+    src = SyntheticRasterSource(grid, _crs="EPSG:4326")
+    utm = src.reproject("EPSG:32618", method="nearest")
+    assert utm.crs == "EPSG:32618"
+    # target extent must bracket the forward-projected corners
+    assert utm.extent.xmin < 500000.0 < utm.extent.xmax
+    back = utm.reproject("EPSG:4326", method="nearest")
+    a = src.read().pixels
+    b = back.read().pixels
+    # compare interior (edges differ by envelope padding); nearest-resample
+    # round trip through the ellipsoidal warp keeps interior values
+    inner_a = a[..., 10:-10, 10:-10]
+    # sample the same geographic centers from the round-tripped view
+    sub = back.read(
+        Extent(
+            grid.extent.xmin + 10 * grid.cellwidth,
+            grid.extent.ymin + 10 * grid.cellheight,
+            grid.extent.xmax - 10 * grid.cellwidth,
+            grid.extent.ymax - 10 * grid.cellheight,
+        )
+    ).pixels
+    assert sub.shape[-2:] <= a.shape[-2:]
+    # majority of interior cells survive the double warp exactly (nearest)
+    h = min(inner_a.shape[-2], sub.shape[-2]) - 1
+    w = min(inner_a.shape[-1], sub.shape[-1]) - 1
+    frac = (inner_a[..., :h, :w] == sub[..., :h, :w]).mean()
+    assert frac > 0.5, frac
