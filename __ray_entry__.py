@@ -802,14 +802,18 @@ def q_media_image_decode(sf_dir: str):
     """Multimodal oracle: REAL image decode (stdlib PNG/BMP/PPM codecs)
     through the feature-extractor actor pool — decoded dims must match the
     deterministic generator formulas the DuckDB oracle replays.  Payload
-    format rotates PNG/BMP/PPM by index to exercise magic-byte sniffing."""
+    format rotates PNG/BMP/PPM/JPEG by index to exercise magic-byte sniffing
+    (JPEG = the pure-numpy baseline-DCT codec in functions/jpeg.py; the dims
+    oracle is codec-agnostic, so the lossy pixel path is exercised while the
+    checked projection stays exact)."""
     import pyarrow as pa
 
     from geotrellis_contrib_ray.functions import codecs
+    from geotrellis_contrib_ray.functions.jpeg import encode_jpeg
     from geotrellis_contrib_ray.stages import multimodal as mm
 
     n = 64
-    encs = [codecs.encode_png, codecs.encode_bmp, codecs.encode_ppm]
+    encs = [codecs.encode_png, codecs.encode_bmp, codecs.encode_ppm, encode_jpeg]
     refs, payloads = [], []
     for i in range(n):
         h = 16 + (i % 17)
@@ -819,7 +823,7 @@ def q_media_image_decode(sf_dir: str):
         px = ((row * w + col) % 256).astype(np.uint8)
         img = np.repeat(px[:, :, None], 3, axis=2)
         refs.append(f"img{i:03d}")
-        payloads.append(encs[i % 3](img))
+        payloads.append(encs[i % 4](img))
     t = pa.table(
         {
             "media_ref": pa.array(refs, pa.string()),

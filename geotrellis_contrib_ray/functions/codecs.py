@@ -242,7 +242,11 @@ def sniff_and_decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if data.startswith(_PNG_SIG):
         return decode_png(data)
-    raise ValueError("unrecognized image format (supported: PPM/BMP/PNG)")
+    if data.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError("unrecognized image format (supported: PPM/BMP/PNG/JPEG)")
 
 
 def sniff_and_decode_audio(data: bytes) -> np.ndarray:
