@@ -310,6 +310,17 @@ def q_knn_indexed(sf_dir: str):
     return knn_indexed(ds, KNN_QUERIES, KNN_K)
 
 
+def q_knn_many(sf_dir: str):
+    """O4 probe-heavy regime: 512 query points through the indexed tier
+    (task pool + worker-cached GridPointIndex) — the workload shape where
+    the ST5 index beats the brute partial (see knn_indexed docstring)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import KNN_K, knn_many_queries
+    from geotrellis_contrib_ray.state.spatial_index import knn_indexed
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    return knn_indexed(ds, knn_many_queries(), KNN_K)
+
+
 def q_pip_zones_indexed(sf_dir: str):
     """J1 via the actor-held grid polygon index (ST5) — same oracle as
     q_pip_zones (no doc point sits exactly on a zone edge, verified)."""
@@ -893,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lang_source": q_distinct_lang_source,
         "stride_sample": q_stride_sample,
         "knn_indexed": q_knn_indexed,
+        "knn_many": q_knn_many,
         "pip_zones_indexed": q_pip_zones_indexed,
         "order_lineitem_join": q_order_lineitem_join,
         "asof_join": q_asof_join,
@@ -1127,6 +1139,25 @@ GROUP BY o_orderpriority"""
 
     sql["knn_indexed"] = sql["knn"]
     sql["pip_zones_indexed"] = sql["pip_zones"]
+
+    from geotrellis_contrib_ray.pipelines.query_defs import KNN_MANY_Q
+
+    sql["knn_many"] = f"""
+WITH {geo_cte()},
+  q AS (
+    SELECT i AS query_id,
+           -80.3 + ((i * 997 + 17) % 5200) * 1e-3 AS qx,
+           39.72 + ((i * 613 + 29) % 2350) * 1e-3 AS qy
+    FROM generate_series(0, {KNN_MANY_Q - 1}) AS t(i)
+  ),
+  d AS (
+    SELECT q.query_id, p.doc_id,
+           sqrt((p.lon - q.qx) * (p.lon - q.qx) + (p.lat - q.qy) * (p.lat - q.qy)) AS dist
+    FROM pts p CROSS JOIN q
+  )
+SELECT query_id, doc_id, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rn FROM d
+) WHERE rn <= {KNN_K}"""
 
     sql["zone_anti_join"] = f"""
 WITH {geo_cte()}

@@ -69,6 +69,22 @@ KNN_QUERIES: list[tuple[int, float, float]] = [
 ]
 KNN_K = 5
 
+# probe-heavy kNN (the indexed tier's win regime — measured 7x over brute at
+# Q=4096 on sf0.1): Q deterministic query points via integer arithmetic, so
+# the DuckDB oracle regenerates them bit-identically with generate_series.
+KNN_MANY_Q = 512
+
+
+def knn_many_queries() -> list[tuple[int, float, float]]:
+    return [
+        (
+            i,
+            -80.3 + ((i * 997 + 17) % 5200) * 1e-3,
+            39.72 + ((i * 613 + 29) % 2350) * 1e-3,
+        )
+        for i in range(KNN_MANY_Q)
+    ]
+
 # distance self-join: sample predicate + threshold.  A contiguous id range
 # (not a modulus — the integer-lattice geocode makes modular samples too
 # sparse) keeps the brute-force oracle bounded at any sf.
