@@ -248,8 +248,8 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=
     salted = banded.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def pairs(g):
-        import pandas as pd
-
+        # Arrow return: pandas-format blocks pay ~13x in the downstream
+        # groupby/aggregate (see CLAUDE.md / jaccard_similarity_join)
         ids = g["doc_id"].to_numpy()
         hashes = g["band_hash"].to_numpy()
         order = np.lexsort((ids, hashes))
@@ -267,10 +267,10 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=
             id1s.append(run[ii])
             id2s.append(run[jj])
         if not id1s:
-            return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
-                                 "id2": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"id1": np.concatenate(id1s).astype(np.int64),
-                             "id2": np.concatenate(id2s).astype(np.int64)})
+            z = pa.array([], pa.int64())
+            return pa.table({"id1": z, "id2": z})
+        return pa.table({"id1": pa.array(np.concatenate(id1s).astype(np.int64)),
+                         "id2": pa.array(np.concatenate(id2s).astype(np.int64))})
 
     cand = salted.groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas")
 
@@ -374,8 +374,6 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4,
     banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def pairs(g):
-        import pandas as pd
-
         ids = g["doc_id"].to_numpy()
         keys = g["band_key"].to_numpy()
         sh_all = g["simhash"].to_numpy().astype(np.uint64)
@@ -398,12 +396,13 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4,
             id2s.append(run_ids[jj][keep])
             hds.append(hd[keep])
         if not id1s:
-            return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
-                                 "id2": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"id1": np.concatenate(id1s).astype(np.int64),
-                             "id2": np.concatenate(id2s).astype(np.int64),
-                             "hamming": np.concatenate(hds).astype(np.int64)})
+            z = pa.array([], pa.int64())
+            return pa.table({"id1": z, "id2": z, "hamming": z})
+        lo = np.concatenate(id1s).astype(np.int64)
+        hi = np.concatenate(id2s).astype(np.int64)
+        return pa.table({"id1": pa.array(np.minimum(lo, hi)),
+                         "id2": pa.array(np.maximum(lo, hi)),
+                         "hamming": pa.array(np.concatenate(hds).astype(np.int64))})
 
     cand = banded.groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas")
 
@@ -742,26 +741,23 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     )
 
     def pairs(g):
-        import pandas as pd
-
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         if len(ids) < 2 or len(ids) > max_bucket:
             if len(ids) > max_bucket:
                 _log_bucket_drop("embedding_neardup_pairs", len(ids), max_bucket)
-            return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
-                                 "id2": pd.Series([], dtype=np.int64),
-                                 "cosine": pd.Series([], dtype=np.float64)})
+            z = pa.array([], pa.int64())
+            return pa.table({"id1": z, "id2": z, "cosine": pa.array([], pa.float64())})
         emb = np.stack(g["embedding"].to_numpy())[order].astype(np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (emb / norms) @ (emb / norms).T
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = sims[ii, jj] >= threshold
-        return pd.DataFrame({"id1": ids[ii][keep].astype(np.int64),
-                             "id2": ids[jj][keep].astype(np.int64),
-                             "cosine": sims[ii, jj][keep]})
+        return pa.table({"id1": pa.array(ids[ii][keep].astype(np.int64)),
+                         "id2": pa.array(ids[jj][keep].astype(np.int64)),
+                         "cosine": pa.array(sims[ii, jj][keep])})
 
     cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
 
