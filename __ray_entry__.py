@@ -847,6 +847,45 @@ def q_media_image_decode(sf_dir: str):
     return out.select_columns(["media_ref", "width", "height"])
 
 
+def q_media_video_frames(sf_dir: str):
+    """Multimodal oracle: REAL video decode (MJPEG-AVI container over the
+    pure-numpy JPEG codec) through the frame-sampler actor pool — frame
+    counts, sampled counts, dims and fps must match the generator formulas
+    the DuckDB oracle replays."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.functions.avi import encode_avi_mjpeg
+    from geotrellis_contrib_ray.stages import multimodal as mm
+
+    n = 24
+    refs, payloads = [], []
+    for i in range(n):
+        nf = 4 + i % 7
+        h = 16 + i % 5
+        w = 16 + (i * 3) % 7
+        fps = 5 + i % 10
+        col = np.arange(w, dtype=np.int64)[None, :]
+        row = np.arange(h, dtype=np.int64)[:, None]
+        frames = np.stack(
+            [((row * w + col + 13 * f) % 256).astype(np.uint8) for f in range(nf)]
+        )
+        frames = np.repeat(frames[..., None], 3, axis=3)
+        refs.append(f"vid{i:03d}")
+        payloads.append(encode_avi_mjpeg(frames, fps=fps))
+    t = pa.table(
+        {
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    ds = _rd().from_arrow(t)
+    out = mm.sample_video_frames(ds, stride=2, batch_size=8)
+    return out.select_columns(
+        ["media_ref", "n_frames", "n_sampled", "width", "height", "fps"]
+    )
+
+
 def q_media_audio_frames(sf_dir: str):
     """Multimodal oracle: REAL PCM WAV decode through the frame sampler —
     frame counts must match the sample-count formula the oracle replays."""
@@ -927,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_pyramid": q_raster_pyramid,
         "media_image_decode": q_media_image_decode,
         "media_audio_frames": q_media_audio_frames,
+        "media_video_frames": q_media_video_frames,
         "pack_sequences": q_pack_sequences,
         "train_split": q_train_split,
     }
@@ -1262,6 +1302,15 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
        CAST(16 + (i * 7) % 19 AS INTEGER) AS width,
        CAST(16 + i % 17 AS INTEGER) AS height
 FROM generate_series(0, 63) AS t(i)"""
+
+    sql["media_video_frames"] = """
+SELECT 'vid' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
+       CAST(4 + i % 7 AS INTEGER) AS n_frames,
+       CAST((4 + i % 7 + 1) // 2 AS INTEGER) AS n_sampled,
+       CAST(16 + (i * 3) % 7 AS INTEGER) AS width,
+       CAST(16 + i % 5 AS INTEGER) AS height,
+       CAST(5 + i % 10 AS DOUBLE) AS fps
+FROM generate_series(0, 23) AS t(i)"""
 
     sql["media_audio_frames"] = """
 SELECT 'aud' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,

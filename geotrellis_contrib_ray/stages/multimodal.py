@@ -37,6 +37,9 @@ class DecodeBackend:
     def decode_audio(self, payload: bytes) -> np.ndarray:  # (samples,) float32
         raise NotImplementedError
 
+    def decode_video(self, payload: bytes):  # ((N, H, W, 3) uint8, fps)
+        raise NotImplementedError
+
 
 class StdlibDecodeBackend(DecodeBackend):
     """Real decoding with stdlib-only codecs: PPM/BMP/PNG images, PCM WAV
@@ -52,17 +55,26 @@ class StdlibDecodeBackend(DecodeBackend):
 
         return sniff_and_decode_audio(payload)
 
+    def decode_video(self, payload: bytes):
+        from ..functions.avi import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(payload)
+
 
 class RealDecodeBackend(DecodeBackend):
-    """Deploy-time slot for formats beyond the stdlib codecs (JPEG/MP3/
-    video): Pillow / libsndfile / PyAV are not installed in this container.
-    The stage contract is fixed; swap in at deploy time."""
+    """Deploy-time slot for formats beyond the pure-python codecs
+    (progressive JPEG/MP3/H.264): Pillow / libsndfile / PyAV are not
+    installed in this container.  The stage contract is fixed; swap in at
+    deploy time."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
-        raise NotImplementedError("JPEG/exotic image codecs not available (install Pillow)")
+        raise NotImplementedError("exotic image codecs not available (install Pillow)")
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
         raise NotImplementedError("MP3/exotic audio codecs not available (install soundfile)")
+
+    def decode_video(self, payload: bytes):
+        raise NotImplementedError("H.264/exotic containers not available (install PyAV)")
 
 
 class FakeDecodeBackend(DecodeBackend):
@@ -84,6 +96,14 @@ class FakeDecodeBackend(DecodeBackend):
         n = 1000 + (s % 1000)
         rng = np.random.default_rng(s % (1 << 32))
         return rng.standard_normal(n).astype(np.float32)
+
+    def decode_video(self, payload: bytes):
+        s = self._seed(payload)
+        n = 4 + (s % 5)
+        h = 16 + (s % 9)
+        w = 16 + ((s >> 8) % 9)
+        rng = np.random.default_rng(s % (1 << 32))
+        return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8), 10.0
 
 
 def synth_media_table(refs: list[str], media_type: str = "image") -> pa.Table:
@@ -163,6 +183,56 @@ class AudioFrameSampler:
                 "frame_energy": pa.array(energies, pa.list_(pa.float32())),
             }
         )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: decode video -> sample every ``stride``-th frame ->
+    per-sampled-frame mean intensity + dims.  Video rows are the WIDEST
+    media payloads — callers should size batch_size small (default pipeline
+    uses 16) so batch x concurrency fits the worker heap."""
+
+    def __init__(self, backend: DecodeBackend | None = None, stride: int = 2):
+        self.backend = backend or StdlibDecodeBackend()
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, n_frames, n_sampled, widths, heights, fpss, means = [], [], [], [], [], [], []
+        for ref, payload in zip(batch["media_ref"], batch["payload"]):
+            frames, fps = self.backend.decode_video(payload.as_py())
+            sampled = frames[:: self.stride]
+            refs.append(ref.as_py())
+            n_frames.append(frames.shape[0])
+            n_sampled.append(sampled.shape[0])
+            heights.append(frames.shape[1])
+            widths.append(frames.shape[2])
+            fpss.append(float(fps))
+            means.append(sampled.mean(axis=(1, 2, 3)).astype(np.float32).tolist())
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "n_frames": pa.array(n_frames, pa.int32()),
+                "n_sampled": pa.array(n_sampled, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "fps": pa.array(fpss, pa.float64()),
+                "frame_mean": pa.array(means, pa.list_(pa.float32())),
+            }
+        )
+
+
+def sample_video_frames(ds, *, backend: DecodeBackend | None = None, stride: int = 2,
+                        concurrency=None, batch_size=16):
+    """Video frame-sample pipeline stage (REAL MJPEG-AVI decode by default)."""
+    from ..util import default_pool_size
+
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"backend": backend or StdlibDecodeBackend(), "stride": stride},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
+    )
 
 
 def extract_image_features(ds, *, backend: DecodeBackend | None = None,

@@ -167,3 +167,65 @@ def test_multimodal_stage_real_decode(ray_session):
     res = mm.sample_audio_frames(rd.from_arrow(ta), concurrency=2).to_pandas()
     assert res["n_frames"][0] == 4  # 1024 // 256
     assert np.allclose(res["frame_energy"][0], 0.25, atol=1e-3)  # (0.5)^2
+
+
+def test_avi_mjpeg_roundtrip():
+    """MJPEG-AVI container: frame count/dims/fps exact, pixels within JPEG
+    quantization error."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.functions import avi
+
+    n, h, w = 6, 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack(
+        [
+            np.stack(
+                [(xx * 8 + i * 10) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            for i in range(n)
+        ]
+    )
+    data = avi.encode_avi_mjpeg(frames, fps=12, quality=90)
+    out, fps = avi.decode_avi_mjpeg(data)
+    assert out.shape == frames.shape
+    assert fps == 12.0
+    assert int(np.abs(out.astype(int) - frames.astype(int)).max()) <= 12
+    # container invariants
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert data.count(b"00dc") == n
+
+
+def test_avi_rejects_non_avi():
+    import pytest
+
+    from geotrellis_contrib_ray.functions import avi
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        avi.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_video_frame_sampler_stride(ray_session):
+    """VideoFrameSampler: stride-2 sampling over real MJPEG-AVI payloads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.functions import avi
+    from geotrellis_contrib_ray.stages import multimodal as mm
+
+    frames = np.full((5, 16, 16, 3), 100, dtype=np.uint8)
+    t = pa.table(
+        {
+            "media_ref": pa.array(["v0"], pa.string()),
+            "media_type": pa.array(["video"], pa.string()),
+            "payload": pa.array([avi.encode_avi_mjpeg(frames, fps=10)], pa.binary()),
+        }
+    )
+    out = mm.sample_video_frames(rd.from_arrow(t), stride=2, batch_size=4).to_pandas()
+    assert out["n_frames"].tolist() == [5]
+    assert out["n_sampled"].tolist() == [3]
+    assert out["width"].tolist() == [16] and out["height"].tolist() == [16]
+    # solid-color frames survive JPEG exactly -> mean intensity == 100
+    assert np.allclose(out["frame_mean"].iloc[0], 100.0)
