@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "knn_indexed",
     "raster_tile_read",
     "minhash_pairs",
+    "knn_many",
+    "sessionize",
+    "jaccard_exact_pairs",
+    "media_video_frames",
 ]
 
 
