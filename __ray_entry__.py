@@ -556,7 +556,8 @@ def q_jaccard_exact_pairs(sf_dir: str):
         filter=pc.field("doc_id") < JACCARD_SAMPLE_LIMIT,
     )
     return dedup.jaccard_similarity_join(
-        ds, shingle_k=JACCARD_K, threshold=JACCARD_THRESHOLD, group_salt=16
+        ds, shingle_k=JACCARD_K, threshold=JACCARD_THRESHOLD, group_salt=16,
+        broadcast_sizes=True,  # the sampled slice is dimension-shaped
     )
 
 

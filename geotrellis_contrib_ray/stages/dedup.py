@@ -569,7 +569,8 @@ def _distinct_doc_tokens(batch: pa.Table, shingle_k: int, id_col: str, text_col:
 
 def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
                             id_col: str = "doc_id", text_col: str = "text",
-                            group_salt: int = 256, max_df: int | None = None):
+                            group_salt: int = 256, max_df: int | None = None,
+                            broadcast_sizes: bool = False):
     """EXACT n-gram Jaccard similarity self-join (no LSH approximation):
     distributed inverted-index plan, SQL-oracle-checkable.
 
@@ -662,6 +663,49 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
         return pa.table({"doc_id": ids[keep], "sz": sz[keep]})
 
     size_ds = ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    if broadcast_sizes:
+        # broadcast tier (README join rules: dimension-shaped side via
+        # ray.put, read once per task — never re-shipped per batch).  Right
+        # when the deduped corpus slice is small (sampled driver query);
+        # the default bucket-join tier is the 10^12-doc path.
+        import ray
+
+        sz_tbl = pa.concat_tables(
+            size_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        lut_ref = ray.put(
+            dict(
+                zip(
+                    sz_tbl["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+                    sz_tbl["sz"].to_numpy(zero_copy_only=False).tolist(),
+                )
+            )
+        )
+
+        def finalize_bcast(b: pa.Table) -> pa.Table:
+            lut = ray.get(lut_ref)
+            i1 = b["id1"].to_numpy(zero_copy_only=False).astype(np.int64)
+            i2 = b["id2"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ns = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sz1 = np.array([lut[i] for i in i1.tolist()], dtype=np.int64)
+            sz2 = np.array([lut[i] for i in i2.tolist()], dtype=np.int64)
+            nu = sz1 + sz2 - ns
+            jac = ns / nu
+            keep = jac >= threshold
+            return pa.table(
+                {
+                    "id1": pa.array(i1[keep]),
+                    "id2": pa.array(i2[keep]),
+                    "n_shared": pa.array(ns[keep]),
+                    "n_union": pa.array(nu[keep]),
+                    "jaccard": pa.array(jac[keep]),
+                }
+            )
+
+        return shared.map_batches(
+            finalize_bcast, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
 
     def rn(mapping: dict):
         def f(b: pa.Table) -> pa.Table:
