@@ -341,20 +341,40 @@ def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=None,
     return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
 
 
+# worker-global polygon-index cache for the task-pool tier (see knn_indexed)
+_WORKER_POLY_CACHE: dict = {}
+
+
 def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc_id",), concurrency=None):
-    """J1 at scale: PIP semi-join via the actor-held polygon index.  The
-    polygon side is ray.put ONCE and read per actor — never re-shipped per
-    batch, never shuffled."""
+    """J1 at scale: PIP semi-join via an index built once per worker from a
+    broadcast ref (ray.put) — never re-shipped per batch, never shuffled.
+
+    Default tier = task pool with the index memoized in worker module state
+    keyed by the broadcast ObjectRef (same build-once semantics as the actor
+    pool without its ~1.3 s spin-up — see knn_indexed's measured gap);
+    ``concurrency=`` selects the explicit actor pool."""
     import ray
 
-    from ..util import default_pool_size
-
     ref = ray.put([(n, np.asarray(r).tolist()) for n, r in polygons])
-    return ds.map_batches(
-        PolygonIndexActor,
-        fn_constructor_kwargs={"polygons_ref": ref, "keep_cols": keep_cols},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-        concurrency=concurrency if concurrency is not None else default_pool_size(),
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            PolygonIndexActor,
+            fn_constructor_kwargs={"polygons_ref": ref, "keep_cols": keep_cols},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+            concurrency=concurrency,
+        )
+
+    kc = tuple(keep_cols)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        key = (ref.hex(), kc)
+        actor = _WORKER_POLY_CACHE.get(key)
+        if actor is None:
+            actor = PolygonIndexActor(polygons_ref=ref, keep_cols=kc)
+            _WORKER_POLY_CACHE.clear()  # one live polygon set per worker
+            _WORKER_POLY_CACHE[key] = actor
+        return actor(batch)
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
