@@ -561,6 +561,27 @@ def q_jaccard_exact_pairs(sf_dir: str):
     )
 
 
+def q_jaccard_prefix_pairs(sf_dir: str):
+    """PPJoin prefix-filtered exact Jaccard — same oracle as
+    jaccard_exact_pairs (the prefix filter is exact by theorem; the driver
+    gate proves the two distributed plans agree with SQL and each other)."""
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        JACCARD_K,
+        JACCARD_SAMPLE_LIMIT,
+        JACCARD_THRESHOLD,
+    )
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < JACCARD_SAMPLE_LIMIT,
+    )
+    return dedup.jaccard_prefix_pairs(ds, shingle_k=JACCARD_K, threshold=JACCARD_THRESHOLD)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via multi-band LSH buckets + exact
     rerank (rows-only; the synthetic embeddings are near-orthogonal, so the
@@ -957,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "jaccard_exact_pairs": q_jaccard_exact_pairs,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "embedding_neardup": q_embedding_neardup,
         "quality_scores": q_quality_scores,
         "quality_counts": q_quality_counts,
@@ -1383,6 +1405,7 @@ SELECT id1, id2, n_shared,
        CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) AS jaccard
 FROM shared JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
 WHERE CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) >= {JACCARD_THRESHOLD}"""
+    sql["jaccard_prefix_pairs"] = sql["jaccard_exact_pairs"]
 
     # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
     # (float-summation order / regex semantics not bit-reproducible in SQL);

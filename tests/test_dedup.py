@@ -175,3 +175,22 @@ def test_jaccard_similarity_join_exact(ray_session):
     assert len(expected) > 0  # the planted near-dups must actually qualify
     for r in out.itertuples():
         assert r.jaccard == r.n_shared / r.n_union
+
+
+def test_jaccard_prefix_pairs_identical_to_inverted_index(ray_session):
+    """PPJoin prefix filtering is EXACT: identical output to the
+    inverted-index path on the planted-duplicates fixture."""
+    import pandas as pd
+    import ray.data as rd
+
+    t, _planted = _mk_texts(n_base=30)
+    ds = rd.from_arrow(t)
+    a = dedup.jaccard_similarity_join(ds, shingle_k=5, threshold=0.5, group_salt=16).to_pandas()
+    b = dedup.jaccard_prefix_pairs(ds, shingle_k=5, threshold=0.5).to_pandas()
+
+    def norm(df):
+        cols = ["id1", "id2", "n_shared", "n_union", "jaccard"]
+        return df[cols].sort_values(["id1", "id2"]).reset_index(drop=True)
+
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(norm(a), norm(b))
