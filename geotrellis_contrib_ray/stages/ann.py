@@ -79,19 +79,43 @@ class CosineTopK:
         )
 
 
+# worker-global scorer cache for the task-pool tier (see knn_indexed)
+_WORKER_SCORER_CACHE: dict = {}
+
+
 def ann_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id", batch_size=65536,
              concurrency: int | None = None):
-    """Brute-force cosine top-k: map_batches partial -> groupby(query) final."""
-    from ..util import default_pool_size
+    """Brute-force cosine top-k: map_batches partial -> groupby(query) final.
 
-    partial = ds.map_batches(
-        CosineTopK,
-        fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else default_pool_size(),
-    )
+    Default tier = task pool with the normalized query matrix broadcast via
+    ray.put and memoized per worker (no actor-pool spin-up); explicit
+    ``concurrency=`` selects the actor pool."""
+    if concurrency is not None:
+        partial = ds.map_batches(
+            CosineTopK,
+            fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    else:
+        import ray
+
+        qref = ray.put(np.asarray(queries, dtype=np.float64))
+
+        def score(batch: pa.Table) -> pa.Table:
+            key = (qref.hex(), k, id_col)
+            scorer = _WORKER_SCORER_CACHE.get(key)
+            if scorer is None:
+                scorer = CosineTopK(ray.get(qref), k, id_col)
+                _WORKER_SCORER_CACHE.clear()
+                _WORKER_SCORER_CACHE[key] = scorer
+            return scorer(batch)
+
+        partial = ds.map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        )
 
     def finalize(g):
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
