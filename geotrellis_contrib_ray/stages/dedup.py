@@ -111,7 +111,13 @@ def exact_dedup_keep_first(ds, id_col: str = "doc_id", text_col: str = "text"):
         .groupby("fingerprint")
         .aggregate(Min("pmin", alias_name="_first"))
     )
-    joined = bucketed_hash_join(with_fp, winners, on="fingerprint")
+    # schema of the left side is one cheap map over the first block; the
+    # winners side's is declared statically so .schema() never runs the
+    # whole aggregate just to list columns
+    lschema = with_fp.schema()
+    id_type = dict(zip(lschema.names, lschema.types))[id_col]
+    wschema = pa.schema([("fingerprint", pa.int64()), ("_first", id_type)])
+    joined = bucketed_hash_join(with_fp, winners, on="fingerprint", schemas=(lschema, wschema))
 
     def keep(b: pa.Table) -> pa.Table:
         out = b.filter(pc.equal(b[id_col], b["_first"]))
@@ -501,7 +507,12 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
 
     probes = cand.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     texts = ds.select_columns(["doc_id", "text"])
-    attached = bucketed_hash_join(probes, texts, on="doc_id")
+    i64 = pa.int64()
+    probe_schema = pa.schema([("doc_id", i64), ("id1", i64), ("id2", i64), ("slot", pa.int8())])
+    text_schema = pa.schema([("doc_id", i64), ("text", pa.string())])
+    # static schemas: .schema() on the probes side would re-execute the
+    # whole LSH candidate pipeline once more just for the column list
+    attached = bucketed_hash_join(probes, texts, on="doc_id", schemas=(probe_schema, text_schema))
 
     # final verify: pairs grouped by a SALT of the pair key (bounded group
     # count — one map_groups call per pair would pay per-group overhead for
@@ -895,7 +906,17 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
 
     probes = cand.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     texts = ds.select_columns([id_col, text_col])
-    attached = bucketed_hash_join(probes, texts, on="doc_id")
+    i64 = pa.int64()
+    attached = bucketed_hash_join(
+        probes,
+        texts,
+        on="doc_id",
+        # static schemas — .schema() would re-run the prefix/candidate plan
+        schemas=(
+            pa.schema([("doc_id", i64), ("id1", i64), ("id2", i64), ("slot", pa.int8())]),
+            pa.schema([("doc_id", i64), (text_col, pa.string())]),
+        ),
+    )
 
     def add_pair_salt(b: pa.Table) -> pa.Table:
         id1 = b["id1"].to_numpy(zero_copy_only=False)
