@@ -869,6 +869,16 @@ def q_media_image_decode(sf_dir: str):
     return out.select_columns(["media_ref", "width", "height"])
 
 
+def q_quantile_chars(sf_dir: str):
+    """Exact distributed quantiles (quality-cutoff percentiles) of n_chars
+    per lang: holistic aggregate reduced to a domain-bounded value
+    histogram (stages/stats.py) — exact at any corpus size, no t-digest."""
+    from geotrellis_contrib_ray.stages.stats import grouped_quantiles
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, "n_chars", qs=(0.25, 0.5, 0.75, 0.9), group_col="lang")
+
+
 def q_media_video_frames(sf_dir: str):
     """Multimodal oracle: REAL video decode (MJPEG-AVI container over the
     pure-numpy JPEG codec) through the frame-sampler actor pool — frame
@@ -990,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_decode": q_media_image_decode,
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
+        "quantile_chars": q_quantile_chars,
         "pack_sequences": q_pack_sequences,
         "train_split": q_train_split,
     }
@@ -1325,6 +1336,12 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
        CAST(16 + (i * 7) % 19 AS INTEGER) AS width,
        CAST(16 + i % 17 AS INTEGER) AS height
 FROM generate_series(0, 63) AS t(i)"""
+
+    qparts = "\nUNION ALL\n".join(
+        f"SELECT lang, {q} AS q, quantile_disc(n_chars, {q}) AS value FROM documents GROUP BY lang"
+        for q in (0.25, 0.5, 0.75, 0.9)
+    )
+    sql["quantile_chars"] = qparts
 
     sql["media_video_frames"] = """
 SELECT 'vid' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,

@@ -1,0 +1,56 @@
+"""Exact distributed quantiles (stages/stats.py): percentile_disc semantics
+vs numpy/DuckDB on grouped and global paths."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from geotrellis_contrib_ray.stages.stats import grouped_quantiles
+
+
+def _oracle(vals, q):
+    con = duckdb.connect()
+    return con.execute(
+        f"select quantile_disc(x, {q}) from (select unnest({list(map(int, vals))}) x)"
+    ).fetchone()[0]
+
+
+def test_quantiles_grouped_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    langs = np.array(["en", "fr", "de"])[rng.integers(0, 3, 500)]
+    vals = rng.integers(10, 200, 500).astype(np.int64)
+    t = pa.table({"lang": pa.array(langs.tolist(), pa.string()), "v": vals})
+    out = (
+        grouped_quantiles(rd.from_arrow(t), "v", qs=(0.25, 0.5, 0.9), group_col="lang")
+        .to_pandas()
+        .sort_values(["lang", "q"])
+        .reset_index(drop=True)
+    )
+    for lang in ("en", "fr", "de"):
+        sub = vals[langs == lang]
+        for q in (0.25, 0.5, 0.9):
+            got = out[(out["lang"] == lang) & (out["q"] == q)]["value"].iloc[0]
+            assert got == _oracle(sub, q), (lang, q)
+
+
+def test_quantiles_global_path(ray_session):
+    import ray.data as rd
+
+    vals = np.array([10, 20, 30, 40], dtype=np.int64)
+    t = pa.table({"v": vals})
+    out = grouped_quantiles(rd.from_arrow(t), "v", qs=(0.25, 0.5, 0.75, 0.9)).to_pandas()
+    assert dict(zip(out["q"], out["value"])) == {0.25: 10, 0.5: 20, 0.75: 30, 0.9: 40}
+
+
+def test_quantiles_duplicate_heavy(ray_session):
+    import ray.data as rd
+
+    # one dominant value: histogram collapse must still select correctly
+    vals = np.r_[np.full(990, 7), np.arange(10)].astype(np.int64)
+    t = pa.table({"v": vals})
+    out = grouped_quantiles(rd.from_arrow(t), "v", qs=(0.5, 0.99)).to_pandas()
+    got = dict(zip(out["q"], out["value"]))
+    assert got[0.5] == _oracle(vals, 0.5)
+    assert got[0.99] == _oracle(vals, 0.99)
