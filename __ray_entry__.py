@@ -879,6 +879,15 @@ def q_quantile_chars(sf_dir: str):
     return grouped_quantiles(ds, "n_chars", qs=(0.25, 0.5, 0.75, 0.9), group_col="lang")
 
 
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (longest 5 docs per lang, ties by doc_id): partial
+    top-k per batch per group, <= k rows/group/block through the shuffle."""
+    from geotrellis_contrib_ray.stages.stats import top_k_per_group
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars", "doc_id"])
+    return top_k_per_group(ds, group_col="lang", order_col="n_chars", k=5, tie_col="doc_id")
+
+
 def q_media_video_frames(sf_dir: str):
     """Multimodal oracle: REAL video decode (MJPEG-AVI container over the
     pure-numpy JPEG codec) through the frame-sampler actor pool — frame
@@ -1001,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_frames": q_media_audio_frames,
         "media_video_frames": q_media_video_frames,
         "quantile_chars": q_quantile_chars,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "pack_sequences": q_pack_sequences,
         "train_split": q_train_split,
     }
@@ -1342,6 +1352,13 @@ FROM generate_series(0, 63) AS t(i)"""
         for q in (0.25, 0.5, 0.75, 0.9)
     )
     sql["quantile_chars"] = qparts
+
+    sql["top_docs_per_lang"] = """
+SELECT lang, n_chars, doc_id FROM (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5"""
 
     sql["media_video_frames"] = """
 SELECT 'vid' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,

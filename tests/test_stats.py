@@ -54,3 +54,32 @@ def test_quantiles_duplicate_heavy(ray_session):
     got = dict(zip(out["q"], out["value"]))
     assert got[0.5] == _oracle(vals, 0.5)
     assert got[0.99] == _oracle(vals, 0.99)
+
+
+def test_top_k_per_group_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.stats import top_k_per_group
+
+    rng = np.random.default_rng(1)
+    n = 400
+    langs = np.array(["en", "fr", "de"])[rng.integers(0, 3, n)]
+    vals = rng.integers(0, 50, n).astype(np.int64)  # many exact ties
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"lang": pa.array(langs.tolist(), pa.string()), "v": vals, "doc_id": ids})
+    got = (
+        top_k_per_group(rd.from_arrow(t), "lang", "v", 5, "doc_id")
+        .to_pandas()
+        .sort_values(["lang", "v", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        """SELECT lang, v, doc_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY lang ORDER BY v DESC, doc_id) rn FROM t
+           ) WHERE rn <= 5 ORDER BY lang, v DESC, doc_id"""
+    ).df()
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    assert got["v"].tolist() == exp["v"].tolist()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
