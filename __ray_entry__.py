@@ -337,6 +337,33 @@ def q_pip_zones_indexed(sf_dir: str):
     return pip_join_indexed(ds, polys)
 
 
+def q_pip_zones_rtree(sf_dir: str):
+    """J1 via the packed Hilbert R-tree tier (state/rtree.py — the north
+    star's 'packed-Hilbert R-tree indexes for PIP probes').  Exact, so it
+    shares q_pip_zones's oracle."""
+    from geotrellis_contrib_ray.core import geom as geommod
+    from geotrellis_contrib_ray.pipelines.query_defs import ZONE_BOXES, ZONE_CONVEX
+
+    from geotrellis_contrib_ray.state.spatial_index import pip_join_indexed
+
+    polys = [(n, geommod.box(x0, y0, x1, y1).exterior) for n, x0, y0, x1, y1 in ZONE_BOXES]
+    cname, verts = ZONE_CONVEX
+    ring = np.array(list(verts) + [verts[0]], dtype=np.float64)
+    polys.append((cname, ring))
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    return pip_join_indexed(ds, polys, index="rtree")
+
+
+def q_knn_rtree(sf_dir: str):
+    """O4 via the packed Hilbert R-tree point index (best-first kNN) —
+    exact, shares q_knn's oracle."""
+    from geotrellis_contrib_ray.pipelines.query_defs import KNN_K, KNN_QUERIES
+    from geotrellis_contrib_ray.state.spatial_index import knn_indexed
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    return knn_indexed(ds, KNN_QUERIES, KNN_K, index="rtree")
+
+
 def q_zone_anti_join(sf_dir: str):
     """J7: anti-join — docs contained by NO zone (delete-as-rewrite)."""
     import pyarrow as pa
@@ -986,6 +1013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_indexed": q_knn_indexed,
         "knn_many": q_knn_many,
         "pip_zones_indexed": q_pip_zones_indexed,
+        "pip_zones_rtree": q_pip_zones_rtree,
+        "knn_rtree": q_knn_rtree,
         "order_lineitem_join": q_order_lineitem_join,
         "asof_join": q_asof_join,
         "orders_by_segment": q_orders_by_segment,
@@ -1223,6 +1252,8 @@ GROUP BY o_orderpriority"""
 
     sql["knn_indexed"] = sql["knn"]
     sql["pip_zones_indexed"] = sql["pip_zones"]
+    sql["knn_rtree"] = sql["knn"]
+    sql["pip_zones_rtree"] = sql["pip_zones"]
 
     from geotrellis_contrib_ray.pipelines.query_defs import KNN_MANY_Q
 

@@ -171,7 +171,8 @@ class PolygonIndexActor:
 
     Output: keep_cols of matched points + zone_name."""
 
-    def __init__(self, polygons_ref=None, parquet_path: str | None = None, keep_cols=("doc_id",)):
+    def __init__(self, polygons_ref=None, parquet_path: str | None = None, keep_cols=("doc_id",),
+                 index: str = "grid"):
         if parquet_path is not None:
             import pyarrow.parquet as pq
 
@@ -185,7 +186,12 @@ class PolygonIndexActor:
 
             polygons = ray.get(polygons_ref)
             polygons = [(n, np.asarray(r, dtype=np.float64)) for n, r in polygons]
-        self.index = GridPolygonIndex(polygons)
+        if index == "rtree":
+            from .rtree import HilbertPolygonIndex
+
+            self.index = HilbertPolygonIndex(polygons)
+        else:
+            self.index = GridPolygonIndex(polygons)
         self.keep_cols = list(keep_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -262,12 +268,17 @@ class KnnIndexPartial:
 _WORKER_GRID_CACHE: dict[tuple, GridPointIndex] = {}
 
 
-def _cached_grid_index(ids, xs, ys, cap: int = 16) -> GridPointIndex:
-    key = (len(ids), int(ids[0]), int(ids[-1]))
+def _cached_grid_index(ids, xs, ys, cap: int = 16, index: str = "grid"):
+    key = (len(ids), int(ids[0]), int(ids[-1]), index)
     idx = _WORKER_GRID_CACHE.get(key)
     if idx is None:
-        n_side = int(np.clip(np.sqrt(len(ids) / 8.0), 8, 128))
-        idx = GridPointIndex(ids, xs, ys, nx=n_side, ny=n_side)
+        if index == "rtree":
+            from .rtree import HilbertPointIndex
+
+            idx = HilbertPointIndex(ids, xs, ys)
+        else:
+            n_side = int(np.clip(np.sqrt(len(ids) / 8.0), 8, 128))
+            idx = GridPointIndex(ids, xs, ys, nx=n_side, ny=n_side)
         if len(_WORKER_GRID_CACHE) >= cap:
             _WORKER_GRID_CACHE.pop(next(iter(_WORKER_GRID_CACHE)))
         _WORKER_GRID_CACHE[key] = idx
@@ -275,7 +286,7 @@ def _cached_grid_index(ids, xs, ys, cap: int = 16) -> GridPointIndex:
 
 
 def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=None,
-                actor_pool: bool = False):
+                actor_pool: bool = False, index: str = "grid"):
     """kNN via per-partition point indexes (ST5) — identical results to the
     brute-force path, sub-linear probe cost per query.
 
@@ -316,7 +327,7 @@ def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=None,
                 )
             xs = batch["lon"].to_numpy(zero_copy_only=False)
             ys = batch["lat"].to_numpy(zero_copy_only=False)
-            idx = _cached_grid_index(ids, xs, ys)
+            idx = _cached_grid_index(ids, xs, ys, index=index)
             out_q, out_id, out_d = [], [], []
             for qid, qx, qy in qlist:
                 nid, nd = idx.nearest_k(qx, qy, k)
@@ -345,21 +356,27 @@ def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=None,
 _WORKER_POLY_CACHE: dict = {}
 
 
-def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc_id",), concurrency=None):
+def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc_id",), concurrency=None,
+                     index: str = "grid"):
     """J1 at scale: PIP semi-join via an index built once per worker from a
     broadcast ref (ray.put) — never re-shipped per batch, never shuffled.
 
     Default tier = task pool with the index memoized in worker module state
     keyed by the broadcast ObjectRef (same build-once semantics as the actor
     pool without its ~1.3 s spin-up — see knn_indexed's measured gap);
-    ``concurrency=`` selects the explicit actor pool."""
+    ``concurrency=`` selects the explicit actor pool.
+
+    ``index="grid"`` (bucket CSR) or ``"rtree"`` (packed Hilbert R-tree,
+    state/rtree.py) — both exact, identical output; the R-tree wins when the
+    polygon set's bboxes are highly non-uniform (skewed sizes/clusters)."""
     import ray
 
     ref = ray.put([(n, np.asarray(r).tolist()) for n, r in polygons])
     if concurrency is not None:
         return ds.map_batches(
             PolygonIndexActor,
-            fn_constructor_kwargs={"polygons_ref": ref, "keep_cols": keep_cols},
+            fn_constructor_kwargs={"polygons_ref": ref, "keep_cols": keep_cols,
+                                   "index": index},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,
@@ -369,10 +386,10 @@ def pip_join_indexed(ds, polygons: list[tuple[str, np.ndarray]], keep_cols=("doc
     kc = tuple(keep_cols)
 
     def probe(batch: pa.Table) -> pa.Table:
-        key = (ref.hex(), kc)
+        key = (ref.hex(), kc, index)
         actor = _WORKER_POLY_CACHE.get(key)
         if actor is None:
-            actor = PolygonIndexActor(polygons_ref=ref, keep_cols=kc)
+            actor = PolygonIndexActor(polygons_ref=ref, keep_cols=kc, index=index)
             _WORKER_POLY_CACHE.clear()  # one live polygon set per worker
             _WORKER_POLY_CACHE[key] = actor
         return actor(batch)
