@@ -194,6 +194,41 @@ def q_event_windows(sf_dir: str):
     return windows.tumbling_window_agg(ds, WINDOW_SEC)
 
 
+def q_interval_join(sf_dir: str):
+    """Range join, broadcast tier: events stabbed against the VALUE_INTERVALS
+    ranges through a worker-cached packed Hilbert R-tree (joins.interval_join).
+    Closed [lo, hi] ends == SQL BETWEEN."""
+    from geotrellis_contrib_ray.pipelines.query_defs import VALUE_INTERVALS
+    from geotrellis_contrib_ray.stages.joins import interval_join
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    return interval_join(ds, VALUE_INTERVALS, on="value", keep_cols=("event_id",))
+
+
+def q_interval_join_bucketed(sf_dir: str):
+    """Range join, shuffle tier (both sides Datasets): interval replication
+    into fixed-width buckets + one groupby — the two-large-sides scale path.
+    Same intervals, same oracle as q_interval_join."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.pipelines.query_defs import VALUE_INTERVALS
+    from geotrellis_contrib_ray.stages.joins import interval_join_bucketed
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ivals = _rd().from_arrow(
+        pa.table(
+            {
+                "interval_id": [i for i, _, _ in VALUE_INTERVALS],
+                "lo": [lo for _, lo, _ in VALUE_INTERVALS],
+                "hi": [hi for _, _, hi in VALUE_INTERVALS],
+            }
+        )
+    )
+    return interval_join_bucketed(
+        ds, ivals, on="value", bucket_width=8.0, keep_col="event_id"
+    )
+
+
 def q_sliding_windows(sf_dir: str):
     """Sliding (hopping) windows: size 3600s, hop 1800s — each event in 2
     overlapping windows."""
@@ -1003,6 +1038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "lang_profile": q_lang_profile,
         "event_windows": q_event_windows,
+        "interval_join": q_interval_join,
+        "interval_join_bucketed": q_interval_join_bucketed,
         "sessionize": q_sessionize,
         "sliding_windows": q_sliding_windows,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1185,6 +1222,17 @@ SELECT event_type,
        CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
        count(*) AS n_events
 FROM events GROUP BY 1, 2"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import VALUE_INTERVALS
+
+    _ival_rows = ", ".join(
+        f"({i}, {lo:.1f}, {hi:.1f})" for i, lo, hi in VALUE_INTERVALS
+    )
+    sql["interval_join"] = f"""
+WITH intervals(interval_id, lo, hi) AS (VALUES {_ival_rows})
+SELECT e.event_id, CAST(i.interval_id AS BIGINT) AS interval_id
+FROM events e JOIN intervals i ON e.value >= i.lo AND e.value <= i.hi"""
+    sql["interval_join_bucketed"] = sql["interval_join"]
 
     sql["sliding_windows"] = """
 WITH expanded AS (

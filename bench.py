@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "sessionize",
     "jaccard_exact_pairs",
     "media_video_frames",
+    "pip_zones_rtree",
+    "knn_rtree",
+    "interval_join",
+    "interval_join_bucketed",
 ]
 
 

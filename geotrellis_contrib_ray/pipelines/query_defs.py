@@ -94,6 +94,13 @@ DIST_THETA = 0.1
 # tumbling window size for the events query (seconds)
 WINDOW_SEC = 3600
 
+# interval join: closed [lo, hi] ranges over events.value.  Integer-valued
+# doubles (no literal drift between numpy and DuckDB), step 3 / width 4 so
+# adjacent intervals overlap by 1.0 and a value can hit two intervals.
+VALUE_INTERVALS: tuple[tuple[int, float, float], ...] = tuple(
+    (i, float(3 * i), float(3 * i + 4)) for i in range(34)
+)
+
 # --- text-quality oracle constants -----------------------------------------
 # Shared between stages/text.py::QualityScorer (Python re) and the DuckDB
 # oracle (RE2 regexp_extract_all).  Patterns are deliberately restricted to

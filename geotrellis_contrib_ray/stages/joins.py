@@ -181,3 +181,147 @@ def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int =
         return out[[by, on, right_value]]
 
     return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+# --- interval / range join -------------------------------------------------
+
+# worker-process-global stab-tree cache (same reuse semantics as the index
+# caches in state/spatial_index.py: prestarted workers persist module state)
+_WORKER_INTERVAL_CACHE: dict = {}
+
+
+def _cached_interval_tree(ref):
+    import ray
+
+    key = ref.hex()
+    entry = _WORKER_INTERVAL_CACHE.get(key)
+    if entry is None:
+        from ..state.rtree import HilbertRTree
+
+        ivals = np.asarray(ray.get(ref), dtype=np.float64)  # (n, 3): id, lo, hi
+        boxes = np.column_stack(
+            [ivals[:, 1], np.zeros(len(ivals)), ivals[:, 2], np.ones(len(ivals))]
+        )
+        entry = (ivals[:, 0].astype(np.int64), HilbertRTree(boxes))
+        _WORKER_INTERVAL_CACHE.clear()  # one live interval set per worker
+        _WORKER_INTERVAL_CACHE[key] = entry
+    return entry
+
+
+def interval_join(points, intervals, *, on: str, keep_cols=("event_id",),
+                  interval_id_col: str = "interval_id"):
+    """Range join, broadcast tier: rows of ``points`` whose ``on`` value lies
+    in a closed interval [lo, hi] (SQL ``BETWEEN`` semantics); one output row
+    per (point, interval) hit — overlapping intervals multiply.
+
+    ``intervals`` is a small list of ``(interval_id, lo, hi)`` tuples shipped
+    once via ``ray.put`` and stabbed through a packed Hilbert R-tree
+    (state/rtree.py) built once per worker: per batch the probe is a fully
+    vectorized frontier descent, so cost is O(points x log intervals), not
+    O(points x intervals).  For two large sides use
+    ``interval_join_bucketed``."""
+    import ray
+
+    ref = ray.put([(int(i), float(lo), float(hi)) for i, lo, hi in intervals])
+    kc = list(keep_cols)
+
+    def stab(batch: pa.Table) -> pa.Table:
+        ids, tree = _cached_interval_tree(ref)
+        v = batch[on].to_numpy(zero_copy_only=False).astype(np.float64)
+        pt, box = tree.query_points(v, np.full(len(v), 0.5))
+        out = batch.select(kc).take(pa.array(pt))
+        return out.append_column(interval_id_col, pa.array(ids[box]))
+
+    return points.map_batches(stab, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
+
+
+def interval_join_bucketed(points, intervals, *, on: str, id_col: str = "interval_id",
+                           lo_col: str = "lo", hi_col: str = "hi",
+                           keep_col: str = "event_id", bucket_width: float,
+                           how: str = "inner"):
+    """Range join, shuffle tier for two LARGE sides (both are Datasets).
+
+    Scale shape: quantize the value domain into fixed-width buckets;
+    replicate each interval into every bucket it overlaps (fan-out =
+    interval length / bucket_width, so pick bucket_width >= the typical
+    interval length to keep replication ~2x); points land in exactly one
+    bucket, so each (point, interval) pair is tested exactly once — no
+    dedup pass.  One groupby shuffle; per-group work is a vectorized
+    interval-mask over the few intervals overlapping that bucket.
+    Partitioning assumption: one bucket's points fit a worker; shrink
+    bucket_width for hot value ranges."""
+    w = float(bucket_width)
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        v = batch[on].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "_bucket": np.floor(v / w).astype(np.int64),
+                "_side": np.zeros(len(v), dtype=np.int8),
+                keep_col: batch[keep_col],
+                "_v": v,
+                id_col: pa.nulls(len(v), pa.int64()),
+                "_lo": pa.nulls(len(v), pa.float64()),
+                "_hi": pa.nulls(len(v), pa.float64()),
+            }
+        )
+
+    def replicate_intervals(batch: pa.Table) -> pa.Table:
+        lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        iid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = np.floor(lo / w).astype(np.int64)
+        b1 = np.floor(hi / w).astype(np.int64)
+        cnt = b1 - b0 + 1
+        total = int(cnt.sum())
+        row = np.repeat(np.arange(len(lo), dtype=np.int64), cnt)
+        bucket = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + np.repeat(b0, cnt)
+        )
+        return pa.table(
+            {
+                "_bucket": bucket,
+                "_side": np.ones(total, dtype=np.int8),
+                keep_col: pa.nulls(total, pa.int64()),
+                "_v": pa.nulls(total, pa.float64()),
+                id_col: iid[row],
+                "_lo": lo[row],
+                "_hi": hi[row],
+            }
+        )
+
+    tagged = points.map_batches(
+        tag_points, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        intervals.map_batches(
+            replicate_intervals, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        pts = g.filter(pa.array(side == 0))
+        ivs = g.filter(pa.array(side == 1))
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return pa.table(
+                {keep_col: pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64())}
+            )
+        v = pts["_v"].to_numpy(zero_copy_only=False)
+        lo = ivs["_lo"].to_numpy(zero_copy_only=False)
+        hi = ivs["_hi"].to_numpy(zero_copy_only=False)
+        iid = ivs[id_col].to_numpy(zero_copy_only=False)
+        hit = (v[:, None] >= lo[None, :]) & (v[:, None] <= hi[None, :])
+        prow, icol = np.nonzero(hit)
+        return pa.table(
+            {
+                keep_col: pts[keep_col].take(pa.array(prow)),
+                id_col: pa.array(iid[icol].astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

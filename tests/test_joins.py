@@ -94,3 +94,70 @@ def test_shared_column_guard(ray_session):
     b = rd.from_arrow(pa.table({"k": [1], "x": [2]}))
     with pytest.raises(ValueError, match="rename shared"):
         bucketed_hash_join(a, b, on="k")
+
+
+def _interval_fixture():
+    import pyarrow as pa
+    import ray.data as rd
+
+    # values chosen to hit closed boundaries and the overlap zone of
+    # [0,4] / [3,7] / [10,14]
+    pts = pa.table({"event_id": [1, 2, 3, 4, 5, 6],
+                    "value": [0.0, 3.5, 4.0, 7.0, 9.0, 14.0]})
+    ivals = [(0, 0.0, 4.0), (1, 3.0, 7.0), (2, 10.0, 14.0)]
+    expected = sorted([(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (4, 1), (6, 2)])
+    return rd.from_arrow(pts), ivals, expected
+
+
+def test_interval_join_broadcast_closed_bounds_and_overlap(ray_session):
+    from geotrellis_contrib_ray.stages.joins import interval_join
+
+    ds, ivals, expected = _interval_fixture()
+    out = interval_join(ds, ivals, on="value").to_pandas()
+    got = sorted(zip(out["event_id"], out["interval_id"]))
+    assert got == expected
+
+
+def test_interval_join_bucketed_matches_broadcast(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import interval_join_bucketed
+
+    ds, ivals, expected = _interval_fixture()
+    ivds = rd.from_arrow(pa.table({
+        "interval_id": [i for i, _, _ in ivals],
+        "lo": [lo for _, lo, _ in ivals],
+        "hi": [hi for _, _, hi in ivals],
+    }))
+    # bucket_width smaller than interval length exercises replication
+    out = interval_join_bucketed(ds, ivds, on="value", bucket_width=2.0).to_pandas()
+    got = sorted(zip(out["event_id"], out["interval_id"]))
+    assert got == expected
+
+
+def test_interval_join_random_parity(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import interval_join, interval_join_bucketed
+
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-10, 110, 3000)
+    ds = rd.from_arrow(pa.table({"event_id": np.arange(3000), "value": v}))
+    lo = rng.uniform(-5, 100, 60)
+    ivals = [(i, float(l), float(l + w)) for i, (l, w) in
+             enumerate(zip(lo, rng.uniform(0.1, 12.0, 60)))]
+    exp = set()
+    for i, l, h in ivals:
+        for e in np.nonzero((v >= l) & (v <= h))[0]:
+            exp.add((int(e), i))
+    got_b = interval_join(ds, ivals, on="value").to_pandas()
+    assert set(zip(got_b["event_id"], got_b["interval_id"])) == exp
+    ivds = rd.from_arrow(pa.table({
+        "interval_id": [i for i, _, _ in ivals],
+        "lo": [l for _, l, _ in ivals],
+        "hi": [h for _, _, h in ivals],
+    }))
+    got_s = interval_join_bucketed(ds, ivds, on="value", bucket_width=7.0).to_pandas()
+    assert set(zip(got_s["event_id"], got_s["interval_id"])) == exp
