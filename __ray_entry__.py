@@ -68,6 +68,23 @@ def q_cell_assign(sf_dir: str):
     return ds.select_columns(["doc_id", "cell", "parent_cell"])
 
 
+def q_hilbert_key(sf_dir: str):
+    """Hilbert space-filling-curve partition key per doc point — THE spatial
+    partitioning key of the scale plan (stages/spatial.py::spatial_sort).
+    Oracle: the 16-iteration bit loop unrolled as a generated DuckDB CTE
+    chain (query_defs.hilbert_sql_cte) — identical integer arithmetic."""
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    ds = ds.map_batches(
+        spatial.add_hilbert_key,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return ds.select_columns(["doc_id", "hkey", "part"])
+
+
 def q_pip_zones(sf_dir: str):
     """J1: PIP semi-join of doc points vs broadcast zones (boxes + convex)."""
     from geotrellis_contrib_ray.pipelines.query_defs import ZONE_BOXES, ZONE_CONVEX
@@ -1027,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tile_assign": q_tile_assign,
         "cell_assign": q_cell_assign,
+        "hilbert_key": q_hilbert_key,
         "pip_zones": q_pip_zones,
         "knn": q_knn,
         "distance_pairs": q_distance_pairs,
@@ -1115,6 +1133,13 @@ SELECT doc_id,
        CAST(floor((lon - (-180.0)) / {tw!r}) AS BIGINT) AS tile_col,
        CAST(floor((90.0 - lat) / {th!r}) AS BIGINT) AS tile_row
 FROM pts"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import hilbert_sql_cte
+
+    sql["hilbert_key"] = f"""
+WITH {geo_cte()},
+  {hilbert_sql_cte(16)}
+SELECT doc_id, d AS hkey, (d >> 22) AS part FROM hfinal"""
 
     sql["cell_assign"] = f"""
 WITH {geo_cte()},

@@ -227,3 +227,36 @@ def convex_sql_predicate(px: str, py: str) -> str:
 def knn_values_sql() -> str:
     rows = ",\n      ".join(f"({q}, {x}, {y})" for q, x, y in KNN_QUERIES)
     return f"(VALUES\n      {rows}) AS q(query_id, qx, qy)"
+
+
+def hilbert_sql_cte(order: int = 16) -> str:
+    """Generated DuckDB CTE chain computing the Hilbert index of the
+    quantized (lon, lat) lattice — the same fixed ``order``-iteration bit
+    loop as state/rtree.py::hilbert_d, unrolled into one CTE per iteration
+    so Ray and the oracle share identical integer arithmetic.  Expects a
+    preceding ``pts`` CTE (geo_cte); yields ``hfinal(doc_id, d)``."""
+    n = 1 << order
+    parts = [
+        f"""h_base AS (
+    SELECT doc_id,
+           LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {float(n)}) AS BIGINT), 0), {n - 1}) AS x,
+           LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {float(n)}) AS BIGINT), 0), {n - 1}) AS y,
+           CAST(0 AS BIGINT) AS d
+    FROM pts
+  )"""
+    ]
+    prev = "h_base"
+    for k, i in enumerate(range(order - 1, -1, -1)):
+        s = 1 << i
+        cur = f"h{k}" if i > 0 else "hfinal"
+        parts.append(
+            f"""{cur} AS (
+    SELECT doc_id,
+           CASE WHEN (y & {s}) = 0 THEN CASE WHEN (x & {s}) > 0 THEN {n - 1} - y ELSE y END ELSE x END AS x,
+           CASE WHEN (y & {s}) = 0 THEN CASE WHEN (x & {s}) > 0 THEN {n - 1} - x ELSE x END ELSE y END AS y,
+           d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END), CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+    FROM {prev}
+  )"""
+        )
+        prev = cur
+    return ",\n  ".join(parts)

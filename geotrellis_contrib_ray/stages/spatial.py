@@ -60,6 +60,49 @@ def add_cell(batch: pa.Table, res: int, parent_res: int | None = None) -> pa.Tab
     return batch
 
 
+HILBERT_ORDER = 16  # 2^16 x 2^16 lattice -> 32-bit keys; SQL-reproducible
+
+
+def add_hilbert_key(batch: pa.Table, order: int = HILBERT_ORDER,
+                    parts_bits: int = 10) -> pa.Table:
+    """Space-filling-curve partition key from (lon, lat) columns.
+
+    Quantizes to a 2^order lattice over WGS84 and appends ``hkey`` (the
+    Hilbert index — nearby points get nearby keys, so range-partitioning on
+    it co-locates spatial neighbors with bounded per-partition extent) and
+    ``part`` (the top ``2*order - parts_bits``-shifted partition id, 2^parts_bits
+    partitions).  This is THE partitioning key the scale plan reuses across
+    stages: sort/repartition once on hkey, then PIP / kNN / mosaic all probe
+    partition-local state.  The fixed-iteration bit loop is reproducible in
+    ANSI SQL (see __ray_entry__'s generated 16-step CTE oracle)."""
+    from ..state.rtree import hilbert_d
+
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    n = np.float64(np.int64(1) << order)
+    qx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    qy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    hkey = hilbert_d(order, qx, qy)
+    part = hkey >> np.int64(2 * order - parts_bits)
+    return batch.append_column("hkey", pa.array(hkey)).append_column(
+        "part", pa.array(part)
+    )
+
+
+def spatial_sort(ds, order: int = HILBERT_ORDER, parts_bits: int = 10):
+    """Range-partition a point Dataset along the Hilbert curve: append hkey
+    and sort on it.  Downstream stages inherit spatially-coherent blocks
+    (each block covers a compact region), which turns broadcast-side probes
+    into mostly-local work and bounds mosaic/pyramid shuffle fan-out."""
+    keyed = ds.map_batches(
+        lambda b: add_hilbert_key(b, order, parts_bits),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return keyed.sort("hkey")
+
+
 # ---------------------------------------------------------------------------
 # J1: PIP semi-join against a small broadcast zone set
 # ---------------------------------------------------------------------------

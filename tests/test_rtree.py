@@ -163,3 +163,29 @@ def test_pip_join_rtree_tier_matches_grid_tier(ray_session):
         .reset_index(drop=True)
     )
     assert got[["doc_id", "zone_name"]].equals(exp[["doc_id", "zone_name"]])
+
+
+def test_spatial_sort_hilbert_locality(ray_session):
+    """spatial_sort range-partitions along the curve: hkey nondecreasing
+    across the stream, and each equal-`part` run covers a compact bbox
+    (max diagonal far below the full extent's)."""
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.spatial import spatial_sort
+
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-80.0, -75.0, 20000)
+    lat = rng.uniform(39.5, 42.5, 20000)
+    ds = rd.from_arrow(pa.table({"doc_id": np.arange(20000), "lon": lon, "lat": lat}))
+    out = spatial_sort(ds, parts_bits=10).to_pandas()
+    assert (np.diff(out["hkey"].to_numpy()) >= 0).all()
+    # range-partition compactness: split the sorted stream into 64
+    # equal-count chunks (what Dataset.sort's range partitioning produces);
+    # curve locality keeps each chunk's bbox small vs the full extent.
+    diags = []
+    for g in np.array_split(out, 64):
+        diags.append(
+            np.hypot(g["lon"].max() - g["lon"].min(), g["lat"].max() - g["lat"].min())
+        )
+    full = np.hypot(5.0, 3.0)
+    assert np.median(diags) < full / 4
