@@ -10,7 +10,8 @@ here for the classic tiled layout:
 
 - classic TIFF (II/MM byte order both readable; writer emits II)
 - tiled organization (TileWidth/TileLength/TileOffsets/TileByteCounts)
-- Compression 1 (none) and 8 (zlib/deflate — "AdobeDeflate")
+- Compression 1 (none), 5 (LZW, MSB-first early-change), 8 (zlib/deflate —
+  "AdobeDeflate"), 32773 (PackBits); Predictor 2 (horizontal differencing)
 - multi-band chunky (PlanarConfiguration=1), any numeric cell type
 - GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint, minimal
   GeoKeyDirectory (geographic/projected EPSG code), GDAL_NODATA
@@ -49,6 +50,7 @@ T_SAMPLES_PER_PIXEL = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_BYTE_COUNTS = 279
 T_PLANAR_CONFIG = 284
+T_PREDICTOR = 317
 T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
 T_TILE_OFFSETS = 324
@@ -84,6 +86,167 @@ def _epsg_of(crs) -> int:
 
 
 # ---------------------------------------------------------------------------
+# compression codecs: PackBits (TIFF §9) and LZW (TIFF §13, MSB-first,
+# early-change) — pure stdlib/numpy, spec-implemented; bit-level vectors in
+# tests/test_tiff.py pin the wire format.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a replicate run (>= 3 pays off; 2 at end of buffer also fine)
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3 or (run == 2 and j + 1 == n):
+            out.append(257 - run)
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run: until the next >=3 replicate or 128 bytes
+        j = i
+        while j + 1 < n and j - i < 127:
+            if j + 2 < n and data[j + 1] == data[j + 2] and (
+                j + 3 >= n or data[j + 3] == data[j + 1]
+            ):
+                break
+            j += 1
+        out.append(j - i)
+        out += data[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW: 9->12-bit codes, MSB-first packing, early change (the code
+    width bumps when the NEXT code to assign reaches 2^bits - 1), table
+    reset at 4094 entries."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = bytes([b])
+        if next_code >= 4094:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early change: the decoder trails the encoder's assignments by one
+        # entry, so it bumps at table sizes 510/1022/2046 (2^w - 2), exactly
+        # when the encoder (at next_code == 2^w - 1) switched widths
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _apply_predictor2(arr: np.ndarray) -> np.ndarray:
+    """Undo horizontal differencing in place-compatible fashion:
+    arr is (h, w, spp); cumulative sum along w with native wraparound."""
+    return np.add.accumulate(arr, axis=1, dtype=arr.dtype)
+
+
+def _diff_predictor2(arr: np.ndarray) -> np.ndarray:
+    """(h, w, spp) -> horizontally differenced copy (first column kept)."""
+    out = arr.copy()
+    out[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------------
 
@@ -91,22 +254,39 @@ def _epsg_of(crs) -> int:
 def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:4326",
                cell_type: CellType | None = None, tile_size: int = 256,
                compression: str = "deflate", overview_levels: tuple = (),
-               layout: str = "tiled") -> str:
+               layout: str = "tiled", predictor: int = 1) -> str:
     """Write (bands, rows, cols) pixels as a little-endian GeoTIFF.
 
     ``layout="tiled"`` (default) writes ``tile_size`` square tiles;
     ``"striped"`` writes classic strips of ``tile_size`` rows (last strip
     short).  ``overview_levels`` adds reduced-resolution IFDs (nearest 1/f
     decimation) chained after the base image — the COG-style file-native
-    pyramid."""
+    pyramid.  ``compression`` in none/deflate/lzw/packbits; ``predictor=2``
+    adds TIFF horizontal differencing (integer cell types only — the usual
+    pairing with lzw/deflate on smooth rasters)."""
     if pixels.ndim == 2:
         pixels = pixels[None]
     bands, rows, cols = pixels.shape
     if cell_type is None:
         cell_type = CellType(pixels.dtype.name, None)
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
     dtype = np.dtype(cell_type.dtype).newbyteorder("<")
+    if predictor == 2 and dtype.kind not in "iu":
+        raise ValueError("predictor=2 requires an integer cell type")
     striped = layout == "striped"
+
+    def _compress(block: np.ndarray) -> bytes:
+        # block is (h, w, bands) in the output dtype
+        if predictor == 2:
+            block = _diff_predictor2(block)
+        raw = np.ascontiguousarray(block).tobytes()
+        if comp_code == 8:
+            return zlib.compress(raw, 6)
+        if comp_code == 5:
+            return _lzw_encode(raw)
+        if comp_code == 32773:
+            return _packbits_encode(raw)
+        return raw
 
     buf = bytearray(b"II*\x00\x00\x00\x00\x00")  # header; IFD0 offset patched
 
@@ -122,11 +302,7 @@ def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:432
             for si in range(nstrips):
                 r0 = si * tile_size
                 h = min(tile_size, rows_ - r0)
-                raw = np.ascontiguousarray(
-                    np.moveaxis(px[:, r0 : r0 + h, :], 0, -1).astype(dtype)
-                ).tobytes()
-                if comp_code == 8:
-                    raw = zlib.compress(raw, 6)
+                raw = _compress(np.moveaxis(px[:, r0 : r0 + h, :], 0, -1).astype(dtype))
                 align()
                 offsets.append(len(buf))
                 counts.append(len(raw))
@@ -141,9 +317,7 @@ def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:432
                     h = min(tile_size, rows_ - r0)
                     w = min(tile_size, cols_ - c0)
                     tile[:h, :w, :] = np.moveaxis(px[:, r0 : r0 + h, c0 : c0 + w], 0, -1)
-                    raw = tile.tobytes()
-                    if comp_code == 8:
-                        raw = zlib.compress(raw, 6)
+                    raw = _compress(tile)
                     align()
                     offsets.append(len(buf))
                     counts.append(len(raw))
@@ -162,6 +336,8 @@ def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:432
             (T_PLANAR_CONFIG, FT_SHORT, [1]),
             (T_SAMPLE_FORMAT, FT_SHORT, [sf] * bands_),
         ]
+        if predictor == 2:
+            entries.append((T_PREDICTOR, FT_SHORT, [2]))
         if striped:
             entries += [
                 (T_STRIP_OFFSETS, FT_LONG, offsets),
@@ -253,6 +429,7 @@ class _TiffLevel:
             self.offsets = tags[T_TILE_OFFSETS]
             self.counts = tags[T_TILE_BYTE_COUNTS]
         self.compression = tags.get(T_COMPRESSION, [1])[0]
+        self.predictor = tags.get(T_PREDICTOR, [1])[0]
         self.spp = tags.get(T_SAMPLES_PER_PIXEL, [1])[0]
         bits = tags[T_BITS_PER_SAMPLE][0]
         sf = tags.get(T_SAMPLE_FORMAT, [1])[0]
@@ -270,13 +447,22 @@ class _TiffLevel:
         raw = self._data[self.offsets[ti] : self.offsets[ti] + self.counts[ti]]
         if self.compression == 8:
             raw = zlib.decompress(raw)
+        elif self.compression == 5:
+            raw = _lzw_decode(raw)
+        elif self.compression == 32773:
+            raw = _packbits_decode(raw)
         elif self.compression != 1:
             raise ValueError(f"unsupported TIFF compression {self.compression}")
         h = self.tile_h
         if self.striped:
             h = min(self.tile_h, self.height - ti * self.tile_h)
         arr = np.frombuffer(raw, dtype=self.dtype, count=h * self.tile_w * self.spp)
-        return np.moveaxis(arr.reshape(h, self.tile_w, self.spp), -1, 0)
+        arr = arr.reshape(h, self.tile_w, self.spp)
+        if self.predictor == 2:
+            arr = _apply_predictor2(arr.astype(arr.dtype.newbyteorder("="), copy=False))
+        elif self.predictor != 1:
+            raise ValueError(f"unsupported TIFF predictor {self.predictor}")
+        return np.moveaxis(arr, -1, 0)
 
 
 def _parse_tiff(data: bytes) -> tuple[list[_TiffLevel], dict]:

@@ -190,3 +190,71 @@ def test_striped_multiband(tmp_path):
     assert src.band_count == 2
     full = src.read()
     np.testing.assert_array_equal(full.pixels, px)
+
+
+def test_lzw_wire_format_vectors():
+    """Pin the LZW wire format at the bit level: encode(b'\\x00') is
+    Clear(256), 0, EOI(257) at 9 bits MSB-first = 80 00 20 20; plus the
+    TIFF6-spec PackBits example vector."""
+    from geotrellis_contrib_ray.sources.tiff import (
+        _lzw_decode,
+        _lzw_encode,
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    assert _lzw_encode(b"\x00") == bytes([0x80, 0x00, 0x20, 0x20])
+    assert _lzw_decode(bytes([0x80, 0x00, 0x20, 0x20])) == b"\x00"
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    assert _packbits_decode(packed) == unpacked
+    assert _packbits_decode(_packbits_encode(unpacked)) == unpacked
+
+
+def test_lzw_long_stream_width_transitions_and_reset():
+    """Round-trip through all code widths (9..12) and the 4094-entry table
+    reset; random bytes maximize table growth."""
+    from geotrellis_contrib_ray.sources.tiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(123)
+    data = rng.integers(0, 256, 150_000, dtype=np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("compression", ["lzw", "packbits"])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_lzw_packbits_predictor_roundtrip(tmp_path, compression, predictor):
+    grid = _grid(cols=300, rows=260)
+    px = _pixels(grid)
+    ct = CellType("int16", -32768.0)
+    path = str(tmp_path / f"t_{compression}_{predictor}.tif")
+    write_tiff(path, px, grid, cell_type=ct, tile_size=128,
+               compression=compression, predictor=predictor)
+    src = TiffRasterSource(path)
+    mem = InMemoryRasterSource(px, grid, ct)
+    full = src.read_bounds(GridBounds(0, 0, grid.cols - 1, grid.rows - 1))
+    assert (full.pixels == mem.pixels).all()
+    win = src.read_bounds(GridBounds(37, 50, 240, 200))
+    ref = mem.read_bounds(GridBounds(37, 50, 240, 200))
+    assert (win.pixels == ref.pixels).all()
+    assert src.attributes["compression"] == {"lzw": "5", "packbits": "32773"}[compression]
+
+
+def test_predictor_deflate_striped_roundtrip(tmp_path):
+    grid = _grid(cols=310, rows=190)
+    px = _pixels(grid, bands=3)
+    ct = CellType("int16", None)
+    path = str(tmp_path / "t_pred_striped.tif")
+    write_tiff(path, px, grid, cell_type=ct, tile_size=64, layout="striped",
+               compression="deflate", predictor=2)
+    src = TiffRasterSource(path)
+    full = src.read_bounds(GridBounds(0, 0, grid.cols - 1, grid.rows - 1))
+    assert (full.pixels == px).all()
+
+
+def test_predictor_rejects_float(tmp_path):
+    grid = _grid(cols=32, rows=32)
+    px = _pixels(grid).astype(np.float32)
+    with pytest.raises(ValueError, match="integer"):
+        write_tiff(str(tmp_path / "f.tif"), px, grid,
+                   cell_type=CellType("float32", None), predictor=2)
