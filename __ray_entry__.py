@@ -416,6 +416,53 @@ def q_knn_rtree(sf_dir: str):
     return knn_indexed(ds, KNN_QUERIES, KNN_K, index="rtree")
 
 
+def q_box_join(sf_dir: str):
+    """Box-box intersection join (`&&`) of two large rectangle sets:
+    grid-cell replication + one groupby shuffle, duplicate-free via the
+    reference-point rule (spatial.box_join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        BOX_JOIN_CELL,
+        BOX_JOIN_LEFT_LIMIT,
+        BOX_JOIN_LEFT_R,
+        BOX_JOIN_RIGHT_LIMIT,
+        BOX_JOIN_RIGHT_R,
+    )
+    from geotrellis_contrib_ray.stages import spatial
+
+    def boxes(filt, r):
+        ds = _rd().read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"], filter=filt
+        )
+
+        def buf(b: pa.Table) -> pa.Table:
+            b = spatial.add_geocode(b)
+            lon = b["lon"].to_numpy(zero_copy_only=False)
+            lat = b["lat"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "id": b["doc_id"],
+                    "x0": lon - r,
+                    "y0": lat - r,
+                    "x1": lon + r,
+                    "y1": lat + r,
+                }
+            )
+
+        return ds.map_batches(buf, batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=None)
+
+    left = boxes(pc.field("doc_id") < BOX_JOIN_LEFT_LIMIT, BOX_JOIN_LEFT_R)
+    right = boxes(
+        (pc.field("doc_id") >= BOX_JOIN_LEFT_LIMIT)
+        & (pc.field("doc_id") < BOX_JOIN_RIGHT_LIMIT),
+        BOX_JOIN_RIGHT_R,
+    )
+    return spatial.box_join(left, right, cell=BOX_JOIN_CELL)
+
+
 def q_zone_anti_join(sf_dir: str):
     """J7: anti-join — docs contained by NO zone (delete-as-rewrite)."""
     import pyarrow as pa
@@ -1070,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_zones_indexed": q_pip_zones_indexed,
         "pip_zones_rtree": q_pip_zones_rtree,
         "knn_rtree": q_knn_rtree,
+        "box_join": q_box_join,
         "order_lineitem_join": q_order_lineitem_join,
         "asof_join": q_asof_join,
         "orders_by_segment": q_orders_by_segment,
@@ -1327,6 +1375,31 @@ GROUP BY o_orderpriority"""
     sql["pip_zones_indexed"] = sql["pip_zones"]
     sql["knn_rtree"] = sql["knn"]
     sql["pip_zones_rtree"] = sql["pip_zones"]
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        BOX_JOIN_CELL as _BJC,
+        BOX_JOIN_LEFT_LIMIT as _BJL,
+        BOX_JOIN_LEFT_R as _BJLR,
+        BOX_JOIN_RIGHT_LIMIT as _BJR,
+        BOX_JOIN_RIGHT_R as _BJRR,
+    )
+
+    _ = _BJC  # cell width is a Ray-side partitioning knob only
+    sql["box_join"] = f"""
+WITH {geo_cte()},
+  lb AS (
+    SELECT doc_id AS id, lon - {_BJLR} AS x0, lat - {_BJLR} AS y0,
+           lon + {_BJLR} AS x1, lat + {_BJLR} AS y1
+    FROM pts WHERE doc_id < {_BJL}
+  ),
+  rb AS (
+    SELECT doc_id AS id, lon - {_BJRR} AS x0, lat - {_BJRR} AS y0,
+           lon + {_BJRR} AS x1, lat + {_BJRR} AS y1
+    FROM pts WHERE doc_id >= {_BJL} AND doc_id < {_BJR}
+  )
+SELECT lb.id AS left_id, rb.id AS right_id
+FROM lb JOIN rb
+  ON lb.x0 <= rb.x1 AND lb.x1 >= rb.x0 AND lb.y0 <= rb.y1 AND lb.y1 >= rb.y0"""
 
     from geotrellis_contrib_ray.pipelines.query_defs import KNN_MANY_Q
 

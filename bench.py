@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "knn_rtree",
     "interval_join",
     "interval_join_bucketed",
+    "box_join",
+    "hilbert_key",
 ]
 
 

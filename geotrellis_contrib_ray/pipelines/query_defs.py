@@ -101,6 +101,16 @@ VALUE_INTERVALS: tuple[tuple[int, float, float], ...] = tuple(
     (i, float(3 * i), float(3 * i + 4)) for i in range(34)
 )
 
+# box-box intersection join (`&&`): doc points buffered into rectangles,
+# disjoint id ranges so left/right sides are distinct tables (the driver's
+# documents table has 500 rows at gate scale).  Buffer radii share the exact
+# double literals with SQL; the replication cell width is Ray-side only.
+BOX_JOIN_LEFT_LIMIT = 250    # left  = doc_id <  250, buffer 0.15 deg
+BOX_JOIN_RIGHT_LIMIT = 500   # right = 250 <= doc_id < 500, buffer 0.2
+BOX_JOIN_LEFT_R = 0.15
+BOX_JOIN_RIGHT_R = 0.2
+BOX_JOIN_CELL = 0.5
+
 # --- text-quality oracle constants -----------------------------------------
 # Shared between stages/text.py::QualityScorer (Python re) and the DuckDB
 # oracle (RE2 regexp_extract_all).  Patterns are deliberately restricted to

@@ -465,3 +465,115 @@ def raster_summary(ds):
         Max("lat", alias_name="max_lat"),
         Count(alias_name="n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# box-box intersection join (PostGIS `&&` for two large rectangle sets)
+# ---------------------------------------------------------------------------
+
+
+def box_join(left, right, *, cell: float, id_col: str = "id",
+             x0: str = "x0", y0: str = "y0", x1: str = "x1", y1: str = "y1"):
+    """Rectangle-intersection join (`&&`) for two LARGE box Datasets.
+
+    Scale shape: each box is replicated into every ``cell``-sized grid cell
+    its rectangle overlaps (fan-out ~ (w/cell + 1)*(h/cell + 1) — pick
+    ``cell`` >= the typical box edge so replication stays ~4x); ONE
+    groupby(cell) shuffle; per-cell vectorized rect-overlap test.  Duplicate
+    suppression is the REFERENCE-POINT rule (no global distinct pass): a
+    pair is emitted only by the cell containing the bottom-left corner of
+    the pair's intersection, which lies in exactly one cell and is covered
+    by both boxes' replication.  Closed boundaries (touching boxes match,
+    SQL >=/<=).  Output: (left_id, right_id).  Partitioning assumption: one
+    cell's boxes fit a worker — shrink ``cell`` for hot regions (or salt)."""
+    w = float(cell)
+
+    def replicate(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            bx0 = batch[x0].to_numpy(zero_copy_only=False).astype(np.float64)
+            by0 = batch[y0].to_numpy(zero_copy_only=False).astype(np.float64)
+            bx1 = batch[x1].to_numpy(zero_copy_only=False).astype(np.float64)
+            by1 = batch[y1].to_numpy(zero_copy_only=False).astype(np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cx0 = np.floor(bx0 / w).astype(np.int64)
+            cx1 = np.floor(bx1 / w).astype(np.int64)
+            cy0 = np.floor(by0 / w).astype(np.int64)
+            cy1 = np.floor(by1 / w).astype(np.int64)
+            ncx = cx1 - cx0 + 1
+            cnt = ncx * (cy1 - cy0 + 1)
+            total = int(cnt.sum())
+            row = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+            k = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            rep_ncx = ncx[row]
+            cx = cx0[row] + k % rep_ncx
+            cy = cy0[row] + k // rep_ncx
+            return pa.table(
+                {
+                    "_cell": cx * np.int64(2**31) + cy,
+                    "_cx": cx,
+                    "_cy": cy,
+                    "_side": np.full(total, side, dtype=np.int8),
+                    "id": ids[row],
+                    "bx0": bx0[row],
+                    "by0": by0[row],
+                    "bx1": bx1[row],
+                    "by1": by1[row],
+                }
+            )
+
+        return f
+
+    tagged = left.map_batches(
+        replicate(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        right.map_batches(
+            replicate(1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "right_id": pa.array([], pa.int64())}
+            )
+        lg = g.filter(pa.array(lmask))
+        rg = g.filter(pa.array(~lmask))
+        lx0 = lg["bx0"].to_numpy(); ly0 = lg["by0"].to_numpy()
+        lx1 = lg["bx1"].to_numpy(); ly1 = lg["by1"].to_numpy()
+        rx0 = rg["bx0"].to_numpy(); ry0 = rg["by0"].to_numpy()
+        rx1 = rg["bx1"].to_numpy(); ry1 = rg["by1"].to_numpy()
+        hit = (
+            (lx0[:, None] <= rx1[None, :])
+            & (lx1[:, None] >= rx0[None, :])
+            & (ly0[:, None] <= ry1[None, :])
+            & (ly1[:, None] >= ry0[None, :])
+        )
+        li, ri = np.nonzero(hit)
+        if len(li) == 0:
+            return pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "right_id": pa.array([], pa.int64())}
+            )
+        # reference point: bottom-left of the intersection; emit only if it
+        # falls in THIS cell
+        px = np.maximum(lx0[li], rx0[ri])
+        py = np.maximum(ly0[li], ry0[ri])
+        cx = int(lg["_cx"][0].as_py())
+        cy = int(lg["_cy"][0].as_py())
+        keep = (np.floor(px / w).astype(np.int64) == cx) & (
+            np.floor(py / w).astype(np.int64) == cy
+        )
+        return pa.table(
+            {
+                "left_id": lg["id"].take(pa.array(li[keep])),
+                "right_id": rg["id"].take(pa.array(ri[keep])),
+            }
+        )
+
+    return tagged.groupby("_cell").map_groups(per_cell, batch_format="pyarrow")

@@ -161,3 +161,51 @@ def test_interval_join_random_parity(ray_session):
     }))
     got_s = interval_join_bucketed(ds, ivds, on="value", bucket_width=7.0).to_pandas()
     assert set(zip(got_s["event_id"], got_s["interval_id"])) == exp
+
+
+def test_box_join_reference_point_dedup(ray_session):
+    """Boxes spanning MANY replication cells must emit each pair exactly
+    once (reference-point rule), including touching-edge (closed) matches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.spatial import box_join
+
+    left = rd.from_arrow(pa.table({
+        "id": [1, 2],
+        "x0": [0.0, 10.0], "y0": [0.0, 10.0],
+        "x1": [9.0, 12.0], "y1": [9.0, 12.0],   # box 1 spans 100 cells at cell=1
+    }))
+    right = rd.from_arrow(pa.table({
+        "id": [7, 8, 9],
+        "x0": [5.0, 9.0, 20.0], "y0": [5.0, 9.0, 20.0],
+        # 8 = [9,10]^2: touches box 1's edge at x=9 and box 2's corner (10,10)
+        "x1": [6.0, 10.0, 21.0], "y1": [6.0, 10.0, 21.0],
+    }))
+    out = box_join(left, right, cell=1.0).to_pandas()
+    got = sorted(zip(out["left_id"], out["right_id"]))
+    assert got == [(1, 7), (1, 8), (2, 8)]
+
+
+def test_box_join_random_parity(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.spatial import box_join
+
+    rng = np.random.default_rng(8)
+    def mk(n, seed_off, wmax):
+        x0 = rng.uniform(-50, 50, n); y0 = rng.uniform(-50, 50, n)
+        w = rng.uniform(0.1, wmax, n); h = rng.uniform(0.1, wmax, n)
+        return np.arange(n) + seed_off, x0, y0, x0 + w, y0 + h
+
+    lid, lx0, ly0, lx1, ly1 = mk(400, 0, 8.0)
+    rid, rx0, ry0, rx1, ry1 = mk(300, 1000, 5.0)
+    lds = rd.from_arrow(pa.table({"id": lid, "x0": lx0, "y0": ly0, "x1": lx1, "y1": ly1}))
+    rds = rd.from_arrow(pa.table({"id": rid, "x0": rx0, "y0": ry0, "x1": rx1, "y1": ry1}))
+    out = box_join(lds, rds, cell=3.0).to_pandas()
+    got = sorted(zip(out["left_id"], out["right_id"]))
+    hit = ((lx0[:, None] <= rx1[None, :]) & (lx1[:, None] >= rx0[None, :])
+           & (ly0[:, None] <= ry1[None, :]) & (ly1[:, None] >= ry0[None, :]))
+    exp = sorted((int(lid[i]), int(rid[j])) for i, j in zip(*np.nonzero(hit)))
+    assert got == exp
