@@ -957,6 +957,17 @@ def q_train_split(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 20 docs per lang with the
+    smallest (hash(doc_id), doc_id) — a reproducible uniform per-stratum
+    draw with no RNG state; rides the partial-top-k shuffle bound
+    (<= k rows/group/block).  Integer-hash oracle via row_number()."""
+    from geotrellis_contrib_ray.stages.pack import stratified_sample
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"])
+    return stratified_sample(ds, group_col="lang", k=20)
+
+
 def q_media_image_decode(sf_dir: str):
     """Multimodal oracle: REAL image decode (stdlib PNG/BMP/PPM codecs)
     through the feature-extractor actor pool — decoded dims must match the
@@ -1145,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "pack_sequences": q_pack_sequences,
         "train_split": q_train_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1516,6 +1528,19 @@ SELECT CASE WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < 10 THEN 'tes
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        count(*) AS n_docs
 FROM documents GROUP BY 1"""
+
+    from geotrellis_contrib_ray.stages.pack import SAMPLE_HASH_M
+
+    sql["stratified_sample"] = f"""
+WITH h AS (
+  SELECT lang, ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SAMPLE_HASH_M} AS hkey, doc_id
+  FROM documents
+)
+SELECT lang, hkey, doc_id FROM (
+  SELECT lang, hkey, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+  FROM h
+) WHERE rn <= 20"""
 
     # --- multimodal: decoded dims / frame counts vs the generator formulas --
     sql["media_image_decode"] = """

@@ -121,3 +121,32 @@ def train_val_test_split(ds, id_col: str = "doc_id", val_pct: int = 10, test_pct
         return b.append_column("split", names)
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+SAMPLE_HASH_M = 2147483648  # 2^31 — hash range for the sampling order key
+
+
+def stratified_sample(ds, group_col: str, k: int, id_col: str = "doc_id"):
+    """Deterministic stratified sample: the k rows per group with the
+    smallest (hash(id), id) — a reproducible uniform draw per stratum, no
+    RNG state to ship.  hash(id) = ((id % SPLIT_P) * SPLIT_A) % 2^31, the
+    same overflow-safe arithmetic as train_val_test_split, so the SQL
+    oracle reproduces it exactly.
+
+    Scale shape: rides stats.top_k_per_group — per-batch partial selection
+    bounds the shuffle at <= k rows per group per block; the groupby merge
+    touches only candidates, never the corpus.
+
+    Output: (group_col, hkey, id_col)."""
+    from .stats import top_k_per_group
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % SPLIT_P) * np.int64(SPLIT_A)) % np.int64(SAMPLE_HASH_M)
+        return b.append_column("hkey", pa.array(h))
+
+    keyed = ds.map_batches(
+        add_h, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return top_k_per_group(keyed, group_col, "hkey", k, tie_col=id_col,
+                           ascending=True)

@@ -4,10 +4,12 @@ import numpy as np
 import pyarrow as pa
 
 from geotrellis_contrib_ray.stages.pack import (
+    SAMPLE_HASH_M,
     SPLIT_A,
     SPLIT_MOD,
     SPLIT_P,
     pack_sequences,
+    stratified_sample,
     train_val_test_split,
 )
 
@@ -53,3 +55,39 @@ def test_train_split_deterministic_and_stratified(ray_session):
     # rerun identical
     out2 = train_val_test_split(rd.from_arrow(t)).to_pandas()
     assert out.sort_values("doc_id")["split"].tolist() == out2.sort_values("doc_id")["split"].tolist()
+
+
+def test_stratified_sample_matches_serial_draw(ray_session):
+    import ray.data as rd
+
+    n, k = 1200, 7
+    ids = np.arange(n, dtype=np.int64)
+    groups = np.array(["g%d" % (i % 5) for i in range(n)])
+    t = pa.table({"doc_id": ids, "lang": pa.array(groups, pa.string())})
+
+    out = (
+        stratified_sample(rd.from_arrow(t), group_col="lang", k=k)
+        .to_pandas()
+        .sort_values(["lang", "hkey", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    h = (ids % SPLIT_P) * SPLIT_A % SAMPLE_HASH_M
+    expected = []
+    for g in sorted(set(groups)):
+        mask = groups == g
+        order = np.lexsort((ids[mask], h[mask]))
+        for j in order[:k]:
+            expected.append((g, int(h[mask][j]), int(ids[mask][j])))
+    got = list(out[["lang", "hkey", "doc_id"]].itertuples(index=False, name=None))
+    assert got == expected
+    # exactly k winners per group, every group covered
+    assert out.groupby("lang").size().tolist() == [k] * 5
+    # deterministic across reruns
+    out2 = (
+        stratified_sample(rd.from_arrow(t), group_col="lang", k=k)
+        .to_pandas()
+        .sort_values(["lang", "hkey", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got == list(out2[["lang", "hkey", "doc_id"]].itertuples(index=False, name=None))
