@@ -968,6 +968,16 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(ds, group_col="lang", k=20)
 
 
+def q_redact(sf_dir: str):
+    """PII-style regex redaction: vectorized RE2 replace + per-doc hit count
+    (pure narrow map; DuckDB regexp_replace twin matches byte-for-byte —
+    both engines embed RE2)."""
+    from geotrellis_contrib_ray.stages.text import redact_regex
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return redact_regex(ds)
+
+
 def q_media_image_decode(sf_dir: str):
     """Multimodal oracle: REAL image decode (stdlib PNG/BMP/PPM codecs)
     through the feature-extractor actor pool — decoded dims must match the
@@ -1157,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
+        "redact": q_redact,
     }
 
 
@@ -1528,6 +1539,17 @@ SELECT CASE WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < 10 THEN 'tes
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        count(*) AS n_docs
 FROM documents GROUP BY 1"""
+
+    from geotrellis_contrib_ray.stages.text import REDACT_PATTERN, REDACT_TOKEN
+
+    # RE2 on both sides: Arrow's replace_substring_regex and DuckDB's
+    # regexp_replace share the dialect, so full redacted TEXT crosses the
+    # value-hash compare, not just counts.
+    sql["redact"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS n_hits,
+       regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g') AS redacted
+FROM documents"""
 
     from geotrellis_contrib_ray.stages.pack import SAMPLE_HASH_M
 

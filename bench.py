@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "interval_join_bucketed",
     "box_join",
     "hilbert_key",
+    "stratified_sample",
 ]
 
 

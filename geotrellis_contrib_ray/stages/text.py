@@ -143,3 +143,29 @@ def _segment_hash(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
             m = valid[:, j]
             out[m] = (out[m] ^ bytes_[m, j]) * prime
     return out
+
+
+# PII-style redaction: the pattern is a parameter; both engines run RE2
+# (Arrow and DuckDB embed the same regex dialect), so the SQL twin
+# regexp_replace(text, pat, rep, 'g') reproduces the output byte-for-byte.
+REDACT_PATTERN = r"\b(customer|key|hash)\b"
+REDACT_TOKEN = "[REDACTED]"
+
+
+def redact_regex(ds, pattern: str = REDACT_PATTERN, token: str = REDACT_TOKEN,
+                 text_col: str = "text"):
+    """Vectorized regex redaction + per-doc hit count — the PII-scrub shape
+    of a training-data pipeline.  Pure narrow map (no state: Arrow compiles
+    the RE2 program once per kernel invocation over the whole batch, not per
+    row).  Output: input columns minus text, plus (n_hits:int64,
+    redacted:string).  SQL twin: regexp_replace(..., 'g') +
+    len(regexp_extract_all(...))."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        hits = pc.cast(pc.count_substring_regex(b[text_col], pattern), pa.int64())
+        red = pc.replace_substring_regex(b[text_col], pattern, token)
+        out = b.drop_columns([text_col])
+        return out.append_column("n_hits", hits).append_column("redacted", red)
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
