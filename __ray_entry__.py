@@ -978,6 +978,24 @@ def q_redact(sf_dir: str):
     return redact_regex(ds)
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination scan: distinct 8-byte-gram overlap of every
+    corpus doc against a broadcast benchmark slice (doc_id < 50 —
+    deterministic, no external data).  No shuffle: benchmark hashes ride
+    one ray.put, the corpus side is a single narrow vectorized pass."""
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.stages.dedup import contamination_check
+
+    path = f"{sf_dir}/documents.parquet"
+    cols = ["doc_id", "text"]
+    bench = _rd().read_parquet(path, columns=cols,
+                               filter=pc.field("doc_id") < 50)
+    corpus = _rd().read_parquet(path, columns=cols,
+                                filter=pc.field("doc_id") >= 50)
+    return contamination_check(corpus, bench, shingle_k=8)
+
+
 def q_media_image_decode(sf_dir: str):
     """Multimodal oracle: REAL image decode (stdlib PNG/BMP/PPM codecs)
     through the feature-extractor actor pool — decoded dims must match the
@@ -1168,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
         "redact": q_redact,
+        "contamination": q_contamination,
     }
 
 
@@ -1550,6 +1569,29 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS n_hits,
        regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g') AS redacted
 FROM documents"""
+
+    # contamination: distinct byte-8-gram membership — the Ray side compares
+    # 64-bit rolling hashes, the SQL side the substrings themselves; on the
+    # ASCII corpus the two domains are identical (collision odds ~2^-64).
+    sql["contamination"] = """
+WITH nums AS (  -- constant bound >= max doc length (generate_series takes
+                -- constants only; the join predicate prunes per doc)
+  SELECT CAST(i AS INTEGER) AS i FROM generate_series(1, 4096) t(i)
+),
+bench AS (
+  SELECT DISTINCT substr(d.text, n.i, 8) AS g
+  FROM documents d JOIN nums n ON n.i <= len(d.text) - 7
+  WHERE d.doc_id < 50
+),
+cg AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, n.i, 8) AS g
+  FROM documents d JOIN nums n ON n.i <= len(d.text) - 7
+  WHERE d.doc_id >= 50
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE g IN (SELECT g FROM bench)) AS n_hits
+FROM cg GROUP BY doc_id"""
 
     from geotrellis_contrib_ray.stages.pack import SAMPLE_HASH_M
 

@@ -1077,3 +1077,55 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.ascontiguousarray(np.bitwise_xor(a, b))
     by = x.view(np.uint8).reshape(x.shape + (8,))
     return _POPCNT8[by].sum(axis=-1, dtype=np.int64)
+
+
+def contamination_check(ds, bench_ds, shingle_k: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark-contamination check: for every corpus document, how many of
+    its distinct byte k-grams appear in a BENCHMARK set — the eval-leak scan
+    every pretraining pipeline runs before training.
+
+    Scale shape: the benchmark side is dimension-shaped by definition
+    (eval suites are MBs, the corpus is TBs) — its distinct k-gram hashes
+    are collected once and broadcast via ``ray.put``; the corpus side is one
+    narrow vectorized pass (rolling-hash shingles + one ``searchsorted`` per
+    batch), no shuffle at all.  Comparison domain: 64-bit rolling hashes of
+    byte k-grams — on ASCII text identical to distinct ``substr(text,i,k)``
+    membership (the SQL oracle's domain) up to a ~2^-64 collision.
+
+    Output: (id_col, n_grams, n_hits) int64 — one row per corpus doc with at
+    least one k-gram; ``n_hits / n_grams`` is the contamination fraction."""
+    import ray
+
+    def bench_tok(b: pa.Table) -> pa.Table:
+        _d, toks, _s = _distinct_doc_tokens(b, shingle_k, id_col, text_col)
+        return pa.table({"tok": pa.array(np.unique(toks))})
+
+    bt = bench_ds.map_batches(bench_tok, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    parts = [b["tok"].to_numpy(zero_copy_only=False)
+             for b in bt.iter_batches(batch_size=None, batch_format="pyarrow")]
+    bench_sorted = (np.unique(np.concatenate(parts)) if parts
+                    else np.zeros(0, np.int64))
+    ref = ray.put(bench_sorted)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _dids, toks, sz = _distinct_doc_tokens(b, shingle_k, id_col, text_col)
+        bench = ray.get(ref)
+        if len(bench) and len(toks):
+            idx = np.searchsorted(bench, toks)
+            hit = (idx < len(bench)) & (bench[np.minimum(idx, len(bench) - 1)] == toks)
+        else:
+            hit = np.zeros(len(toks), dtype=bool)
+        row = np.repeat(np.arange(len(ids)), sz)
+        nh = np.bincount(row, weights=hit, minlength=len(ids)).astype(np.int64)
+        keep = sz > 0
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "n_grams": pa.array(sz[keep]),
+            "n_hits": pa.array(nh[keep]),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

@@ -194,3 +194,46 @@ def test_jaccard_prefix_pairs_identical_to_inverted_index(ray_session):
 
     assert len(a) > 0
     pd.testing.assert_frame_equal(norm(a), norm(b))
+
+
+def test_contamination_check_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.dedup import contamination_check
+
+    bench_texts = ["the quick brown fox jumps", "pack my box with five dozen"]
+    corpus_texts = [
+        "the quick brown fox jumps",          # full copy -> 100% overlap
+        "xxxxx the quick brown yyyyy",        # partial leak
+        "completely different words here",    # clean
+        "tiny",                               # shorter than k=8 -> no row
+    ]
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(bench_texts, pa.string()),
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(corpus_texts, pa.string()),
+    }))
+    out = (
+        contamination_check(corpus, bench, shingle_k=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    def grams(s, k=8):
+        return {s[i:i + k] for i in range(len(s) - k + 1)}
+
+    bset = set().union(*(grams(t) for t in bench_texts))
+    exp = []
+    for i, t in enumerate(corpus_texts):
+        g = grams(t)
+        if g:
+            exp.append((i, len(g), len(g & bset)))
+    got = list(out[["doc_id", "n_grams", "n_hits"]].itertuples(index=False, name=None))
+    assert got == exp
+    assert got[0][1] == got[0][2] > 0        # full copy: all grams hit
+    assert got[2][2] == 0                    # clean doc: zero hits
+    assert len(out) == 3                     # 'tiny' has no 8-gram row
