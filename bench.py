@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "box_join",
     "hilbert_key",
     "stratified_sample",
+    "redact",
+    "contamination",
 ]
 
 
