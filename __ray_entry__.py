@@ -910,6 +910,21 @@ def q_raster_mosaic(sf_dir: str):
     return rst.summarize_tiles(merged, nodata_aware=True, include_dims=False)
 
 
+def q_raster_focal(sf_dir: str):
+    """Focal map algebra oracle: 3x3 focal SUM (integer-exact) over the tile
+    table with halo exchange between neighbor tiles; per-tile checksums
+    match the DuckDB 9-term in-bounds neighbor formula.  Layer-boundary
+    cells aggregate their partial window (GDAL/geotrellis edge semantics) —
+    the checksum is sensitive to halo placement on every tile edge."""
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid, layout = _raster_layout()
+    tiles = rst.tile_dataset([SyntheticRasterSource(grid)], layout)
+    focal = rst.focal_tiles(tiles, op="sum", radius=1)
+    return rst.summarize_tiles(focal, nodata_aware=False)
+
+
 def q_raster_pyramid(sf_dir: str):
     """A7 oracle: true tile pyramid one level up (2x2 children -> layout-
     framed parent, 2x nearest decimation); NoData-aware parent checksums
@@ -994,6 +1009,43 @@ def q_contamination(sf_dir: str):
     corpus = _rd().read_parquet(path, columns=cols,
                                 filter=pc.field("doc_id") >= 50)
     return contamination_check(corpus, bench, shingle_k=8)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup CLUSTERS: shared 10-char prefix/suffix keys ->
+    star edges (linear per key group) -> distributed connected components
+    (min-label propagation: one narrow int64 join + one groupby-min per
+    round) -> (doc_id, cluster_id) for every doc.  SQL twin: WITH RECURSIVE
+    min-label reach over the same star edges."""
+    from geotrellis_contrib_ray.pipelines.query_defs import CLUSTER_KEY_LEN
+    from geotrellis_contrib_ray.stages.graph import neardup_clusters
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return neardup_clusters(ds, key_len=CLUSTER_KEY_LEN)
+
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed k-means (Lloyd's) over the embedding table: centroids
+    broadcast per iteration, E-step + partial M-step fused per batch (only
+    k x d partial rows cross the shuffle), driver state = k x d floats.
+    Deterministic seeds = first KMEANS_K vectors; output (vec_id, cluster)."""
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.pipelines.query_defs import KMEANS_ITERS, KMEANS_K
+    from geotrellis_contrib_ray.stages.ann import _embedding_matrix
+    from geotrellis_contrib_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cols = ["vec_id", "embedding"]
+    seed_t = (
+        _rd().read_parquet(path, columns=cols, filter=pc.field("vec_id") < KMEANS_K)
+        .sort("vec_id")
+        .take_all()
+    )
+    seeds = np.stack([np.asarray(r["embedding"], np.float64) for r in seed_t])
+    ds = _rd().read_parquet(path, columns=cols)
+    cents = kmeans_fit(ds, seeds, n_iter=KMEANS_ITERS)
+    return kmeans_assign(ds, cents)
 
 
 def q_media_image_decode(sf_dir: str):
@@ -1187,6 +1239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "redact": q_redact,
         "contamination": q_contamination,
+        "dedup_clusters": q_dedup_clusters,
+        "raster_focal": q_raster_focal,
+        "kmeans_embed": q_kmeans_embed,
     }
 
 
@@ -1529,6 +1584,19 @@ SELECT CAST(floor(col / {T}) AS BIGINT) AS tile_col,
        count(*) AS n_valid
 FROM cells GROUP BY 1, 2"""
 
+    # focal sum: each cell's value is the sum of its IN-BOUNDS 3x3
+    # neighborhood, written as 9 guarded formula terms (no self-join)
+    _focal_v = " + ".join(
+        f"CASE WHEN col+({dc}) BETWEEN 0 AND {RASTER_COLS - 1}"
+        f" AND row+({dr}) BETWEEN 0 AND {RASTER_ROWS - 1}"
+        f" THEN ((row+({dr})) * {RASTER_COLS} + (col+({dc}))) % 32768"
+        f" ELSE 0 END"
+        for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+    )
+    sql["raster_focal"] = f"""
+WITH {raster_cells_cte()},
+{_tile_rollup.format(vexpr=f"({_focal_v})")}"""
+
     sql["raster_pyramid"] = f"""
 WITH {raster_cells_cte()}
 SELECT CAST(floor(col / {2 * T}) AS BIGINT) AS tile_col,
@@ -1706,6 +1774,83 @@ SELECT id1, id2, n_shared,
 FROM shared JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
 WHERE CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) >= {JACCARD_THRESHOLD}"""
     sql["jaccard_prefix_pairs"] = sql["jaccard_exact_pairs"]
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        CLUSTER_KEY_LEN,
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    # kmeans: KMEANS_ITERS Lloyd's rounds unrolled as CTE pairs (assign ->
+    # re-centroid); both engines share seeds, iteration count, and the
+    # (distance, cid) tie-break.  Float caveat: centroid sums accumulate in
+    # different orders, so equality holds unless a point sits within ~1e-14
+    # of a Voronoi boundary — not attainable on the synthetic embeddings.
+    assert KMEANS_ITERS == 2, "unrolled SQL below encodes exactly 2 rounds"
+    sql["kmeans_embed"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c0 AS (SELECT vec_id AS cid, emb AS c FROM e WHERE vec_id < {KMEANS_K}),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.emb, c0.c), c0.cid) AS rn
+    FROM e CROSS JOIN c0) WHERE rn = 1
+),
+mem AS (
+  SELECT a1.cid, generate_subscripts(e.emb, 1) AS idx, unnest(e.emb) AS val
+  FROM a1 JOIN e USING (vec_id)
+),
+avgs AS (SELECT cid, idx, avg(val) AS v FROM mem GROUP BY cid, idx),
+c1 AS (
+  SELECT c0.cid, coalesce(l.c, c0.c) AS c
+  FROM c0 LEFT JOIN (SELECT cid, list(v ORDER BY idx) AS c FROM avgs GROUP BY cid) l
+  USING (cid)
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.emb, c1.c), c1.cid) AS rn
+    FROM e CROSS JOIN c1) WHERE rn = 1
+),
+mem2 AS (
+  SELECT a2.cid, generate_subscripts(e.emb, 1) AS idx, unnest(e.emb) AS val
+  FROM a2 JOIN e USING (vec_id)
+),
+avgs2 AS (SELECT cid, idx, avg(val) AS v FROM mem2 GROUP BY cid, idx),
+c2 AS (
+  SELECT c1.cid, coalesce(l.c, c1.c) AS c
+  FROM c1 LEFT JOIN (SELECT cid, list(v ORDER BY idx) AS c FROM avgs2 GROUP BY cid) l
+  USING (cid)
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT e.vec_id, c2.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.emb, c2.c), c2.cid) AS rn
+  FROM e CROSS JOIN c2) WHERE rn = 1"""
+
+    # dedup_clusters: connected components = min-label reach via a recursive
+    # CTE (UNION dedups, so the recursion terminates at the closure).
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE keys AS (
+  SELECT doc_id, substr(text, 1, {CLUSTER_KEY_LEN}) AS key FROM documents
+  UNION ALL
+  SELECT doc_id, substr(text, len(text) - {CLUSTER_KEY_LEN - 1}, {CLUSTER_KEY_LEN}) AS key
+  FROM documents
+),
+g AS (SELECT key, min(doc_id) AS mn FROM keys GROUP BY key),
+star AS (
+  SELECT DISTINCT k.doc_id AS a, g.mn AS b
+  FROM keys k JOIN g ON k.key = g.key WHERE k.doc_id <> g.mn
+),
+edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+reach (node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM edges e JOIN reach r ON r.node = e.a
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node"""
 
     # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
     # (float-summation order / regex semantics not bit-reproducible in SQL);

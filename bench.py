@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "stratified_sample",
     "redact",
     "contamination",
+    "dedup_clusters",
+    "kmeans_embed",
+    "raster_focal",
 ]
 
 

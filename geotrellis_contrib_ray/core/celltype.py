@@ -109,9 +109,14 @@ def convert(arr: np.ndarray, src: CellType, dst: CellType, gdal_clamp: bool = Fa
         vals = np.clip(np.rint(vals), info.min, info.max)
     else:
         vals = np.trunc(vals)
-        # two's-complement style wrap for out-of-range, matching a plain cast
-        span = float(info.max) - float(info.min) + 1.0
-        vals = (vals - info.min) % span + info.min
+        # two's-complement style wrap for out-of-range, matching a plain cast.
+        # Apply it ONLY to out-of-range cells: the float64 modulo is lossy at
+        # int64 magnitudes (span 2^64 rounds every in-range value to ~0), so
+        # in-range values must pass through untouched.
+        in_range = (vals >= float(info.min)) & (vals <= float(info.max))
+        if not in_range.all():
+            span = float(info.max) - float(info.min) + 1.0
+            vals = np.where(in_range, vals, (vals - info.min) % span + info.min)
     out = vals.astype(dst.np_dtype)
     if dst.nodata is not None:
         out[nd_mask] = dst.nodata

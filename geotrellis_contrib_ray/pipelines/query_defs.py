@@ -134,6 +134,18 @@ JACCARD_K = 5
 JACCARD_THRESHOLD = 0.5
 JACCARD_SAMPLE_LIMIT = 250  # doc_id < 250
 
+# k-means over the embedding table: deterministic seeds = the first
+# KMEANS_K vectors by vec_id, KMEANS_ITERS Lloyd's rounds; assignment
+# tie-break (distance, cid) on both engines.
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+# near-dup CLUSTERS (connected components): docs sharing a CLUSTER_KEY_LEN
+# char prefix OR suffix are edges; components labelled by min doc_id.  Both
+# the Ray keying stage and the recursive-CTE oracle derive from this one
+# constant.
+CLUSTER_KEY_LEN = 10
+
 # ANN oracle: queries are the embedding rows with these vec_ids; top-k by
 # (cosine desc, vec_id asc) emitted as integer ranks only (float sims are
 # not bit-reproducible across summation orders).

@@ -1,0 +1,95 @@
+"""Distributed k-means over an embedding column (training-data curation:
+cluster-balanced sampling, near-dup bucket seeding, topic discovery).
+
+Scale shape (Lloyd's, Ray-Data-first):
+* centroids are broadcast once per iteration (``ray.put``), never shipped
+  per batch;
+* the E-step + partial M-step run fused inside one ``map_batches`` pass:
+  each batch emits k x d (cid, dim, s, n) partial rows — the ONLY thing
+  crossing the shuffle is k*d*blocks tiny rows, never vectors;
+* the global reduce is a groupby-sum of those partials; the driver holds
+  exactly k x d floats (the centroids), independent of corpus size.
+
+Determinism: assignment tie-break is (distance, cluster-id) — np.argmin
+takes the FIRST minimum, matching the SQL oracle's ORDER BY dist, cid; an
+emptied cluster keeps its previous centroid on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ann import _embedding_matrix
+
+
+def _assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Row -> nearest-centroid index (squared euclidean; first-min wins)."""
+    # |x-c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row — drop it
+    d2 = -2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_fit(ds, init: np.ndarray, n_iter: int = 2,
+               vec_col: str = "embedding") -> np.ndarray:
+    """Lloyd's iterations over a Dataset; returns the (k, d) centroids.
+
+    ``init``: explicit deterministic seeds (k, d) — at query level the first
+    k vectors by id; callers wanting k-means++ can sample a block and seed
+    driver-side (the fit itself never materializes the corpus).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cents = np.ascontiguousarray(init, dtype=np.float64)
+    k, dim = cents.shape
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            X = _embedding_matrix(batch[vec_col]).astype(np.float64)
+            C = ray.get(ref)
+            a = _assign(X, C)
+            sums = np.zeros((k, dim), np.float64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            cid = np.repeat(np.arange(k, dtype=np.int64), dim)
+            return pa.table({
+                "cid": pa.array(cid),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, dim)),
+            })
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        )
+        new = cents.copy()  # emptied clusters keep their previous centroid
+        for row in agg.take_all():  # exactly k*d tiny rows
+            if row["n"] > 0:
+                new[row["cid"], row["dim"]] = row["s"] / row["n"]
+        cents = new
+    return cents
+
+
+def kmeans_assign(ds, cents: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Final E-step: (id, cluster) labels, centroids broadcast once."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(cents, dtype=np.float64))
+
+    def label(batch: pa.Table) -> pa.Table:
+        X = _embedding_matrix(batch[vec_col]).astype(np.float64)
+        a = _assign(X, ray.get(ref))
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

@@ -1,0 +1,257 @@
+"""Distributed graph stages: connected components over candidate-pair edges,
+and near-dup CLUSTER resolution built on them.
+
+The pair emitters in ``stages/dedup.py`` stop at candidate PAIRS; real
+dedup needs transitive closure (A~B, B~C => one cluster, keep one doc).
+This module closes that gap Ray-Data-first:
+
+* ``star_edges`` — turns a (id, key_hash) keying Dataset into edges
+  (member -> per-key min id).  Emission is LINEAR in key-group size (a
+  star, not a clique), via the same salted-group + sorted-run-detection
+  pattern as ``dedup.minhash_candidate_pairs`` (grouping by the raw hash
+  would make one ~1 ms python group per key — see CLAUDE.md).
+* ``connected_components`` — min-label propagation: per round ONE narrow
+  bucketed hash join of the (node, nbr) edge list against the (node, label)
+  table plus one groupby-min; rounds bounded by component diameter (or
+  O(log d) with ``pointer_jump=True``, one extra label self-join/round).
+  Only int64 pairs ever cross a shuffle; document bodies never move.
+  Labels are materialized once per round (16 bytes/node — the narrow
+  state table, NOT the corpus), which also keeps the per-round lineage
+  flat instead of a recompute tower.
+* ``neardup_clusters`` — documents -> shared prefix/suffix-key star edges
+  -> components -> (doc_id, cluster_id); cluster_id is the min doc_id of
+  the component, so ``doc_id == cluster_id`` marks the canonical keeper.
+
+Reference scope anchor: the reference collapses exact-duplicate windows via
+``.toMap`` (vlm/src/test/scala/.../RasterSourceSpec.scala window dedup);
+transitive near-dup clustering is the training-data-scale extension of that
+semigroup collapse.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .joins import bucketed_hash_join
+
+
+def star_edges(keyed, id_col: str = "doc_id", hash_col: str = "key_hash",
+               group_salt: int = 256):
+    """(id, key_hash) rows -> star edges (src=member, dst=per-key min id),
+    member != min, one edge per (row, key) — linear in key-group size.
+
+    Groups are salted DOWN to ``group_salt`` partitions (equal hashes still
+    co-locate; bounded group count); equal-hash runs are detected vectorized
+    inside each group.  Partitioning assumption: one salted group fits a
+    worker — scale ``group_salt`` with the corpus.
+    """
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        kh = b[hash_col].to_numpy(zero_copy_only=False)
+        salt = (kh.view(np.uint64) % np.uint64(group_salt)).astype(np.int64)
+        return b.append_column("_gsalt", pa.array(salt))
+
+    salted = keyed.map_batches(add_salt, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+
+    def emit(g):
+        ids = g[id_col].to_numpy()
+        hashes = g[hash_col].to_numpy()
+        order = np.lexsort((ids, hashes))
+        h = hashes[order]
+        starts = np.nonzero(np.r_[True, h[1:] != h[:-1]])[0]
+        ends = np.r_[starts[1:], len(h)]
+        sids = ids[order]
+        # per-run min = first element (ids ascending within a run)
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        mins = sids[starts][run_of]
+        keep = sids != mins
+        if not keep.any():
+            z = pa.array([], pa.int64())
+            return pa.table({"src": z, "dst": z})
+        return pa.table({
+            "src": pa.array(sids[keep].astype(np.int64)),
+            "dst": pa.array(mins[keep].astype(np.int64)),
+        })
+
+    return salted.groupby("_gsalt").map_groups(emit, batch_format="pandas")
+
+
+def connected_components(edges, nodes, id_col: str = "node",
+                         max_rounds: int = 50, pointer_jump: bool = True,
+                         buckets: int | None = None):
+    """Label every node with the MIN node id of its connected component.
+
+    ``edges``: Dataset (src, dst) — direction ignored (symmetrized here).
+    ``nodes``: Dataset with unique ``id_col`` (every node, incl. isolated).
+    Returns Dataset (node, label), one row per node.
+
+    Per round: msgs = edges ⋈ labels on src (bucketed Arrow join), then
+    (labels ∪ msgs).groupby(node).min.  Convergence is detected exactly by
+    carrying each node's previous label through the groupby and counting
+    strict decreases — labels fall monotonically, so changed == 0 is a
+    fixpoint.  ``pointer_jump=True`` adds label := label(label) per round
+    (one label self-join), turning O(diameter) rounds into O(log diameter)
+    for long-chain graphs.
+    """
+    i64 = pa.int64()
+
+    def to_sym(b: pa.Table) -> pa.Table:
+        src = b["src"].combine_chunks().cast(i64)
+        dst = b["dst"].combine_chunks().cast(i64)
+        return pa.table({"node": pa.concat_arrays([src, dst]),
+                         "nbr": pa.concat_arrays([dst, src])})
+
+    sym = edges.map_batches(to_sym, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None).materialize()
+    sym_schema = pa.schema([("node", i64), ("nbr", i64)])
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().cast(i64)
+        return pa.table({"node": ids, "label": ids})
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None).materialize()
+    label_schema = pa.schema([("node", i64), ("label", i64)])
+    from ray.data.aggregate import Min
+    from .joins import default_join_partitions
+
+    # Bound the label table's block count: groupby/sort stages emit one
+    # output block per INPUT block, and the join feeds blocks back in — left
+    # unbounded the count DOUBLES per round (measured 3→7→15→31→63), making
+    # per-round task overhead exponential.  A fixed repartition keeps every
+    # round the same shape.
+    label_parts = buckets if buckets is not None else default_join_partitions()
+
+    for _ in range(max_rounds):
+        joined = bucketed_hash_join(
+            sym, labels, on="node", buckets=buckets,
+            schemas=(sym_schema, label_schema),
+        )
+
+        def as_msgs(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["nbr"].combine_chunks(),
+                "label": b["label"].combine_chunks(),
+                "_old": pa.nulls(len(b), i64),
+            })
+
+        msgs = joined.map_batches(as_msgs, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+
+        def carry_old(b: pa.Table) -> pa.Table:
+            return b.append_column("_old", b["label"])
+
+        withold = labels.map_batches(carry_old, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
+        agg = (
+            withold.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"),
+                       Min("_old", alias_name="_old"))
+        )
+
+        if pointer_jump:
+            # label := label(label): left (node, _old, ptr=label) ⋈ right
+            # (ptr=node, _jlabel=label) on ptr — plabel <= ptr always, so the
+            # jumped label is just plabel.
+            def as_left(b: pa.Table) -> pa.Table:
+                return pa.table({"lnode": b["node"].combine_chunks(),
+                                 "_old": b["_old"].combine_chunks(),
+                                 "ptr": b["label"].combine_chunks()})
+
+            def as_right(b: pa.Table) -> pa.Table:
+                return pa.table({"ptr": b["node"].combine_chunks(),
+                                 "_jlabel": b["label"].combine_chunks()})
+
+            agg = agg.materialize()
+            left = agg.map_batches(as_left, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
+            right = agg.map_batches(as_right, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None)
+            jumped = bucketed_hash_join(
+                left, right, on="ptr", buckets=buckets,
+                schemas=(pa.schema([("lnode", i64), ("_old", i64), ("ptr", i64)]),
+                         pa.schema([("ptr", i64), ("_jlabel", i64)])),
+            )
+
+            def finish_jump(b: pa.Table) -> pa.Table:
+                return pa.table({"node": b["lnode"].combine_chunks(),
+                                 "label": b["_jlabel"].combine_chunks(),
+                                 "_old": b["_old"].combine_chunks()})
+
+            agg = jumped.map_batches(finish_jump, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
+
+        agg = agg.materialize()
+
+        def changed_rows(b: pa.Table) -> pa.Table:
+            m = pc.less(b["label"], b["_old"])
+            return pa.table({"n": pa.array([pc.sum(m).as_py() or 0], i64)})
+
+        changed = sum(
+            r["n"] for r in
+            agg.map_batches(changed_rows, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None).take_all()
+        )
+
+        def drop_old(b: pa.Table) -> pa.Table:
+            return b.select(["node", "label"])
+
+        labels = (
+            agg.map_batches(drop_old, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+            .repartition(label_parts)
+            .materialize()
+        )
+        if changed == 0:
+            break
+
+    return labels
+
+
+def neardup_clusters(ds, key_len: int = 10, id_col: str = "doc_id",
+                     text_col: str = "text", group_salt: int = 256,
+                     max_rounds: int = 50, pointer_jump: bool = True,
+                     buckets: int | None = None):
+    """Transitive near-dup clusters: docs sharing a ``key_len``-char PREFIX
+    or SUFFIX are connected; output (doc_id, cluster_id) for EVERY doc
+    (singletons label themselves), cluster_id = min doc_id of the component.
+
+    SQL twin (oracle_sql['dedup_clusters']): substr keys + star edges to the
+    per-key min + WITH RECURSIVE min-label reach.  Prefix and suffix keys
+    share ONE key space (a prefix of A equal to the suffix of B is an edge),
+    exactly as the SQL UNION ALL of both key forms into a single GROUP BY.
+    """
+    from .text import hash_utf8_array
+
+    def keys(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.cast(pa.string())
+        ids = b[id_col].combine_chunks().cast(pa.int64())
+        pre = pc.utf8_slice_codeunits(texts, 0, key_len)
+        suf = pc.utf8_slice_codeunits(texts, -key_len)
+        kh = np.concatenate([hash_utf8_array(pre), hash_utf8_array(suf)])
+        return pa.table({
+            id_col: pa.concat_arrays([ids, ids]),
+            "key_hash": pa.array(kh, pa.int64()),
+        })
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    edges = star_edges(keyed, id_col=id_col, hash_col="key_hash",
+                       group_salt=group_salt)
+    nodes = ds.select_columns([id_col])
+    labels = connected_components(edges, nodes, id_col=id_col,
+                                  max_rounds=max_rounds,
+                                  pointer_jump=pointer_jump, buckets=buckets)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["doc_id", "cluster_id"])
+
+    return labels.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

@@ -370,6 +370,174 @@ def summarize_tiles(tiles_ds, nodata_aware: bool = True, include_dims: bool = Tr
     return tiles_ds.map_batches(summarize, batch_format="pyarrow", batch_size=None)
 
 
+_FOCAL_SCHEMA = pa.schema(
+    [
+        ("tile_col", pa.int64()),   # DESTINATION tile key
+        ("tile_row", pa.int64()),
+        ("pos", pa.int8()),         # (rel_dc+1) + 3*(rel_dr+1); 4 = center
+        ("band_count", pa.int16()),
+        ("cols", pa.int32()),
+        ("rows", pa.int32()),
+        ("cell_type", pa.string()),
+        ("xmin", pa.float64()),     # meaningful for the center row only
+        ("ymin", pa.float64()),
+        ("xmax", pa.float64()),
+        ("ymax", pa.float64()),
+        ("pixels", pa.binary()),
+    ]
+)
+
+
+def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 3):
+    """Focal map algebra (geotrellis' focal ops family) over a tile Dataset
+    with HALO EXCHANGE: every tile ships its 4 edge strips + 4 corners
+    (each ``radius`` cells thin) to its neighbors, one groupby(tile-key
+    BLOCK) assembles tile + received halos into a padded array, and the
+    focal kernel runs vectorized (integral images for sum/mean, shifted
+    extrema for min/max).
+
+    Shuffle payload per tile = the tile + ~2*(W+H)*radius halo cells — NOT
+    9 full tile replicas; groups are key BLOCKS (64 tiles/group at the
+    default shift), so per-group overhead never scales with the layer.
+
+    Window semantics match GDAL/geotrellis edge handling: each output cell
+    aggregates the IN-BOUNDS, non-NoData subset of its (2r+1)^2 window
+    (layer boundary cells use their partial window).  ``op``: "sum"
+    (int64-exact for integer inputs — the oracle projection), "mean"
+    (float64, NaN where the window is empty), "min"/"max" (float64).
+    """
+    if op not in ("sum", "mean", "min", "max"):
+        raise ValueError(f"unknown focal op {op!r}")
+    d = int(radius)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            px = tile_pixels(row)
+            h, w = px.shape[1], px.shape[2]
+            c, r = int(row["tile_col"]), int(row["tile_row"])
+            for dc in (-1, 0, 1):
+                for dr in (-1, 0, 1):
+                    if dc == 0 and dr == 0:
+                        frag, pos = px, 4
+                    else:
+                        rs = slice(max(h - d, 0), h) if dr == 1 else (slice(0, min(d, h)) if dr == -1 else slice(0, h))
+                        cs = slice(max(w - d, 0), w) if dc == 1 else (slice(0, min(d, w)) if dc == -1 else slice(0, w))
+                        frag = px[:, rs, cs]
+                        if frag.size == 0:
+                            continue
+                        # receiver-relative position of the SOURCE tile
+                        pos = (-dc + 1) + 3 * (-dr + 1)
+                    out.append({
+                        "tile_col": c + dc, "tile_row": r + dr, "pos": pos,
+                        "band_count": px.shape[0],
+                        "cols": frag.shape[2], "rows": frag.shape[1],
+                        "cell_type": row["cell_type"],
+                        "xmin": row["xmin"], "ymin": row["ymin"],
+                        "xmax": row["xmax"], "ymax": row["ymax"],
+                        "pixels": np.ascontiguousarray(frag).tobytes(),
+                    })
+        if not out:
+            return _FOCAL_SCHEMA.empty_table()
+        return pa.Table.from_pylist(out, schema=_FOCAL_SCHEMA)
+
+    def win_sum(arr: np.ndarray, k: int) -> np.ndarray:
+        """(H+2d, W+2d) -> (H, W) sums of k x k windows via integral image."""
+        cp = np.zeros((arr.shape[0] + 1, arr.shape[1] + 1), dtype=arr.dtype)
+        np.cumsum(arr, axis=0, out=cp[1:, 1:][: arr.shape[0]])
+        np.cumsum(cp[1:, 1:], axis=1, out=cp[1:, 1:])
+        return cp[k:, k:] - cp[:-k, k:] - cp[k:, :-k] + cp[:-k, :-k]
+
+    def focal_one(rows_for_key: list[dict]):
+        center = next((x for x in rows_for_key if x["pos"] == 4), None)
+        if center is None:
+            return None  # fragments addressed past the layer edge
+        ct = CellType.of(center["cell_type"])
+        cpx = np.frombuffer(center["pixels"], dtype=ct.np_dtype).reshape(
+            int(center["band_count"]), int(center["rows"]), int(center["cols"]))
+        nb, h, w = cpx.shape
+        pad = np.zeros((nb, h + 2 * d, w + 2 * d), np.float64)
+        valid = np.zeros((nb, h + 2 * d, w + 2 * d), bool)
+
+        def place(frag: np.ndarray, rel_dc: int, rel_dr: int):
+            fh, fw = frag.shape[1], frag.shape[2]
+            r0 = 0 if rel_dr == -1 else (d + h if rel_dr == 1 else d)
+            c0 = 0 if rel_dc == -1 else (d + w if rel_dc == 1 else d)
+            fh = min(fh, pad.shape[1] - r0)
+            fw = min(fw, pad.shape[2] - c0)
+            sub = frag[:, :fh, :fw].astype(np.float64)
+            ok = ~ct.mask(sub) if ct.nodata is not None else np.ones(sub.shape, bool)
+            pad[:, r0:r0 + fh, c0:c0 + fw] = np.where(ok, sub, 0.0)
+            valid[:, r0:r0 + fh, c0:c0 + fw] = ok
+
+        place(cpx, 0, 0)
+        for x in rows_for_key:
+            if x["pos"] == 4:
+                continue
+            rel = int(x["pos"])
+            fct = CellType.of(x["cell_type"])
+            frag = np.frombuffer(x["pixels"], dtype=fct.np_dtype).reshape(
+                int(x["band_count"]), int(x["rows"]), int(x["cols"]))
+            place(frag, rel % 3 - 1, rel // 3 - 1)
+
+        k = 2 * d + 1
+        if op in ("sum", "mean"):
+            sums = np.stack([win_sum(pad[b], k) for b in range(nb)])
+            cnts = np.stack([win_sum(valid[b].astype(np.float64), k) for b in range(nb)])
+            if op == "sum":
+                res = np.rint(sums).astype(np.int64)
+                out_ct = CellType("int64", None)
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    res = sums / cnts
+                res[cnts == 0] = np.nan
+                out_ct = CellType("float64", float("nan"))
+        else:
+            fill = np.inf if op == "min" else -np.inf
+            work = np.where(valid, pad, fill)
+            agg = np.full((nb, h, w), fill)
+            reduce_ = np.minimum if op == "min" else np.maximum
+            for sr in range(k):
+                for sc in range(k):
+                    agg = reduce_(agg, work[:, sr:sr + h, sc:sc + w])
+            res = np.where(np.isfinite(agg), agg, np.nan)
+            out_ct = CellType("float64", float("nan"))
+        ext = Extent(center["xmin"], center["ymin"], center["xmax"], center["ymax"])
+        return tile_row(-1, (int(center["tile_col"]), int(center["tile_row"])),
+                        Raster(res, ext), out_ct)
+
+    def focal_block(g):
+        import pandas as pd
+
+        out = []
+        for _, sub in g.groupby(["tile_col", "tile_row"], sort=True):
+            row = focal_one(sub.to_dict("records"))
+            if row is not None:
+                out.append(row)
+        if not out:
+            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in TILE_SCHEMA})
+        return pd.DataFrame(out)
+
+    def add_block(b: pa.Table) -> pa.Table:
+        bc = b["tile_col"].to_numpy(zero_copy_only=False) >> block_shift
+        br = b["tile_row"].to_numpy(zero_copy_only=False) >> block_shift
+        return b.append_column("_bcol", pa.array(bc)).append_column("_brow", pa.array(br))
+
+    frags = tiles_ds.map_batches(emit, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+    blocked = frags.map_batches(add_block, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    grouped = blocked.groupby(["_bcol", "_brow"]).map_groups(focal_block, batch_format="pandas")
+
+    def to_arrow(b: pa.Table) -> pa.Table:
+        # pandas-format map_groups feeding downstream groupbys/aggregates
+        # must hand back Arrow blocks (13x penalty otherwise — CLAUDE.md)
+        return b.cast(TILE_SCHEMA) if b.schema != TILE_SCHEMA else b
+
+    return grouped.map_batches(to_arrow, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+
+
 def sparse_stitch(tile_rows: list[dict], cell_type: CellType | None = None) -> Raster | None:
     """GeotrellisRasterSource.sparseStitch analog (CHANGELOG.md:110): stitch a
     SPARSE set of tiles into one raster covering their union extent; missing

@@ -103,6 +103,23 @@ def add_lang_guess(batch: pa.Table) -> pa.Table:
     )
 
 
+def hash_utf8_array(texts) -> np.ndarray:
+    """Vectorized FNV-1a over each string of a utf8 array -> int64 hashes
+    (uint64 bit-viewed: raw uint64 > 2^63 breaks Ray's arrow<->python
+    shuffle round-trips).  Offset-aware (sliced arrays hash correctly)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.cast(pa.string())
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    off_buf = texts.buffers()[1]
+    offs = np.frombuffer(off_buf, dtype=np.int32)[texts.offset : texts.offset + n + 1].astype(np.int64)
+    data_buf = texts.buffers()[2]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.zeros(0, np.uint8)
+    return _segment_hash(data, offs).view(np.int64)
+
+
 def add_fingerprint(batch: pa.Table) -> pa.Table:
     """Rolling/content hash fingerprint per document (xxhash-style mix over
     the utf8 bytes, vectorized via numpy on the shared buffer).
@@ -110,16 +127,7 @@ def add_fingerprint(batch: pa.Table) -> pa.Table:
     Emitted as int64 (the uint64 hash bit-viewed): values above 2^63 as
     uint64 overflow Ray's arrow<->python round-trips in shuffle stages
     ("Python int too large to convert to C long" -> pickled-object blocks)."""
-    texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
-    texts = texts.cast(pa.string())
-    n = len(texts)
-    if n == 0:
-        return batch.append_column("fingerprint", pa.array([], pa.int64()))
-    off_buf = texts.buffers()[1]
-    offs = np.frombuffer(off_buf, dtype=np.int32)[texts.offset : texts.offset + n + 1].astype(np.int64)
-    data_buf = texts.buffers()[2]
-    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.zeros(0, np.uint8)
-    fp = _segment_hash(data, offs).view(np.int64)
+    fp = hash_utf8_array(batch["text"])
     return batch.append_column("fingerprint", pa.array(fp, pa.int64()))
 
 

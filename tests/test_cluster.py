@@ -1,0 +1,56 @@
+"""Distributed k-means (stages/cluster.py) vs a pure-numpy Lloyd's oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+from geotrellis_contrib_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+
+def _numpy_lloyd(X, seeds, n_iter):
+    C = seeds.astype(np.float64).copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for c in range(len(C)):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    return C
+
+
+def _make_ds(X):
+    import ray
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+        "embedding": pa.array([row.tolist() for row in X.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    return ray.data.from_arrow(t).repartition(3)
+
+
+def test_kmeans_matches_numpy_lloyd(ray_session):
+    rng = np.random.default_rng(11)
+    X = np.concatenate([
+        rng.normal(0.0, 0.3, (60, 8)),
+        rng.normal(3.0, 0.3, (70, 8)),
+        rng.normal(-3.0, 0.3, (50, 8)),
+    ]).astype(np.float32).astype(np.float64)
+    seeds = X[:3]
+    ds = _make_ds(X)
+    C = kmeans_fit(ds, seeds, n_iter=3)
+    C_ref = _numpy_lloyd(X, seeds, 3)
+    assert np.allclose(C, C_ref, atol=1e-9)
+
+    labels = kmeans_assign(ds, C).to_pandas().sort_values("vec_id")
+    a_ref = np.argmin(((X[:, None, :] - C_ref[None]) ** 2).sum(-1), axis=1)
+    assert np.array_equal(labels["cluster"].to_numpy(), a_ref)
+
+
+def test_kmeans_empty_cluster_keeps_seed(ray_session):
+    """A seed far from every point keeps its centroid instead of NaN-ing."""
+    X = np.array([[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [1.0, 1.0]])
+    seeds = np.array([[0.0, 0.0], [100.0, 100.0]])
+    ds = _make_ds(X)
+    C = kmeans_fit(ds, seeds, n_iter=2)
+    assert np.allclose(C[1], [100.0, 100.0])
+    assert np.isfinite(C).all()

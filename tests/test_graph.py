@@ -1,0 +1,131 @@
+"""Connected components + near-dup clustering (stages/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geotrellis_contrib_ray.stages.graph import (
+    connected_components,
+    neardup_clusters,
+    star_edges,
+)
+
+
+def _union_find_labels(n_nodes, edges):
+    """Ground truth: min component label via union-find."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id of each component == root under min-union
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def _labels_dict(ds):
+    df = ds.to_pandas()
+    cols = list(df.columns)
+    return dict(zip(df[cols[0]], df[cols[1]]))
+
+
+def test_connected_components_vs_union_find(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    n = 200
+    m = 150
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))]
+    truth = _union_find_labels(n, edges)
+
+    edges_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    nodes_ds = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
+    labels = _labels_dict(connected_components(edges_ds, nodes_ds, buckets=8))
+    assert labels == truth
+
+
+def test_connected_components_long_chain_pointer_jump(ray_session):
+    """Path graph 0-1-...-29: diameter 29 — pointer jumping must converge in
+    far fewer rounds than the diameter (O(log d))."""
+    import ray
+
+    n = 30
+    edges_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(range(n - 1), pa.int64()),
+        "dst": pa.array(range(1, n), pa.int64()),
+    }))
+    nodes_ds = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
+    labels = _labels_dict(connected_components(
+        edges_ds, nodes_ds, max_rounds=10, pointer_jump=True, buckets=4))
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_connected_components_isolated_nodes(ray_session):
+    import ray
+
+    edges_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([5], pa.int64()),
+        "dst": pa.array([6], pa.int64()),
+    }))
+    nodes_ds = ray.data.from_arrow(pa.table({"node": pa.array(range(8), pa.int64())}))
+    labels = _labels_dict(connected_components(edges_ds, nodes_ds, buckets=4))
+    assert labels == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_star_edges_linear_per_key(ray_session):
+    """A key shared by ids {3,1,9} emits exactly (3->1),(9->1) (star, not
+    clique); singleton keys emit nothing."""
+    import ray
+
+    keyed = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 1, 9, 4], pa.int64()),
+        "key_hash": pa.array([42, 42, 42, 7], pa.int64()),
+    }))
+    df = star_edges(keyed, group_salt=4).to_pandas().sort_values("src")
+    assert list(zip(df["src"], df["dst"])) == [(3, 1), (9, 1)]
+
+
+def test_neardup_clusters_planted_chain(ray_session):
+    """A shares a prefix with B; B shares a suffix with C: transitive
+    cluster {A,B,C} under one label even though A and C share nothing."""
+    import ray
+
+    pre = "PREFIXPREFIX"      # >= key_len chars
+    suf = "SUFFIXSUFFIX"
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array([
+            pre + " alpha alpha alpha end-a",          # 10: prefix key P
+            pre + " beta beta beta " + suf,            # 11: prefix P + suffix S
+            "gamma gamma gamma gamma " + suf,          # 12: suffix S
+            "delta delta delta delta delta unrelated", # 13: singleton
+        ]),
+    })
+    ds = ray.data.from_arrow(docs)
+    labels = _labels_dict(neardup_clusters(ds, key_len=10, group_salt=8, buckets=4))
+    assert labels == {10: 10, 11: 10, 12: 10, 13: 13}
+
+
+def test_neardup_clusters_all_docs_labeled(ray_session):
+    """Every doc gets exactly one row; labels <= doc_id; canonical docs
+    label themselves."""
+    import ray
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    df = neardup_clusters(ds, key_len=10, buckets=8).to_pandas()
+    assert len(df) == 500
+    assert df["doc_id"].is_unique
+    assert (df["cluster_id"] <= df["doc_id"]).all()
+    canon = set(df["cluster_id"])
+    own = set(df.loc[df["doc_id"] == df["cluster_id"], "doc_id"])
+    assert canon == own

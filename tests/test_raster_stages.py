@@ -167,3 +167,45 @@ def test_pyramid_build_average_method(ray_session):
     assert len(level1) == 1
     vals = rst.tile_pixels(level1[0])
     assert np.allclose(vals, 2.0)
+
+
+def _focal_reference(full: np.ndarray, op: str, d: int = 1) -> np.ndarray:
+    """Direct per-cell reference: aggregate the in-bounds window."""
+    h, w = full.shape
+    out = np.zeros((h, w), np.float64)
+    for r in range(h):
+        for c in range(w):
+            win = full[max(r - d, 0):r + d + 1, max(c - d, 0):c + d + 1]
+            out[r, c] = {"sum": win.sum, "mean": win.mean,
+                         "min": win.min, "max": win.max}[op]()
+    return out
+
+
+def test_focal_sum_halo_exchange_matches_reference(ray_session):
+    """3x3 focal sum over a 2x2-tile layout: interior tile-edge cells need
+    halos from all 8 neighbors; layer-boundary cells use partial windows."""
+    rng = np.random.default_rng(3)
+    full = rng.integers(0, 100, size=(20, 20)).astype(np.float64)
+    g = GridExtent(Extent(0.0, 0.0, 200.0, 200.0), 10.0, 10.0, 20, 20)
+    src = InMemoryRasterSource(full[None], g)
+    layout = LayoutDefinition(g.extent, 10, 10, 2, 2)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    res = rst.focal_tiles(tiles, op="sum", radius=1).take_all()
+    assert len(res) == 4
+    stitched = rst.sparse_stitch(res)
+    assert stitched is not None
+    exp = _focal_reference(full, "sum")
+    assert np.array_equal(stitched.pixels[0].astype(np.float64), exp)
+
+
+def test_focal_mean_and_extrema(ray_session):
+    full = (np.arange(144, dtype=np.float64).reshape(12, 12) * 7) % 23
+    g = GridExtent(Extent(0.0, 0.0, 120.0, 120.0), 10.0, 10.0, 12, 12)
+    src = InMemoryRasterSource(full[None], g)
+    layout = LayoutDefinition(g.extent, 8, 8, 2, 2)  # ragged 12 = 8 + 4
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    for op in ("mean", "min", "max"):
+        res = rst.focal_tiles(tiles, op=op, radius=1).take_all()
+        stitched = rst.sparse_stitch(res)
+        exp = _focal_reference(full, op)
+        assert np.allclose(stitched.pixels[0], exp), op
