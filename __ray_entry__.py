@@ -925,6 +925,19 @@ def q_raster_focal(sf_dir: str):
     return rst.summarize_tiles(focal, nodata_aware=False)
 
 
+def q_raster_gradient(sf_dir: str):
+    """Slope/hillshade core as an integer-exact oracle: Horn-stencil dz/dx
+    NUMERATORS over the tile table (same halo-exchange plan as focal sum);
+    missing (out-of-layer) neighbors contribute 0 on both engines."""
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid, layout = _raster_layout()
+    tiles = rst.tile_dataset([SyntheticRasterSource(grid)], layout)
+    grad = rst.focal_tiles(tiles, op="gradient_x", radius=1)
+    return rst.summarize_tiles(grad, nodata_aware=False)
+
+
 def q_raster_pyramid(sf_dir: str):
     """A7 oracle: true tile pyramid one level up (2x2 children -> layout-
     framed parent, 2x nearest decimation); NoData-aware parent checksums
@@ -1022,6 +1035,66 @@ def q_dedup_clusters(sf_dir: str):
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return neardup_clusters(ds, key_len=CLUSTER_KEY_LEN)
+
+
+def q_semi_bloom(sf_dir: str):
+    """Bloom-pushdown EXACT semi-join: lineitems of URGENT orders, rolled up
+    per returnflag.  Distributed bloom build (per-batch bitmaps, tree OR),
+    broadcast prefilter kills non-matching rows before any shuffle, exact
+    verify join on the survivors; quantities integer-scaled (cents)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.stages.joins import bloom_semi_join
+
+    left = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+    urgent = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+
+    keys = urgent.map_batches(
+        lambda b: b.rename_columns(["l_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    lschema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_returnflag", pa.string()),
+        ("l_quantity", pa.float64()),
+    ])
+    semi = bloom_semi_join(left, keys, on="l_orderkey",
+                           schemas=(lschema, pa.schema([("l_orderkey", pa.int64())])))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(b["l_quantity"], 100.0)), pa.int64())
+        t = pa.table({"l_returnflag": b["l_returnflag"], "qc": cents})
+        g = t.group_by("l_returnflag", use_threads=False).aggregate(
+            [("qc", "sum"), ("qc", "count")])
+        return g.rename_columns(["l_returnflag", "s", "n"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        semi.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+        .groupby("l_returnflag")
+        .aggregate(Sum("s", alias_name="sum_qty_cents"),
+                   Sum("n", alias_name="n_items"))
+    )
+    return agg
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms: in-batch tokenize+tf, one df groupby,
+    df joined back on term, partial top-k per doc.  Ranking score is
+    tf*ln(N/df) identically on both engines; only integer columns emitted."""
+    from geotrellis_contrib_ray.stages.text import tfidf_top_terms
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, top_n=3)
 
 
 def q_kmeans_embed(sf_dir: str):
@@ -1242,6 +1315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "raster_focal": q_raster_focal,
         "kmeans_embed": q_kmeans_embed,
+        "tfidf_terms": q_tfidf_terms,
+        "semi_bloom": q_semi_bloom,
+        "raster_gradient": q_raster_gradient,
     }
 
 
@@ -1597,6 +1673,24 @@ FROM cells GROUP BY 1, 2"""
 WITH {raster_cells_cte()},
 {_tile_rollup.format(vexpr=f"({_focal_v})")}"""
 
+    # Horn dz/dx numerator: cross-difference weights +-1/+-2, out-of-bounds
+    # neighbors contribute 0 (same convention as the Ray stencil)
+    _grad_terms = []
+    for dc in (-1, 0, 1):
+        for dr in (-1, 0, 1):
+            w = dc * (2 if dr == 0 else 1)
+            if w == 0:
+                continue
+            _grad_terms.append(
+                f"CASE WHEN col+({dc}) BETWEEN 0 AND {RASTER_COLS - 1}"
+                f" AND row+({dr}) BETWEEN 0 AND {RASTER_ROWS - 1}"
+                f" THEN ({w}) * (((row+({dr})) * {RASTER_COLS} + (col+({dc}))) % 32768)"
+                f" ELSE 0 END"
+            )
+    sql["raster_gradient"] = f"""
+WITH {raster_cells_cte()},
+{_tile_rollup.format(vexpr='(' + ' + '.join(_grad_terms) + ')')}"""
+
     sql["raster_pyramid"] = f"""
 WITH {raster_cells_cte()}
 SELECT CAST(floor(col / {2 * T}) AS BIGINT) AS tile_col,
@@ -1829,6 +1923,34 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_distance(e.emb, c2.c), c2.cid) AS rn
   FROM e CROSS JOIN c2) WHERE rn = 1"""
+
+    # bloom semi-join: the bloom is an internal pushdown (exact after the
+    # verify join), so the plain IN-subquery is the full oracle.
+    sql["semi_bloom"] = """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1"""
+
+    # tfidf: score floats never cross the hash — only the selected rows'
+    # integer (tf, df) do; both engines share the tf*ln(N/df) expression and
+    # the (score DESC, term) tie-break.
+    sql["tfidf_terms"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rn <= 3"""
 
     # dedup_clusters: connected components = min-label reach via a recursive
     # CTE (UNION dedups, so the recursion terminates at the closure).

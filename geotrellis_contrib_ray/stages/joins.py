@@ -91,10 +91,18 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
     for name, t in zip(rschema.names, rschema.types):
         type_of.setdefault(name, t)
 
+    str_key = pa.types.is_string(type_of[on]) or pa.types.is_large_string(type_of[on])
+
     def tag(side: int, missing: list[str]):
         def f(batch: pa.Table) -> pa.Table:
-            keys = batch[on].to_numpy(zero_copy_only=False)
-            bucket = (keys.astype(np.int64) * np.int64(2654435761)) % buckets
+            if str_key:
+                from .text import hash_utf8_array
+
+                kh = hash_utf8_array(batch[on])
+                bucket = (kh.view(np.uint64) % np.uint64(buckets)).astype(np.int64)
+            else:
+                keys = batch[on].to_numpy(zero_copy_only=False)
+                bucket = (keys.astype(np.int64) * np.int64(2654435761)) % buckets
             cols = {}
             for c in all_cols:
                 if c in missing:
@@ -325,3 +333,104 @@ def interval_join_bucketed(points, intervals, *, on: str, id_col: str = "interva
         )
 
     return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _mix64(x: np.ndarray, salt: int) -> np.ndarray:
+    """Vectorized splitmix64 over int64-viewed keys (salted variants give the
+    independent hash functions of the bloom filter)."""
+    z = x.view(np.uint64) + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def bloom_semi_join(left, right_keys, on: str, *, bits_log2: int = 23,
+                    n_hashes: int = 3, buckets: int | None = None,
+                    schemas: tuple | None = None, reduce_parts: int = 8):
+    """EXACT semi-join tier for a big probe side and a big-ish key side:
+    left rows whose ``on`` value appears in ``right_keys[on]``.
+
+    Scale shape (the classic bloom-pushdown plan):
+    1. build a 2^bits_log2-bit bloom of the right keys DISTRIBUTED — one
+       bitmap per batch (narrow), OR-reduced through a ``reduce_parts``-way
+       tree expressed as repartition + per-block OR, driver touches only
+       ``reduce_parts`` bitmaps (2^(bits_log2-3) bytes each, 1 MB at the
+       default) and broadcasts the final filter once via ``ray.put``;
+    2. prefilter left with the broadcast bloom (pure narrow pass — this is
+       where ~all non-matching rows die WITHOUT shuffling);
+    3. exact verify: bucketed hash join of the SURVIVORS against the
+       distinct right keys — false positives (~0.1% at default sizing)
+       are eliminated, so the result is exact, and the only all-to-all
+       movement is survivors + right keys.
+
+    ``on`` must be an integer key column (hash string keys to int64 first,
+    e.g. ``text.hash_utf8_array``)."""
+    import ray
+
+    mask = np.uint64((1 << bits_log2) - 1)
+    nbytes = 1 << (bits_log2 - 3)
+    keys_only = right_keys.select_columns([on])
+
+    def bitmap_batch(b: pa.Table) -> pa.Table:
+        k = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = np.zeros(nbytes, np.uint8)
+        for i in range(n_hashes):
+            h = _mix64(k, i + 1) & mask
+            np.bitwise_or.at(bits, (h >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (h & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def or_block(b: pa.Table) -> pa.Table:
+        out = np.zeros(nbytes, np.uint8)
+        for x in b["bits"]:
+            out |= np.frombuffer(x.as_py(), np.uint8)
+        return pa.table({"bits": pa.array([out.tobytes()], pa.binary())})
+
+    partials = (
+        keys_only.map_batches(bitmap_batch, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+        .repartition(reduce_parts)
+        .map_batches(or_block, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    bloom = np.zeros(nbytes, np.uint8)
+    for row in partials:
+        bloom |= np.frombuffer(row["bits"], np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        k = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = np.ones(len(k), bool)
+        for i in range(n_hashes):
+            h = _mix64(k, i + 1) & mask
+            byte = bl[(h >> np.uint64(3)).astype(np.int64)]
+            ok &= (byte >> (h & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return b.filter(pa.array(ok))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+
+    # distinct right keys (per-batch collapse, then one narrow groupby)
+    from ray.data.aggregate import Count
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(on, use_threads=False).aggregate([])
+
+    distinct = (
+        keys_only.map_batches(batch_distinct, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+        .groupby(on)
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    if schemas is not None:
+        lschema = schemas[0]
+    else:
+        s = left.schema()
+        lschema = pa.schema(list(zip(s.names, s.types)))
+    key_type = dict(zip(lschema.names, lschema.types))[on]
+    return bucketed_hash_join(
+        survivors, distinct, on=on, buckets=buckets,
+        schemas=(lschema, pa.schema([(on, key_type)])),
+    )

@@ -404,10 +404,16 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
     aggregates the IN-BOUNDS, non-NoData subset of its (2r+1)^2 window
     (layer boundary cells use their partial window).  ``op``: "sum"
     (int64-exact for integer inputs — the oracle projection), "mean"
-    (float64, NaN where the window is empty), "min"/"max" (float64).
+    (float64, NaN where the window is empty), "min"/"max" (float64),
+    "gradient_x"/"gradient_y" (the Horn-stencil NUMERATOR (+1,+2,+1 /
+    -1,-2,-1 cross-differences, missing neighbors contribute 0) — the
+    integer-exact core of slope/hillshade; divide by 8*cellsize for the
+    actual derivative).
     """
-    if op not in ("sum", "mean", "min", "max"):
+    if op not in ("sum", "mean", "min", "max", "gradient_x", "gradient_y"):
         raise ValueError(f"unknown focal op {op!r}")
+    if op.startswith("gradient") and radius != 1:
+        raise ValueError("gradient ops are defined on the 3x3 stencil (radius=1)")
     d = int(radius)
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -481,7 +487,21 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
             place(frag, rel % 3 - 1, rel // 3 - 1)
 
         k = 2 * d + 1
-        if op in ("sum", "mean"):
+        if op.startswith("gradient"):
+            work = np.where(valid, pad, 0.0)
+            agg = np.zeros((nb, h, w), np.float64)
+            for dr_ in (-1, 0, 1):
+                for dc_ in (-1, 0, 1):
+                    if op == "gradient_x":
+                        wgt = dc_ * (2 if dr_ == 0 else 1)
+                    else:
+                        wgt = dr_ * (2 if dc_ == 0 else 1)
+                    if wgt == 0:
+                        continue
+                    agg += wgt * work[:, d + dr_:d + dr_ + h, d + dc_:d + dc_ + w]
+            res = np.rint(agg).astype(np.int64)
+            out_ct = CellType("int64", None)
+        elif op in ("sum", "mean"):
             sums = np.stack([win_sum(pad[b], k) for b in range(nb)])
             cnts = np.stack([win_sum(valid[b].astype(np.float64), k) for b in range(nb)])
             if op == "sum":
@@ -507,16 +527,14 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
                         Raster(res, ext), out_ct)
 
     def focal_block(g):
-        import pandas as pd
-
         out = []
         for _, sub in g.groupby(["tile_col", "tile_row"], sort=True):
             row = focal_one(sub.to_dict("records"))
             if row is not None:
                 out.append(row)
-        if not out:
-            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in TILE_SCHEMA})
-        return pd.DataFrame(out)
+        # Arrow return from a pandas-format map_groups (the 13x rule — and
+        # empty object-dtype DataFrames break downstream size estimation)
+        return pa.Table.from_pylist(out, schema=TILE_SCHEMA)
 
     def add_block(b: pa.Table) -> pa.Table:
         bc = b["tile_col"].to_numpy(zero_copy_only=False) >> block_shift

@@ -21,35 +21,39 @@ import pyarrow as pa
 
 
 def top_k_per_group(ds, group_col: str, order_col: str, k: int,
-                    tie_col: str, ascending: bool = False):
+                    tie_col: str, ascending: bool = False,
+                    carry_cols: tuple = ()):
     """Top-k rows per group by (order_col, tie_col): per-batch partial top-k
     PER GROUP (the shuffle moves <= k rows per group per block, never the
     corpus), then a per-group merge.  Ties at the kth value are broken by
     ascending tie_col — the same total order as the SQL
     ``row_number() OVER (PARTITION BY g ORDER BY v [DESC], t)`` oracle.
 
-    Output: (group_col, order_col, tie_col) of the winners."""
+    Output: (group_col, order_col, tie_col, *carry_cols) of the winners —
+    ``carry_cols`` ride along untouched (any dtype; selected via Arrow
+    take, so they never pass through numpy)."""
+    cols = [group_col, order_col, tie_col, *carry_cols]
 
     def partial(b: pa.Table) -> pa.Table:
+        b = b.select(cols)
         gv = b[group_col].to_numpy(zero_copy_only=False)
         ov = b[order_col].to_numpy(zero_copy_only=False)
         tv = b[tie_col].to_numpy(zero_copy_only=False)
         key = ov if ascending else -ov
         order = np.lexsort((tv, key, gv))  # group, then (value, tie)
-        g, o, t = gv[order], ov[order], tv[order]
+        g = gv[order]
         grp_start = np.r_[True, g[1:] != g[:-1]]
         idx = np.arange(len(g))
         start = np.maximum.accumulate(np.where(grp_start, idx, 0))
         keep = (idx - start) < k
-        return pa.table({group_col: pa.array(g[keep]), order_col: pa.array(o[keep]),
-                         tie_col: pa.array(t[keep])})
+        return b.take(pa.array(order[keep]))
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def merge(g):
-        cols = [order_col, tie_col]
+        scols = [order_col, tie_col]
         asc = [ascending, True]
-        return g.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+        return g.sort_values(scols, ascending=asc, kind="mergesort").head(k)
 
     return part.groupby(group_col).map_groups(merge, batch_format="pandas")
 

@@ -177,3 +177,73 @@ def redact_regex(ds, pattern: str = REDACT_PATTERN, token: str = REDACT_TOKEN,
 
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+def tfidf_top_terms(ds, top_n: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text", n_docs: int | None = None,
+                    buckets: int | None = None):
+    """Per-document top-``top_n`` TF-IDF terms over a space-tokenized corpus.
+
+    Scale shape:
+    * tokenize + per-doc term frequencies happen INSIDE one narrow batch
+      pass (Arrow split_pattern + in-batch group_by — a document never
+      spans batches, so in-batch tf is final);
+    * document frequency is ONE groupby-count over the (doc, term) rows —
+      the only corpus-wide shuffle, carrying 2 small columns;
+    * df rides back onto term rows via the bucketed hash join keyed on
+      term (vocabulary-sized side, still a join — never a driver dict);
+    * per-doc selection is stats.top_k_per_group: <= top_n rows per doc
+      per block cross the final shuffle.
+
+    Output: (doc_id, term, tf, df) — ranking uses score = tf * ln(N/df)
+    (computed identically to the SQL twin, ties broken by term), but only
+    INTEGER columns are emitted, so the driver's value-hash compare never
+    sees a float.
+    """
+    from .joins import bucketed_hash_join
+    from .stats import top_k_per_group
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def term_tf(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ids = b[id_col].combine_chunks().cast(pa.int64())
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat_ids = pa.array(np.repeat(ids.to_numpy(zero_copy_only=False), lens))
+        flat = pa.table({id_col: flat_ids, "term": toks.flatten()})
+        g = flat.group_by([id_col, "term"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "term", "tf"])
+
+    tf_rows = ds.map_batches(term_tf, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+
+    from ray.data.aggregate import Count
+
+    df_rows = tf_rows.groupby("term").aggregate(Count(alias_name="df"))
+
+    tf_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64())])
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    joined = bucketed_hash_join(tf_rows, df_rows, on="term", buckets=buckets,
+                                schemas=(tf_schema, df_schema))
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # same expression order as the SQL twin: tf * ln(N / df)
+        s = tf * np.log(float(n_docs) / dfv)
+        return b.append_column("score", pa.array(s))
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    top = top_k_per_group(scored, group_col=id_col, order_col="score",
+                          k=top_n, tie_col="term", carry_cols=("tf", "df"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return b.select([id_col, "term", "tf", "df"])
+
+    return top.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)

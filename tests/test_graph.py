@@ -49,8 +49,13 @@ def test_connected_components_vs_union_find(ray_session):
         "dst": pa.array([b for _, b in edges], pa.int64()),
     }))
     nodes_ds = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
-    labels = _labels_dict(connected_components(edges_ds, nodes_ds, buckets=8))
+    # distributed propagation tier (driver_threshold=0 forces it)
+    labels = _labels_dict(connected_components(edges_ds, nodes_ds, buckets=8,
+                                               driver_threshold=0))
     assert labels == truth
+    # driver union-find tier (default threshold) must agree exactly
+    labels2 = _labels_dict(connected_components(edges_ds, nodes_ds))
+    assert labels2 == truth
 
 
 def test_connected_components_long_chain_pointer_jump(ray_session):
@@ -65,7 +70,8 @@ def test_connected_components_long_chain_pointer_jump(ray_session):
     }))
     nodes_ds = ray.data.from_arrow(pa.table({"node": pa.array(range(n), pa.int64())}))
     labels = _labels_dict(connected_components(
-        edges_ds, nodes_ds, max_rounds=10, pointer_jump=True, buckets=4))
+        edges_ds, nodes_ds, max_rounds=10, pointer_jump=True, buckets=4,
+        driver_threshold=0))
     assert labels == {i: 0 for i in range(n)}
 
 

@@ -209,3 +209,57 @@ def test_box_join_random_parity(ray_session):
            & (ly0[:, None] <= ry1[None, :]) & (ly1[:, None] >= ry0[None, :]))
     exp = sorted((int(lid[i]), int(rid[j])) for i, j in zip(*np.nonzero(hit)))
     assert got == exp
+
+
+def test_bucketed_join_string_key(ray_session):
+    """String join keys bucket by the FNV hash (not int coercion) — parity
+    with a pandas merge on a word-keyed pair of tables."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    left = pa.table({"term": pa.array([words[i % 5] for i in range(40)]),
+                     "lval": pa.array(list(range(40)), pa.int64())})
+    right = pa.table({"term": pa.array(words[:4]),
+                      "rval": pa.array([10, 20, 30, 40], pa.int64())})
+    out = bucketed_hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                             on="term", buckets=8).to_pandas()
+    exp = pd.merge(left.to_pandas(), right.to_pandas(), on="term")
+    key = lambda df: df.sort_values(["term", "lval"]).reset_index(drop=True)
+    got = key(out)[["term", "lval", "rval"]]
+    expd = key(exp)[["term", "lval", "rval"]]
+    assert got.equals(expd)
+    assert got["rval"].dtype == np.int64
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(5)
+    lkeys = rng.integers(0, 1000, 5000).astype(np.int64)
+    rkeys = rng.choice(1000, 120, replace=False).astype(np.int64)
+    left = rd.from_arrow(pa.table({"k": pa.array(lkeys), "v": pa.array(np.arange(5000))}))
+    right = rd.from_arrow(pa.table({"k": pa.array(rkeys)}))
+    out = bloom_semi_join(left, right, on="k", buckets=8).to_pandas()
+    keep = set(rkeys.tolist())
+    exp = sorted(v for k, v in zip(lkeys, range(5000)) if k in keep)
+    assert sorted(out["v"]) == exp
+
+
+def test_bloom_semi_join_tiny_filter_still_exact(ray_session):
+    """bits_log2=8 (256 bits) forces bloom false positives; the verify join
+    must still produce the exact semi-join."""
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import bloom_semi_join
+
+    lkeys = np.arange(2000, dtype=np.int64)
+    rkeys = np.arange(0, 2000, 97, dtype=np.int64)  # 21 keys
+    left = rd.from_arrow(pa.table({"k": pa.array(lkeys), "v": pa.array(lkeys * 3)}))
+    right = rd.from_arrow(pa.table({"k": pa.array(rkeys)}))
+    out = bloom_semi_join(left, right, on="k", bits_log2=8, buckets=4).to_pandas()
+    assert sorted(out["k"]) == sorted(rkeys.tolist())

@@ -209,3 +209,24 @@ def test_focal_mean_and_extrema(ray_session):
         stitched = rst.sparse_stitch(res)
         exp = _focal_reference(full, op)
         assert np.allclose(stitched.pixels[0], exp), op
+
+
+def test_focal_gradient_matches_stencil(ray_session):
+    """Horn dz/dx and dz/dy numerators across tile seams equal the direct
+    stencil with zero-padded out-of-bounds neighbors."""
+    rng = np.random.default_rng(9)
+    full = rng.integers(0, 50, size=(16, 16)).astype(np.float64)
+    g = GridExtent(Extent(0.0, 0.0, 160.0, 160.0), 10.0, 10.0, 16, 16)
+    src = InMemoryRasterSource(full[None], g)
+    layout = LayoutDefinition(g.extent, 8, 8, 2, 2)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    padded = np.pad(full, 1)
+    for op, wx in (("gradient_x", True), ("gradient_y", False)):
+        exp = np.zeros((16, 16))
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                w = dc * (2 if dr == 0 else 1) if wx else dr * (2 if dc == 0 else 1)
+                exp += w * padded[1 + dr:17 + dr, 1 + dc:17 + dc]
+        res = rst.focal_tiles(tiles, op=op, radius=1).take_all()
+        stitched = rst.sparse_stitch(res)
+        assert np.array_equal(stitched.pixels[0].astype(np.float64), exp), op
