@@ -1097,6 +1097,15 @@ def q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, top_n=3)
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signal: per-doc total vs distinct
+    5-grams (one narrow vectorized pass; lexsort run-detect per batch)."""
+    from geotrellis_contrib_ray.stages.text import repetition_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(ds, k=5)
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed k-means (Lloyd's) over the embedding table: centroids
     broadcast per iteration, E-step + partial M-step fused per batch (only
@@ -1318,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": q_tfidf_terms,
         "semi_bloom": q_semi_bloom,
         "raster_gradient": q_raster_gradient,
+        "repetition": q_repetition,
     }
 
 
@@ -1923,6 +1933,20 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_distance(e.emb, c2.c), c2.cid) AS rn
   FROM e CROSS JOIN c2) WHERE rn = 1"""
+
+    # repetition: SQL counts the substrings themselves; the Ray side counts
+    # 64-bit gram hashes (collision odds ~n^2/2^64 — zero on test corpora)
+    sql["repetition"] = """
+WITH nums AS (
+  SELECT CAST(i AS INTEGER) AS i FROM generate_series(1, 4096) t(i)
+),
+g AS (
+  SELECT d.doc_id, substr(d.text, n.i, 5) AS g
+  FROM documents d JOIN nums n ON n.i <= len(d.text) - 4
+)
+SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+       count(*) - count(DISTINCT g) AS n_dup
+FROM g GROUP BY doc_id"""
 
     # bloom semi-join: the bloom is an internal pushdown (exact after the
     # verify join), so the plain IN-subquery is the full oracle.

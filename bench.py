@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "semi_bloom",
     "raster_gradient",
+    "repetition",
 ]
 
 

@@ -247,3 +247,42 @@ def tfidf_top_terms(ds, top_n: int = 3, id_col: str = "doc_id",
 
     return top.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
+
+
+def repetition_stats(ds, k: int = 5, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Gopher-style repetition quality signal: per doc, total k-byte-grams
+    vs DISTINCT k-grams (the duplicate fraction flags boilerplate/looped
+    text).  Pure narrow pass — gram hashes ride the shared utf8 buffer
+    (dedup._shingle_hashes) and the per-doc distinct count is ONE lexsort +
+    run-detect across the whole batch, no per-row python.
+
+    Output: (doc_id, n_grams, n_distinct, n_dup).  SQL twin counts the
+    substrings themselves; the 64-bit gram-hash domain is collision-free
+    for test corpora (odds ~n^2/2^64)."""
+    from .dedup import _shingle_hashes
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        hs = _shingle_hashes(texts.cast(pa.string()), k)
+        lens = np.array([len(x) for x in hs], np.int64)
+        if lens.sum():
+            alld = np.concatenate(hs).view(np.int64)
+            doci = np.repeat(np.arange(len(hs)), lens)
+            order = np.lexsort((alld, doci))
+            d, hh = doci[order], alld[order]
+            newrun = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+            distinct = np.bincount(d[newrun], minlength=len(hs)).astype(np.int64)
+        else:
+            distinct = np.zeros(len(hs), np.int64)
+        return pa.table({
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            "n_grams": pa.array(lens),
+            "n_distinct": pa.array(distinct),
+            "n_dup": pa.array(lens - distinct),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
