@@ -1097,6 +1097,87 @@ def q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, top_n=3)
 
 
+def q_orders_left_join(sf_dir: str):
+    """LEFT OUTER tier of the bucketed hash join: every order keeps a row
+    even with no lineitems (typed-null right side -> coalesce 0), rolled up
+    per priority.  Lineitem side is pre-aggregated per batch before its one
+    groupby, so the join's right input is order-grain, not line-grain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderpriority"])
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        t = pa.table({"o_orderkey": b["l_orderkey"], "c": cents})
+        g = t.group_by("o_orderkey", use_threads=False).aggregate([("c", "sum")])
+        return g.rename_columns(["o_orderkey", "c"])
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("o_orderkey")
+        .aggregate(Sum("c", alias_name="cents"))
+    )
+    joined = bucketed_hash_join(
+        orders, sums, on="o_orderkey", how="left",
+        schemas=(pa.schema([("o_orderkey", pa.int64()),
+                            ("o_orderpriority", pa.string())]),
+                 pa.schema([("o_orderkey", pa.int64()), ("cents", pa.int64())])),
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        has = pc.cast(pc.is_valid(b["cents"]), pa.int64())
+        filled = pc.fill_null(b["cents"], 0)
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "m": has, "c": filled})
+        g = t.group_by("o_orderpriority", use_threads=False).aggregate(
+            [("m", "count"), ("m", "sum"), ("c", "sum")])
+        return g.rename_columns(["o_orderpriority", "n", "m", "c"])
+
+    return (
+        joined.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("m", alias_name="n_matched"),
+                   Sum("c", alias_name="sum_price_cents"))
+    )
+
+
+def q_mercator_cells(sf_dir: str):
+    """T1 reproject ORACLE: the 4326→3857 CRS kernel itself, checked to
+    centimeter integers against DuckDB's radians/tan/ln — measured numpy vs
+    libm divergence is <4e-9 m over the lattice, so floor(m*100) is stable."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.core.crs import EPSG_3857, EPSG_4326, Transformer
+    from geotrellis_contrib_ray.sources.documents import geocode_ids
+
+    tr = Transformer(EPSG_4326, EPSG_3857)
+
+    def to_merc(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lon, lat = geocode_ids(ids)
+        mx, my = tr.transform(lon, lat)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "mx_cm": pa.array(np.floor(mx * 100.0).astype(np.int64)),
+            "my_cm": pa.array(np.floor(my * 100.0).astype(np.int64)),
+        })
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(to_merc, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition quality signal: per-doc total vs distinct
     5-grams (one narrow vectorized pass; lexsort run-detect per batch)."""
@@ -1328,6 +1409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_bloom": q_semi_bloom,
         "raster_gradient": q_raster_gradient,
         "repetition": q_repetition,
+        "mercator_cells": q_mercator_cells,
+        "orders_left_join": q_orders_left_join,
     }
 
 
@@ -1933,6 +2016,29 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_distance(e.emb, c2.c), c2.cid) AS rn
   FROM e CROSS JOIN c2) WHERE rn = 1"""
+
+    # left-outer join: unmatched orders must survive with coalesced zeros
+    sql["orders_left_join"] = """
+WITH s AS (
+  SELECT l_orderkey,
+         SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN s.cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(coalesce(s.cents, 0)) AS BIGINT) AS sum_price_cents
+FROM orders o LEFT JOIN s ON o.o_orderkey = s.l_orderkey
+GROUP BY 1"""
+
+    # mercator: spherical web-mercator forward transform, centimeter-floored
+    # (numpy vs libm trig divergence < 4e-9 m on this lattice — see query)
+    sql["mercator_cells"] = f"""
+WITH {geo_cte()}
+SELECT doc_id,
+       CAST(floor(radians(lon) * 6378137.0 * 100) AS BIGINT) AS mx_cm,
+       CAST(floor(ln(tan(pi()/4 + radians(lat)/2)) * 6378137.0 * 100) AS BIGINT) AS my_cm
+FROM pts"""
 
     # repetition: SQL counts the substrings themselves; the Ray side counts
     # 64-bit gram hashes (collision odds ~n^2/2^64 — zero on test corpora)

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "semi_bloom",
     "raster_gradient",
     "repetition",
+    "mercator_cells",
+    "orders_left_join",
 ]
 
 

@@ -121,6 +121,9 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
     )
 
     out_schema = pa.schema([(c, type_of[c]) for c in all_cols])
+    # accept SQL-ish names; Arrow's acero wants the "... outer" spellings
+    arrow_how = {"left": "left outer", "right": "right outer",
+                 "outer": "full outer"}.get(how, how)
 
     def per_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -131,7 +134,7 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
         if len(lg) == 0 or len(rg) == 0:
             if how == "inner":
                 return out_schema.empty_table()
-        joined = lg.join(rg, keys=on, join_type=how)
+        joined = lg.join(rg, keys=on, join_type=arrow_how)
         return joined.select(all_cols)
 
     return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
