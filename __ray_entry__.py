@@ -1249,6 +1249,59 @@ def q_media_image_decode(sf_dir: str):
     return out.select_columns(["media_ref", "width", "height"])
 
 
+def q_span_media_join(sf_dir: str):
+    """Cross-modal INTERLEAVED pipeline oracle: flat docs -> interleaved
+    spans (sources/documents.py lift) -> media spans -> REAL decoded image
+    dims joined on via the broadcast small-side tier (the 64-image decoded
+    table from the PNG/BMP/PPM/JPEG codecs rides one ray.put).  Output per
+    media span: (doc_id, media_ref, offset, width, height) — every field
+    reproduced by the formula oracle, so span derivation, span ORDER
+    metadata (offset) and the decode results are all hash-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from geotrellis_contrib_ray.sources.documents import docs_to_spans
+
+    dims_rows = q_media_image_decode(sf_dir).take_all()  # 64 tiny rows
+    w_by_idx = np.zeros(64, np.int64)
+    h_by_idx = np.zeros(64, np.int64)
+    for r in dims_rows:
+        i = int(r["media_ref"][3:])
+        w_by_idx[i] = r["width"]
+        h_by_idx[i] = r["height"]
+    lut_ref = ray.put((w_by_idx, h_by_idx))
+
+    def media_rows(b: pa.Table) -> pa.Table:
+        spans_t = docs_to_spans(b)
+        spans = spans_t["spans"].combine_chunks()
+        n = len(spans_t)
+        offsets = spans.offsets.to_numpy()
+        sizes = offsets[1:] - offsets[:-1]
+        parent = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        values = spans.values
+        kind = values.field("kind").to_numpy(zero_copy_only=False)
+        is_media = kind == "media"
+        parent_m = parent[is_media]
+        num_id = pc.cast(pc.utf8_slice_codeunits(spans_t["doc_id"].combine_chunks(), 4),
+                         pa.int64()).to_numpy(zero_copy_only=False)[parent_m]
+        mref = values.field("media_ref").filter(pa.array(is_media))
+        off = values.field("offset").to_numpy(zero_copy_only=False)[is_media]
+        wlut, hlut = ray.get(lut_ref)
+        idx = num_id % 64
+        return pa.table({
+            "doc_id": pa.array(num_id),
+            "media_ref": mref,
+            "offset": pa.array(off.astype(np.int32)),
+            "width": pa.array(wlut[idx].astype(np.int32)),
+            "height": pa.array(hlut[idx].astype(np.int32)),
+        })
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(media_rows, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
 def q_quantile_chars(sf_dir: str):
     """Exact distributed quantiles (quality-cutoff percentiles) of n_chars
     per lang: holistic aggregate reduced to a domain-bounded value
@@ -1411,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "mercator_cells": q_mercator_cells,
         "orders_left_join": q_orders_left_join,
+        "span_media_join": q_span_media_join,
     }
 
 
@@ -2016,6 +2070,17 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_distance(e.emb, c2.c), c2.cid) AS rn
   FROM e CROSS JOIN c2) WHERE rn = 1"""
+
+    # span->media cross-modal join: span derivation (media_ref, offset) and
+    # the decoded dims both replayed as formulas
+    sql["span_media_join"] = """
+SELECT doc_id,
+       'media://bucket' || CAST(doc_id % 7 AS VARCHAR) || '/' ||
+         CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(len(text) // 2 + 1 AS INTEGER) AS "offset",
+       CAST(16 + ((doc_id % 64) * 7) % 19 AS INTEGER) AS width,
+       CAST(16 + (doc_id % 64) % 17 AS INTEGER) AS height
+FROM documents"""
 
     # left-outer join: unmatched orders must survive with coalesced zeros
     sql["orders_left_join"] = """

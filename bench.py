@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "repetition",
     "mercator_cells",
     "orders_left_join",
+    "span_media_join",
 ]
 
 
