@@ -1249,6 +1249,16 @@ def q_media_image_decode(sf_dir: str):
     return out.select_columns(["media_ref", "width", "height"])
 
 
+def q_window_distinct(sf_dir: str):
+    """Exact distinct-users per tumbling hour: per-batch pair collapse, one
+    pair-key groupby for global dedup, tiny count rollup."""
+    from geotrellis_contrib_ray.pipelines.query_defs import WINDOW_SEC
+    from geotrellis_contrib_ray.stages.windows import window_distinct_users
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return window_distinct_users(ds, WINDOW_SEC)
+
+
 def q_span_media_join(sf_dir: str):
     """Cross-modal INTERLEAVED pipeline oracle: flat docs -> interleaved
     spans (sources/documents.py lift) -> media spans -> REAL decoded image
@@ -1465,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mercator_cells": q_mercator_cells,
         "orders_left_join": q_orders_left_join,
         "span_media_join": q_span_media_join,
+        "window_distinct": q_window_distinct,
     }
 
 
@@ -2070,6 +2081,12 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
          row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_distance(e.emb, c2.c), c2.cid) AS rn
   FROM e CROSS JOIN c2) WHERE rn = 1"""
+
+    # exact COUNT(DISTINCT) per tumbling window
+    sql["window_distinct"] = f"""
+SELECT CAST(floor(epoch(ts) / {WINDOW_SEC}) AS BIGINT) * {WINDOW_SEC} AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1"""
 
     # span->media cross-modal join: span derivation (media_ref, offset) and
     # the decoded dims both replayed as formulas

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "mercator_cells",
     "orders_left_join",
     "span_media_join",
+    "window_distinct",
 ]
 
 

@@ -112,3 +112,77 @@ def grouped_quantiles(ds, value_col: str, qs: tuple[float, ...],
     return hist.repartition(1).map_batches(
         lambda b: select(b.to_pandas()), batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — the APPROXIMATE tier next to the exact pair-shuffle distinct
+# ---------------------------------------------------------------------------
+
+
+def _hll_mix(x: np.ndarray) -> np.ndarray:
+    z = x.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with linear-counting small-range fix."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return est
+
+
+def grouped_count_distinct_hll(ds, group_col: str, value_col: str, p: int = 12):
+    """Approximate per-group COUNT DISTINCT via HyperLogLog: each batch
+    folds its values into one 2^p-register sketch PER GROUP (vectorized
+    np.maximum.at), the shuffle carries sketches (2^p bytes per group per
+    block — independent of row count), and the per-group merge is an
+    elementwise register max + the bias-corrected estimate.
+
+    This is the 100 TB tier beside the exact two-level distinct: the exact
+    plan shuffles every distinct pair; this one shuffles a fixed 4 KB per
+    (group, block).  Standard error ~1.04/sqrt(2^p) (~1.6% at p=12).
+
+    Output: (group_col, n_approx:int64)."""
+    m = 1 << p
+
+    def sketch(b: pa.Table) -> pa.Table:
+        gv = b[group_col].to_numpy(zero_copy_only=False)
+        vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hll_mix(vals)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel caps rank
+        # rank = clz(rest) + 1 via the float64 exponent: exponent(v) =
+        # (bits >> 52) - 1023 = floor(log2 v), so clz = 1086 - (bits >> 52)
+        # (validated exactly against bit_length over the full range)
+        rank = (1087 - (rest.astype(np.float64).view(np.int64) >> 52)).astype(np.uint8)
+        order = np.argsort(gv, kind="stable")
+        g, i, r = gv[order], idx[order], rank[order]
+        starts = np.nonzero(np.r_[True, g[1:] != g[:-1]])[0]
+        out_groups, out_regs = [], []
+        bounds = np.r_[starts, len(g)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            regs = np.zeros(m, np.uint8)
+            np.maximum.at(regs, i[s:e], r[s:e])
+            out_groups.append(g[s])
+            out_regs.append(regs.tobytes())
+        return pa.table({group_col: pa.array(out_groups),
+                         "regs": pa.array(out_regs, pa.binary())})
+
+    def merge(grp):
+        regs = np.zeros(m, np.uint8)
+        for buf in grp["regs"]:
+            regs = np.maximum(regs, np.frombuffer(buf, np.uint8))
+        return pa.table({
+            group_col: pa.array([grp[group_col].iloc[0]]),
+            "n_approx": pa.array([int(round(_hll_estimate(regs)))], pa.int64()),
+        })
+
+    part = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+    return part.groupby(group_col).map_groups(merge, batch_format="pandas")

@@ -119,3 +119,45 @@ def sliding_window_agg(ds, size_sec: int = 3600, hop_sec: int = 1800):
     return part.groupby(["event_type", "window_start"]).aggregate(
         Sum("psum", alias_name="sum_cents"), Sum("pcnt", alias_name="n_events")
     )
+
+
+def window_distinct_users(ds, window_sec: int = 3600):
+    """EXACT count-distinct per tumbling window — the two-level distinct
+    shape: per-batch collapse to distinct (window, user) pairs (narrow),
+    ONE groupby over the pair key finishes global dedup, and a per-batch
+    pair->count partial plus a tiny second groupby yields the counts.
+    Only distinct pairs ever cross the first shuffle; the second shuffle
+    carries one row per (window, batch).
+
+    Output: (window_start, n_users)."""
+    import pyarrow as pa
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        win = (ts // 1_000_000) // window_sec * window_sec
+        t = pa.table({
+            "window_start": pa.array(win),
+            "user_id": batch["user_id"],
+        })
+        return t.group_by(["window_start", "user_id"], use_threads=False).aggregate([])
+
+    from ray.data.aggregate import Count, Sum
+
+    dedup = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby(["window_start", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        g = b.select(["window_start"]).group_by("window_start", use_threads=False) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["window_start", "p"])
+
+    return (
+        dedup.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+        .groupby("window_start")
+        .aggregate(Sum("p", alias_name="n_users"))
+    )

@@ -83,3 +83,33 @@ def test_top_k_per_group_matches_duckdb(ray_session):
     assert got["lang"].tolist() == exp["lang"].tolist()
     assert got["v"].tolist() == exp["v"].tolist()
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+
+def test_hll_grouped_count_distinct_accuracy(ray_session):
+    """HLL per-group distinct within ~3*stderr (1.04/sqrt(2^12) ~ 1.6%) of
+    exact, across groups of very different cardinalities."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.stats import grouped_count_distinct_hll
+
+    rng = np.random.default_rng(4)
+    rows_g, rows_v = [], []
+    truth = {}
+    for g, card in ((0, 10), (1, 500), (2, 20000)):
+        vals = rng.choice(10**9, card, replace=False)
+        draw = rng.choice(vals, card * 3)   # duplicates included
+        truth[g] = len(np.unique(draw))
+        rows_g += [g] * len(draw)
+        rows_v += draw.tolist()
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(rows_g, pa.int64()),
+        "v": pa.array(rows_v, pa.int64()),
+    })).repartition(5)
+    out = grouped_count_distinct_hll(ds, "g", "v", p=12).to_pandas()
+    got = dict(zip(out["g"], out["n_approx"]))
+    for g, exact in truth.items():
+        rel = abs(got[g] - exact) / exact
+        assert rel < 0.05, (g, exact, got[g], rel)
+    # tiny groups hit the linear-counting regime and should be near-exact
+    assert abs(got[0] - truth[0]) <= 1
