@@ -93,3 +93,24 @@ def kmeans_assign(ds, cents: np.ndarray, vec_col: str = "embedding",
 
     return ds.map_batches(label, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
+
+
+def kmeans_seed_plusplus(ds, k: int, sample_n: int = 2048,
+                         vec_col: str = "embedding", seed: int = 0) -> np.ndarray:
+    """k-means++ seeding over a BOUNDED sample (driver holds sample_n
+    vectors, never the corpus; the fit itself stays distributed).
+    Deterministic given ``seed`` — D^2-weighted picks via a seeded
+    Generator.  Returns (k, d) float64 seeds for ``kmeans_fit``."""
+    rows = ds.limit(sample_n).take_all()
+    X = np.stack([np.asarray(r[vec_col], np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cents = [X[int(rng.integers(len(X)))]]
+    for _ in range(k - 1):
+        C = np.asarray(cents)
+        d2 = np.min(((X[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+        total = d2.sum()
+        if total <= 0.0:  # degenerate sample: every point already a centroid
+            cents.append(X[int(rng.integers(len(X)))])
+            continue
+        cents.append(X[int(rng.choice(len(X), p=d2 / total))])
+    return np.asarray(cents)

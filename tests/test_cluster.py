@@ -54,3 +54,19 @@ def test_kmeans_empty_cluster_keeps_seed(ray_session):
     C = kmeans_fit(ds, seeds, n_iter=2)
     assert np.allclose(C[1], [100.0, 100.0])
     assert np.isfinite(C).all()
+
+
+def test_kmeans_plusplus_seeds_find_blobs(ray_session):
+    """D^2 seeding lands one seed per well-separated blob, so two Lloyd's
+    rounds recover the blob structure."""
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0, 0.0], [8.0, 8.0], [-8.0, 8.0]])
+    X = np.concatenate([rng.normal(c, 0.2, (50, 2)) for c in centers])
+    from geotrellis_contrib_ray.stages.cluster import kmeans_seed_plusplus
+
+    ds = _make_ds(X)
+    seeds = kmeans_seed_plusplus(ds, 3, sample_n=150, seed=1)
+    C = kmeans_fit(ds, seeds, n_iter=2)
+    # each true center has one learned centroid within 0.2
+    d = np.sqrt(((C[:, None, :] - centers[None]) ** 2).sum(-1))
+    assert (d.min(axis=0) < 0.2).all()

@@ -230,3 +230,21 @@ def test_focal_gradient_matches_stencil(ray_session):
         res = rst.focal_tiles(tiles, op=op, radius=1).take_all()
         stitched = rst.sparse_stitch(res)
         assert np.array_equal(stitched.pixels[0].astype(np.float64), exp), op
+
+
+def test_focal_mean_nodata_excluded(ray_session):
+    """NoData cells are excluded from neighboring windows and their own
+    output is computed from the valid neighbors (GDAL focal semantics)."""
+    full = np.full((8, 8), 10.0)
+    full[3, 3] = np.nan                      # NoData under float64nd
+    g = GridExtent(Extent(0.0, 0.0, 80.0, 80.0), 10.0, 10.0, 8, 8)
+    src = InMemoryRasterSource(full[None], g)  # default ct = float64, NaN nodata
+    layout = LayoutDefinition(g.extent, 4, 4, 2, 2)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    res = rst.focal_tiles(tiles, op="mean", radius=1).take_all()
+    stitched = rst.sparse_stitch(res)
+    px = stitched.pixels[0]
+    # all windows average only valid 10.0 cells -> exactly 10.0 everywhere,
+    # including at the NoData cell itself (8 valid neighbors)
+    assert np.allclose(px, 10.0, equal_nan=False)
+    assert np.isfinite(px).all()
