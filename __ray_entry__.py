@@ -961,6 +961,17 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=512)
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking: overlapping fixed-width character windows
+    per document (size 160, stride 120) — the pretraining chunk layout.
+    Pure narrow flat-map over the shared utf8 buffer; full chunk TEXT
+    crosses the value-hash compare (DuckDB generate_series+substr twin)."""
+    from geotrellis_contrib_ray.stages.pack import chunk_documents
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds)
+
+
 def q_train_split(sf_dir: str):
     """Deterministic hash-stratified train/val/test split, rolled up to
     per-split doc counts + char sums (pure narrow map; integer-hash oracle)."""
@@ -1461,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_chars": q_quantile_chars,
         "top_docs_per_lang": q_top_docs_per_lang,
         "pack_sequences": q_pack_sequences,
+        "chunk_docs": q_chunk_docs,
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
         "redact": q_redact,
@@ -1878,6 +1890,19 @@ SELECT CASE WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < 10 THEN 'tes
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        count(*) AS n_docs
 FROM documents GROUP BY 1"""
+
+    from geotrellis_contrib_ray.stages.pack import CHUNK_SIZE, CHUNK_STRIDE
+
+    # constant-bound series (this DuckDB rejects lateral column params to
+    # generate_series); the join predicate prunes to (len-1)//stride per doc
+    sql["chunk_docs"] = f"""
+WITH nums AS (SELECT CAST(i AS INTEGER) AS i FROM generate_series(0, 255) t(i))
+SELECT doc_id,
+       CAST(n.i AS BIGINT) AS chunk_id,
+       CAST(length(substr(text, 1 + n.i * {CHUNK_STRIDE}, {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       substr(text, 1 + n.i * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS chunk_text
+FROM documents d JOIN nums n ON n.i <= (length(d.text) - 1) // {CHUNK_STRIDE}
+WHERE length(d.text) > 0"""
 
     from geotrellis_contrib_ray.stages.text import REDACT_PATTERN, REDACT_TOKEN
 

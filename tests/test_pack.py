@@ -91,3 +91,33 @@ def test_stratified_sample_matches_serial_draw(ray_session):
         .reset_index(drop=True)
     )
     assert got == list(out2[["lang", "hkey", "doc_id"]].itertuples(index=False, name=None))
+
+
+def test_chunk_documents_matches_python_reference(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.pack import chunk_documents
+
+    size, stride = 160, 120
+    texts = ["", "a" * 5, "b" * 120, "c" * 121, "x" * 160, "hello world " * 40,
+             "héllo wörld " * 15, "y" * 280, "z"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (
+        chunk_documents(rd.from_arrow(t), size=size, stride=stride)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    exp = []
+    for i, txt in enumerate(texts):
+        for j in range((len(txt) - 1) // stride + 1 if txt else 0):
+            c = txt[j * stride : j * stride + size]
+            exp.append((i, j, len(c), c))
+    got = list(out[["doc_id", "chunk_id", "chunk_len", "chunk_text"]]
+               .itertuples(index=False, name=None))
+    assert got == exp
+    # overlap invariant: consecutive chunks of the same doc share size-stride chars
+    for (i1, j1, _, c1), (i2, j2, _, c2) in zip(exp, exp[1:]):
+        if i1 == i2 and len(c1) == size:
+            assert c1[stride:] == c2[: size - stride]
