@@ -51,7 +51,8 @@ def default_join_partitions(factor: int = 8, floor: int = 16, cap: int = 512) ->
 
 
 def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how: str = "inner",
-                       schemas: tuple | None = None):
+                       schemas: tuple | None = None,
+                       right_pre_agg: dict[str, str] | None = None):
     """Tier-3 portable partitioned hash join.
 
     Shuffle payload is both sides' projected rows exactly once; each bucket
@@ -66,7 +67,13 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
     Arrow schemas when a side is an expensive lazy pipeline — ``.schema()``
     on a Dataset with upstream all-to-all stages EXECUTES that upstream to
     produce its first block, so an unpassed schema can silently run the
-    whole plan an extra time per join."""
+    whole plan an extra time per join.
+
+    ``right_pre_agg={"col": "sum"}``: the right side carries PER-BATCH
+    partial-aggregate rows (possibly several per key); they are combined
+    per key inside each bucket group BEFORE the merge.  This fuses the
+    "groupby(key).aggregate -> join" pattern into the join's single
+    shuffle — one all-to-all instead of two."""
     if buckets is None:
         buckets = default_join_partitions()
 
@@ -90,6 +97,9 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
         type_of[name] = t
     for name, t in zip(rschema.names, rschema.types):
         type_of.setdefault(name, t)
+
+    if right_pre_agg is not None and sorted(right_pre_agg) != ronly:
+        raise ValueError(f"right_pre_agg must cover exactly the right-only columns {ronly}")
 
     str_key = pa.types.is_string(type_of[on]) or pa.types.is_large_string(type_of[on])
 
@@ -134,6 +144,13 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
         if len(lg) == 0 or len(rg) == 0:
             if how == "inner":
                 return out_schema.empty_table()
+        if right_pre_agg and len(rg):
+            rg = rg.group_by(on, use_threads=False).aggregate(
+                [(c, fn) for c, fn in right_pre_agg.items()]
+            ).rename_columns([on] + [c for c in right_pre_agg])
+            rg = rg.select([on] + ronly).cast(
+                pa.schema([(c, type_of[c]) for c in [on] + ronly])
+            )
         joined = lg.join(rg, keys=on, join_type=arrow_how)
         return joined.select(all_cols)
 

@@ -245,3 +245,34 @@ def chunk_documents(ds, *, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
 
     return ds.map_batches(chunk_batch, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
+
+
+# epoch-shuffle constants (shared with the SQL oracle); EPOCH_C decorrelates
+# successive epochs, SHUF_A decorrelates the order from the split hash
+SHUF_A = 1103515245
+EPOCH_C = 12345
+SHUF_M = 2147483648  # 2^31
+
+
+def global_shuffle(ds, epoch: int = 0, id_col: str = "doc_id"):
+    """Deterministic training-epoch shuffle: rows reordered by
+    ``h = (((id + epoch*EPOCH_C) % P) * SHUF_A) % 2^31`` — a different but
+    reproducible permutation per epoch (the epoch shifts the id BEFORE the
+    multiplicative scramble; a post-multiply additive constant would only
+    rotate the order), no RNG state to ship or seed to coordinate.  Distributed shape: Ray's range-partitioned sort on the
+    hash key (the one unavoidable all-to-all of an epoch shuffle); every
+    upstream/downstream stage stays narrow.  Unlike
+    ``Dataset.random_shuffle`` the order is a pure function of ids, so two
+    engines (or a resumed run) produce the identical epoch stream.
+
+    Output: input columns + ``shuffle_key:int64``, sorted by
+    (shuffle_key, id)."""
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (((ids + np.int64(epoch) * np.int64(EPOCH_C)) % SPLIT_P) * np.int64(SHUF_A)) % np.int64(SHUF_M)
+        return b.append_column("shuffle_key", pa.array(h))
+
+    keyed = ds.map_batches(add_h, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return keyed.sort(["shuffle_key", id_col])

@@ -121,3 +121,28 @@ def test_chunk_documents_matches_python_reference(ray_session):
     for (i1, j1, _, c1), (i2, j2, _, c2) in zip(exp, exp[1:]):
         if i1 == i2 and len(c1) == size:
             assert c1[stride:] == c2[: size - stride]
+
+
+def test_global_shuffle_deterministic_epochs(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.pack import (
+        EPOCH_C, SHUF_A, SHUF_M, SPLIT_P, global_shuffle,
+    )
+
+    ids = np.arange(200, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    e0 = global_shuffle(rd.from_arrow(t), epoch=0).to_pandas()
+    e0b = global_shuffle(rd.from_arrow(t), epoch=0).to_pandas()
+    e1 = global_shuffle(rd.from_arrow(t), epoch=1).to_pandas()
+    # reproducible within an epoch, different across epochs
+    assert e0["doc_id"].tolist() == e0b["doc_id"].tolist()
+    assert e0["doc_id"].tolist() != e1["doc_id"].tolist()
+    # matches the hash formula order exactly
+    for epoch, df in ((0, e0), (1, e1)):
+        h = (((ids + epoch * EPOCH_C) % SPLIT_P) * SHUF_A) % SHUF_M
+        order = np.lexsort((ids, h))
+        assert df["doc_id"].tolist() == ids[order].tolist()
+        assert df["shuffle_key"].tolist() == h[order].tolist()
+    # a permutation, not a sample
+    assert sorted(e1["doc_id"].tolist()) == ids.tolist()
