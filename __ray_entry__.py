@@ -961,6 +961,18 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, budget=512)
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary-coverage quality signal: corpus top-32 token table
+    (partial tf per batch -> one token groupby -> tiny top-k) broadcast
+    into a narrow is_in scoring pass.  Pure integer counts cross the hash
+    compare; DuckDB twin rebuilds the same vocab with an identical
+    (count DESC, token) tie-break."""
+    from geotrellis_contrib_ray.stages.text import vocab_coverage
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_coverage(ds, top_v=32)
+
+
 def q_chunk_docs(sf_dir: str):
     """Context-window chunking: overlapping fixed-width character windows
     per document (size 160, stride 120) — the pretraining chunk layout.
@@ -1485,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
         "shuffle_head": q_shuffle_head,
+        "vocab_coverage": q_vocab_coverage,
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
         "redact": q_redact,
@@ -1923,6 +1936,21 @@ SELECT doc_id, (((doc_id + 1 * {EPOCH_C}) % {SPLIT_P}) * {SHUF_A}) % {SHUF_M} AS
 FROM documents
 ORDER BY shuffle_key, doc_id
 LIMIT 64"""
+
+    sql["vocab_coverage"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok LIMIT 32
+  )
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE tok IN (SELECT tok FROM vocab)) AS n_hits
+FROM toks GROUP BY doc_id"""
 
     from geotrellis_contrib_ray.stages.text import REDACT_PATTERN, REDACT_TOKEN
 

@@ -286,3 +286,69 @@ def repetition_stats(ds, k: int = 5, id_col: str = "doc_id",
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+def vocab_coverage(ds, top_v: int = 32, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Vocabulary-coverage quality signal: build the corpus's top-``top_v``
+    token table (total term count, ties broken on token), broadcast it, and
+    score every document by how many of its token occurrences fall in that
+    vocabulary — the classic stopword-coverage / language-fluency heuristic
+    (a fluent doc is dominated by high-frequency tokens).
+
+    Distributed shape, both passes scale-correct:
+    1. vocab build: per-batch token tf (Arrow group_by inside the block) ->
+       ONE groupby(token) merge -> tiny sort+limit; only (token, count)
+       partials cross the wire, never token instances;
+    2. scoring: pure narrow pass — flatten each batch's token lists,
+       ``pc.is_in`` against the broadcast vocab, segment-sum back to docs
+       with ``np.add.reduceat``.
+
+    Tokenization is split-on-single-space (empty tokens preserved) —
+    bit-identical to DuckDB ``string_split(text, ' ')``.
+
+    Output: (id_col, n_tokens:int64, n_hits:int64)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def token_tf(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        t = pa.table({"tok": flat})
+        g = t.group_by("tok", use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"tok": g["tok"], "c": g["count_all"].cast(pa.int64())})
+
+    counts = (
+        ds.map_batches(token_tf, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    top = counts.sort(["n", "tok"], descending=[True, False]).limit(top_v).take_all()
+    vocab = pa.array([r["tok"] for r in top], pa.string())
+
+    def score(b: pa.Table) -> pa.Table:
+        toks = b[text_col]
+        toks = pc.split_pattern(toks, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        hits = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # reduceat needs strictly valid starts; empty segments yield the next
+        # element — mask them to 0 afterwards
+        if len(hits):
+            seg = np.add.reduceat(hits, np.minimum(offs, len(hits) - 1))
+            seg[lens == 0] = 0
+        else:
+            seg = np.zeros(len(b), np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_hits": pa.array(seg, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

@@ -61,3 +61,32 @@ def test_repetition_stats_planted(ray_session):
     assert df.loc[1, "n_distinct"] == 5        # rotations of "spam "
     assert df.loc[1, "n_dup"] > df.loc[2, "n_dup"]
     assert (df["n_grams"] == df["n_distinct"] + df["n_dup"]).all()
+
+
+def test_vocab_coverage_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.text import vocab_coverage
+
+    texts = [
+        "the cat sat on the mat",
+        "the the the",
+        "",            # empty doc -> 1 empty token after split
+        "a  b",        # double space -> empty middle token
+        "rare words only here",
+    ] * 4
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (vocab_coverage(rd.from_arrow(t), top_v=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # python reference with the same split-on-single-space convention
+    toks = [s.split(" ") for s in texts]
+    from collections import Counter
+    c = Counter(tok for row in toks for tok in row)
+    vocab = set(t for t, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+    exp_tokens = [len(row) for row in toks]
+    exp_hits = [sum(tok in vocab for tok in row) for row in toks]
+    assert out["n_tokens"].tolist() == exp_tokens
+    assert out["n_hits"].tolist() == exp_hits
