@@ -1431,6 +1431,31 @@ def q_media_audio_frames(sf_dir: str):
     return mm.sample_audio_frames(ds, batch_size=8).select_columns(["media_ref", "n_frames"])
 
 
+def q_audio_energy(sf_dir: str):
+    """Multimodal DSP oracle: REAL WAV encode/decode round-trip, then
+    integer energy stats (sum of squares, peak) over the raw int16 PCM.
+    Samples are integer pseudo-noise ``((t*(i+3)*2654435761) % 65536) -
+    32768`` so BOTH engines compute identical pure-integer sums — no
+    libm-trig divergence risk in the hash gate."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.functions import codecs
+    from geotrellis_contrib_ray.stages import multimodal as mm
+
+    n = 32
+    refs, payloads = [], []
+    for i in range(n):
+        t = np.arange(1000 + 37 * i, dtype=np.int64)
+        v = ((t * (i + 3) * np.int64(2654435761)) % 65536 - 32768).astype(np.int16)
+        refs.append(f"aud{i:03d}")
+        payloads.append(codecs.encode_wav(v, 16000))
+    t = pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    return mm.audio_energy(_rd().from_arrow(t), batch_size=8)
+
+
 def entry() -> Any:
     """Flagship interleaved-corpus pipeline on sf0.001."""
     from geotrellis_contrib_ray.pipelines.flagship import flagship
@@ -1491,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_pyramid": q_raster_pyramid,
         "media_image_decode": q_media_image_decode,
         "media_audio_frames": q_media_audio_frames,
+        "audio_energy": q_audio_energy,
         "media_video_frames": q_media_video_frames,
         "quantile_chars": q_quantile_chars,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2032,6 +2058,25 @@ FROM generate_series(0, 23) AS t(i)"""
 SELECT 'aud' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
        CAST(floor((1000 + 37 * i) / 256) AS INTEGER) AS n_frames
 FROM generate_series(0, 31) AS t(i)"""
+
+    # audio_energy: the WAV payloads carry integer pseudo-noise samples;
+    # after the real encode/decode round-trip the Ray side sums squares of
+    # the raw int16 PCM — the oracle replays the generator formula directly
+    sql["audio_energy"] = """
+WITH f AS (
+  SELECT CAST(i AS BIGINT) AS i, CAST(1000 + 37 * i AS BIGINT) AS n
+  FROM generate_series(0, 31) g(i)
+),
+nums AS (SELECT CAST(t AS BIGINT) AS t FROM generate_series(0, 2146) g(t)),
+s AS (
+  SELECT f.i, ((nums.t * (f.i + 3) * 2654435761) % 65536) - 32768 AS v
+  FROM f JOIN nums ON nums.t < f.n
+)
+SELECT 'aud' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
+       count(*) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS BIGINT) AS peak
+FROM s GROUP BY 1"""
 
     # --- integer-projected oracles for the float/regex families ------------
     # quality_counts: the scorer's integer building blocks; regex + stoplist

@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "orders_left_join",
     "span_media_join",
     "window_distinct",
+    "chunk_docs",
+    "shuffle_head",
+    "vocab_coverage",
+    "audio_energy",
 ]
 
 

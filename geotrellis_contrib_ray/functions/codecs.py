@@ -230,6 +230,23 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return arr, rate
 
 
+def decode_wav_int16(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (raw mono int16 samples, sample_rate) — no float
+    normalization, so integer DSP over the samples is bit-exact (the
+    audio-energy oracle sums squares of these values)."""
+    with wave.open(BytesIO(data), "rb") as wf:
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if width != 2:
+        raise ValueError(f"decode_wav_int16 needs 16-bit PCM, got width {width}")
+    arr = np.frombuffer(frames, dtype="<i2")
+    if nch > 1:
+        arr = arr.reshape(-1, nch)[:, 0].copy()  # first channel, no mixdown
+    return arr, rate
+
+
 # ---------------------------------------------------------------------------
 # sniffing
 # ---------------------------------------------------------------------------

@@ -185,6 +185,43 @@ class AudioFrameSampler:
         )
 
 
+class AudioEnergy:
+    """Actor-pool stage: decode 16-bit PCM WAV -> integer energy stats over
+    the RAW samples (sum of squares, peak amplitude, sample count) — the
+    loudness/clipping screen of an audio data pipeline, integer-exact so a
+    SQL oracle can replay it from the generator formula."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_wav_int16
+
+        refs, n_samples, sum_sq, peak = [], [], [], []
+        for ref, payload in zip(batch["media_ref"], batch["payload"]):
+            v, _rate = decode_wav_int16(payload.as_py())
+            v64 = v.astype(np.int64)
+            refs.append(ref.as_py())
+            n_samples.append(len(v))
+            sum_sq.append(int((v64 * v64).sum()))
+            peak.append(int(np.abs(v64).max()) if len(v) else 0)
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "n_samples": pa.array(n_samples, pa.int64()),
+            "sum_sq": pa.array(sum_sq, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+        })
+
+
+def audio_energy(ds, *, concurrency=None, batch_size=256):
+    from ..util import default_pool_size
+
+    return ds.map_batches(
+        AudioEnergy,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None else default_pool_size(),
+    )
+
+
 class VideoFrameSampler:
     """Actor-pool stage: decode video -> sample every ``stride``-th frame ->
     per-sampled-frame mean intensity + dims.  Video rows are the WIDEST

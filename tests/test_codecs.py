@@ -229,3 +229,16 @@ def test_video_frame_sampler_stride(ray_session):
     assert out["width"].tolist() == [16] and out["height"].tolist() == [16]
     # solid-color frames survive JPEG exactly -> mean intensity == 100
     assert np.allclose(out["frame_mean"].iloc[0], 100.0)
+
+
+def test_wav_int16_roundtrip_exact():
+    import numpy as np
+
+    from geotrellis_contrib_ray.functions.codecs import decode_wav_int16, encode_wav
+
+    v = ((np.arange(5000, dtype=np.int64) * 7919) % 65536 - 32768).astype(np.int16)
+    data = encode_wav(v, 8000)
+    out, rate = decode_wav_int16(data)
+    assert rate == 8000
+    assert out.dtype == np.int16
+    assert np.array_equal(out, v)
