@@ -683,7 +683,6 @@ def q_jaccard_exact_pairs(sf_dir: str):
     )
     return dedup.jaccard_similarity_join(
         ds, shingle_k=JACCARD_K, threshold=JACCARD_THRESHOLD, group_salt=16,
-        broadcast_sizes=True,  # the sampled slice is dimension-shaped
     )
 
 

@@ -580,24 +580,28 @@ def _distinct_doc_tokens(batch: pa.Table, shingle_k: int, id_col: str, text_col:
 
 def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
                             id_col: str = "doc_id", text_col: str = "text",
-                            group_salt: int = 256, max_df: int | None = None,
-                            broadcast_sizes: bool = False):
+                            group_salt: int = 256, max_df: int | None = None):
     """EXACT n-gram Jaccard similarity self-join (no LSH approximation):
     distributed inverted-index plan, SQL-oracle-checkable.
 
     Plan (each arrow is a Dataset stage):
     1. tokens: per batch, distinct k-gram hashes per doc (vectorized rolling
-       hash + one lexsort) -> (tok, doc_id) rows; the shuffle key is the
-       8-byte token hash, never the token text.
+       hash + one lexsort) -> (tok, doc_id, sz) rows; the shuffle key is the
+       8-byte token hash, never the token text.  Each token row CARRIES its
+       document's distinct-token count ``sz`` (+8 bytes/row) — that one
+       column eliminates a second corpus scan and two downstream
+       size-reattach joins the previous layout paid (a Dataset consumed by
+       two plans re-executes its upstream, so the old separate "sizes" pass
+       re-shingled the whole corpus).
     2. pair partials: groupby(tok % group_salt) -> within each salted group,
        sort by (tok, doc_id), detect equal-token runs, emit each run's
-       id1<id2 pairs and pre-aggregate their counts (np.unique) BEFORE the
-       wide shuffle.  Salting bounds the group count at ``group_salt`` (one
-       group per raw token would pay ~1 ms/group python overhead).
-    3. n_shared: groupby(id1, id2).sum of the partial counts.
-    4. sizes re-attached with two hash-partitioned bucket joins (the sizes
-       side is corpus-sized at 10^12 docs — never broadcast).
-    5. jaccard = n_shared / (sz1 + sz2 - n_shared) as one int64/int64 double
+       id1<id2 pairs (with their sz1/sz2 riding along) and pre-aggregate
+       counts (np.unique) BEFORE the wide shuffle.  Salting bounds the group
+       count at ``group_salt`` (one group per raw token would pay ~1 ms/group
+       python overhead).
+    3. n_shared: groupby(id1, id2) -> Sum(cnt); sz1/sz2 are constant per
+       pair, carried with Max.
+    4. jaccard = n_shared / (sz1 + sz2 - n_shared) as one int64/int64 double
        division (bit-identical to the SQL oracle's CAST(... AS DOUBLE)/...).
 
     Exactness caveat: tokens are compared by 64-bit rolling hash; a hash
@@ -606,21 +610,21 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
     never rides the shuffle).  ``max_df`` optionally skips tokens shared by
     more than max_df docs WITH A LOGGED DROP (turns the join approximate but
     bounds the run^2 blowup; the exact-at-scale alternative is PPJoin-style
-    prefix filtering, which prunes candidate tokens per doc by global df
-    rank while preserving exactness at a given threshold).
+    prefix filtering — see ``jaccard_prefix_pairs``).
 
     Output: id1 < id2, n_shared, n_union (int64), jaccard (float64) for all
     pairs with jaccard >= threshold.  Reference parity: the window-overlap
     dedup semantics of vlm RasterSourceSpec (overlap detection by shared
     content) generalized to set similarity."""
-    from ray.data.aggregate import Sum
-
-    from .joins import bucketed_hash_join
+    from ray.data.aggregate import Max, Sum
 
     def tokens(batch: pa.Table) -> pa.Table:
-        dids, toks, _sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
+        dids, toks, sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
+        # token rows come out row-major, so each row's sz repeats sz times
+        szrep = np.repeat(sz, sz)
         salt = (toks.view(np.uint64) % np.uint64(group_salt)).astype(np.int64)
-        return pa.table({"tok": toks, "doc_id": dids, "gsalt": salt})
+        return pa.table({"tok": toks, "doc_id": dids,
+                         "sz": szrep.astype(np.int64), "gsalt": salt})
 
     tok_ds = ds.map_batches(tokens, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -629,11 +633,13 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
         # blocks is ~13x slower (measured 154 s vs 12 s on 470k rows @4 CPUs)
         toks = g["tok"].to_numpy()
         ids = g["doc_id"].to_numpy()
+        szs = g["sz"].to_numpy()
         order = np.lexsort((ids, toks))
         starts, ends = _bucket_runs(toks, order)
         sids = ids[order]
+        ssz = szs[order]
         counts = ends - starts
-        id1s, id2s = [], []
+        id1s, id2s, s1s, s2s = [], [], [], []
         triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for ri in np.nonzero(counts >= 2)[0]:
             m = int(counts[ri])
@@ -641,16 +647,21 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
                 _log_bucket_drop("jaccard_similarity_join", m, max_df)
                 continue
             run = sids[starts[ri] : ends[ri]]  # id-sorted within the run
+            rsz = ssz[starts[ri] : ends[ri]]
             if m not in triu_cache:
                 triu_cache[m] = np.triu_indices(m, k=1)
             ii, jj = triu_cache[m]
             id1s.append(run[ii])
             id2s.append(run[jj])
+            s1s.append(rsz[ii])
+            s2s.append(rsz[jj])
         if not id1s:
             z = pa.array([], pa.int64())
-            return pa.table({"id1": z, "id2": z, "cnt": z})
+            return pa.table({"id1": z, "id2": z, "cnt": z, "sz1": z, "sz2": z})
         p1 = np.concatenate(id1s)
         p2 = np.concatenate(id2s)
+        q1 = np.concatenate(s1s)
+        q2 = np.concatenate(s2s)
         # partial aggregation inside the group: one row per (id1, id2)
         o = np.lexsort((p2, p1))
         a, b = p1[o], p2[o]
@@ -658,100 +669,23 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
         cnt = np.diff(np.r_[st, len(a)])
         return pa.table({"id1": pa.array(a[st].astype(np.int64)),
                          "id2": pa.array(b[st].astype(np.int64)),
-                         "cnt": pa.array(cnt.astype(np.int64))})
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "sz1": pa.array(q1[o][st].astype(np.int64)),
+                         "sz2": pa.array(q2[o][st].astype(np.int64))})
 
     shared = (
         tok_ds.groupby("gsalt")
         .map_groups(pair_partials, batch_format="pandas")
         .groupby(["id1", "id2"])
-        .aggregate(Sum("cnt", alias_name="n_shared"))
+        .aggregate(Sum("cnt", alias_name="n_shared"),
+                   Max("sz1", alias_name="s1"),
+                   Max("sz2", alias_name="s2"))
     )
-
-    def sizes(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        _d, _t, sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
-        keep = sz > 0
-        return pa.table({"doc_id": ids[keep], "sz": sz[keep]})
-
-    size_ds = ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-
-    if broadcast_sizes:
-        # broadcast tier (README join rules: dimension-shaped side via
-        # ray.put, read once per task — never re-shipped per batch).  Right
-        # when the deduped corpus slice is small (sampled driver query);
-        # the default bucket-join tier is the 10^12-doc path.
-        import ray
-
-        sz_tbl = pa.concat_tables(
-            size_ds.iter_batches(batch_size=None, batch_format="pyarrow")
-        )
-        lut_ref = ray.put(
-            dict(
-                zip(
-                    sz_tbl["doc_id"].to_numpy(zero_copy_only=False).tolist(),
-                    sz_tbl["sz"].to_numpy(zero_copy_only=False).tolist(),
-                )
-            )
-        )
-
-        def finalize_bcast(b: pa.Table) -> pa.Table:
-            lut = ray.get(lut_ref)
-            i1 = b["id1"].to_numpy(zero_copy_only=False).astype(np.int64)
-            i2 = b["id2"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ns = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
-            sz1 = np.array([lut[i] for i in i1.tolist()], dtype=np.int64)
-            sz2 = np.array([lut[i] for i in i2.tolist()], dtype=np.int64)
-            nu = sz1 + sz2 - ns
-            jac = ns / nu
-            keep = jac >= threshold
-            return pa.table(
-                {
-                    "id1": pa.array(i1[keep]),
-                    "id2": pa.array(i2[keep]),
-                    "n_shared": pa.array(ns[keep]),
-                    "n_union": pa.array(nu[keep]),
-                    "jaccard": pa.array(jac[keep]),
-                }
-            )
-
-        return shared.map_batches(
-            finalize_bcast, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        )
-
-    def rn(mapping: dict):
-        def f(b: pa.Table) -> pa.Table:
-            return b.rename_columns([mapping.get(c, c) for c in b.schema.names])
-
-        return f
-
-    # static schemas: .schema() on a lazy Dataset with all-to-all upstream
-    # stages would EXECUTE the whole token/pair plan once per join
-    i64 = pa.int64()
-    shared_schema = pa.schema([("doc_id", i64), ("id2", i64), ("n_shared", i64)])
-    sz1_schema = pa.schema([("doc_id", i64), ("sz1", i64)])
-    p1_schema = pa.schema([("doc_id", i64), ("id1", i64), ("n_shared", i64), ("sz1", i64)])
-    sz2_schema = pa.schema([("doc_id", i64), ("sz2", i64)])
-
-    p1 = bucketed_hash_join(
-        shared.map_batches(rn({"id1": "doc_id"}), batch_format="pyarrow", batch_size=None),
-        size_ds.map_batches(rn({"sz": "sz1"}), batch_format="pyarrow", batch_size=None),
-        on="doc_id",
-        schemas=(shared_schema, sz1_schema),
-    ).map_batches(rn({"doc_id": "id1"}), batch_format="pyarrow", batch_size=None)
-    p2 = bucketed_hash_join(
-        p1.map_batches(rn({"id2": "doc_id"}), batch_format="pyarrow", batch_size=None),
-        size_ds.map_batches(rn({"sz": "sz2"}), batch_format="pyarrow", batch_size=None),
-        on="doc_id",
-        schemas=(p1_schema, sz2_schema),
-    ).map_batches(rn({"doc_id": "id2"}), batch_format="pyarrow", batch_size=None)
 
     def finalize(b: pa.Table) -> pa.Table:
         ns = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nu = (
-            b["sz1"].to_numpy(zero_copy_only=False).astype(np.int64)
-            + b["sz2"].to_numpy(zero_copy_only=False).astype(np.int64)
-            - ns
-        )
+        nu = (b["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
+              + b["s2"].to_numpy(zero_copy_only=False).astype(np.int64) - ns)
         jac = ns / nu  # int64/int64 -> float64, same IEEE division as SQL
         keep = jac >= threshold
         return pa.table(
@@ -764,7 +698,7 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
             }
         )
 
-    return p2.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return shared.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,

@@ -187,11 +187,14 @@ def tfidf_top_terms(ds, top_n: int = 3, id_col: str = "doc_id",
     Scale shape:
     * tokenize + per-doc term frequencies happen INSIDE one narrow batch
       pass (Arrow split_pattern + in-batch group_by — a document never
-      spans batches, so in-batch tf is final);
-    * document frequency is ONE groupby-count over the (doc, term) rows —
-      the only corpus-wide shuffle, carrying 2 small columns;
-    * df rides back onto term rows via the bucketed hash join keyed on
-      term (vocabulary-sized side, still a join — never a driver dict);
+      spans batches, so in-batch tf is final), and that pass runs ONCE:
+      a Dataset consumed by two downstream plans re-executes its upstream,
+      so the old "groupby(term) then join df back" layout tokenized the
+      corpus twice;
+    * the (doc, term, tf) rows shuffle ONCE on a term-hash bucket; within
+      a bucket every term's rows are complete, so document frequency is an
+      in-group Arrow count + in-group join — no separate df shuffle, no
+      string-keyed union join;
     * per-doc selection is stats.top_k_per_group: <= top_n rows per doc
       per block cross the final shuffle.
 
@@ -200,7 +203,6 @@ def tfidf_top_terms(ds, top_n: int = 3, id_col: str = "doc_id",
     INTEGER columns are emitted, so the driver's value-hash compare never
     sees a float.
     """
-    from .joins import bucketed_hash_join
     from .stats import top_k_per_group
 
     if n_docs is None:
@@ -220,15 +222,26 @@ def tfidf_top_terms(ds, top_n: int = 3, id_col: str = "doc_id",
     tf_rows = ds.map_batches(term_tf, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=None)
 
-    from ray.data.aggregate import Count
+    from .joins import default_join_partitions
 
-    df_rows = tf_rows.groupby("term").aggregate(Count(alias_name="df"))
+    n_buckets = buckets if buckets is not None else default_join_partitions()
 
-    tf_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
-                           ("tf", pa.int64())])
-    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
-    joined = bucketed_hash_join(tf_rows, df_rows, on="term", buckets=buckets,
-                                schemas=(tf_schema, df_schema))
+    def add_bucket(b: pa.Table) -> pa.Table:
+        kh = hash_utf8_array(b["term"])
+        bucket = (kh.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("_bucket", pa.array(bucket))
+
+    tagged = tf_rows.map_batches(add_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # all rows of a term share its bucket -> in-group df is exact
+        dfc = g.group_by("term", use_threads=False).aggregate([([], "count_all")])
+        dfc = pa.table({"term": dfc["term"], "df": dfc["count_all"].cast(pa.int64())})
+        out = g.select([id_col, "term", "tf"]).join(dfc, keys="term")
+        return out.select([id_col, "term", "tf", "df"])
+
+    joined = tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
     def score(b: pa.Table) -> pa.Table:
         tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
