@@ -79,51 +79,49 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
-def exact_dedup_keep_first(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup_keep_first(ds, id_col: str = "doc_id", text_col: str = "text",
+                           buckets: int | None = None):
     """Keep one row per distinct text (the min-id row), fully vectorized:
 
-    1. fingerprint per batch (8-byte key, no text in any shuffle key);
-    2. winner table = groupby(fingerprint) min(id) — per-batch partial
-       aggregation first, so the shuffle moves one row per distinct text
-       per block;
-    3. winners joined back (hash-partitioned bucket join) and rows kept
-       where id == winner id.
+    1. fingerprint per batch (8-byte key; the text itself is never a
+       shuffle KEY — rows hash-partition on ``fingerprint % buckets``);
+    2. ONE groupby(bucket) shuffle: inside each bucket every fingerprint's
+       rows are complete, so the winner (min id per fingerprint) is an
+       in-group lexsort + run mask and survivors are filtered in place.
 
-    No per-group python: the old groupby().map_groups(head(1)) paid ~1 ms
-    per DISTINCT TEXT.  For skew-heavy corpora (one text duplicated
-    millions of times) the aggregation path is already immune — a hot
-    fingerprint contributes one partial row per block."""
-    from ray.data.aggregate import Min
+    The previous layout (winner aggregate, then a join of the corpus back
+    against the winner table) was two corpus SCANS + a full-row join
+    shuffle — a Dataset consumed by two plans re-executes its upstream.
+    This plan scans once and shuffles once.
 
-    from .joins import bucketed_hash_join
+    No per-group python per DISTINCT TEXT (the old groupby(fingerprint)
+    .map_groups(head(1)) paid ~1 ms per group); group count is bounded by
+    ``buckets``.  Skew note: a fingerprint duplicated millions of times
+    lands in one bucket — raise ``buckets`` or pre-thin with
+    skew.dedup_keep_first_salted for adversarial corpora."""
+    from .joins import default_join_partitions
     from .text import add_fingerprint
 
-    with_fp = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
+    n_buckets = buckets if buckets is not None else default_join_partitions()
 
-    def partial(b: pa.Table) -> pa.Table:
-        g = b.select(["fingerprint", id_col]).group_by("fingerprint", use_threads=False).aggregate(
-            [(id_col, "min")]
-        )
-        return g.rename_columns(["fingerprint", "pmin"])
+    def tag(b: pa.Table) -> pa.Table:
+        b = add_fingerprint(b)
+        fp = b["fingerprint"].to_numpy(zero_copy_only=False)
+        bucket = (fp.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("_bucket", pa.array(bucket))
 
-    winners = (
-        with_fp.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("fingerprint")
-        .aggregate(Min("pmin", alias_name="_first"))
-    )
-    # schema of the left side is one cheap map over the first block; the
-    # winners side's is declared statically so .schema() never runs the
-    # whole aggregate just to list columns
-    lschema = with_fp.schema()
-    id_type = dict(zip(lschema.names, lschema.types))[id_col]
-    wschema = pa.schema([("fingerprint", pa.int64()), ("_first", id_type)])
-    joined = bucketed_hash_join(with_fp, winners, on="fingerprint", schemas=(lschema, wschema))
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=None)
 
-    def keep(b: pa.Table) -> pa.Table:
-        out = b.filter(pc.equal(b[id_col], b["_first"]))
-        return out.drop_columns(["_first"])
+    def keep_first(g: pa.Table) -> pa.Table:
+        fp = g["fingerprint"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        first = np.r_[True, fp[order][1:] != fp[order][:-1]]
+        sel = np.sort(order[first])
+        return g.take(pa.array(sel)).drop_columns(["_bucket", "fingerprint"])
 
-    return joined.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return tagged.groupby("_bucket").map_groups(keep_first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
