@@ -937,6 +937,21 @@ def q_raster_gradient(sf_dir: str):
     return rst.summarize_tiles(grad, nodata_aware=False)
 
 
+def q_raster_hillshade(sf_dir: str):
+    """Terrain hillshade oracle (GDAL az=315/alt=45 formula over the Horn
+    stencil with halo exchange): per-tile sums of the 0..255 integer
+    shading.  Safe in the hash gate: measured min distance of 255*hs to a
+    rounding boundary on this raster is 3.4e-4 — nine orders above
+    numpy-vs-DuckDB libm divergence."""
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid, layout = _raster_layout()
+    tiles = rst.tile_dataset([SyntheticRasterSource(grid)], layout)
+    hs = rst.focal_tiles(tiles, op="hillshade", radius=1)
+    return rst.summarize_tiles(hs, nodata_aware=False)
+
+
 def q_raster_pyramid(sf_dir: str):
     """A7 oracle: true tile pyramid one level up (2x2 children -> layout-
     framed parent, 2x nearest decimation); NoData-aware parent checksums
@@ -1355,6 +1370,46 @@ def q_quantile_chars(sf_dir: str):
     return grouped_quantiles(ds, "n_chars", qs=(0.25, 0.5, 0.75, 0.9), group_col="lang")
 
 
+def q_quantile_filter(sf_dir: str):
+    """Quality-cutoff filter COMPOSITION: the exact global median of n_chars
+    (grouped_quantiles, domain-bounded histogram) broadcast into a narrow
+    filter pass, rolled up per lang — the canonical "drop the short tail"
+    pretraining screen.  Both the cutoff and the surviving counts are
+    integers; DuckDB twin uses quantile_disc in a scalar subquery."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from geotrellis_contrib_ray.stages.stats import grouped_quantiles
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    med = grouped_quantiles(ds, "n_chars", qs=(0.5,)).take_all()
+    cutoff = int(med[0]["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.greater(b["n_chars"], cutoff))
+        g = kept.group_by("lang", use_threads=False).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        g = g.rename_columns(["lang", "pn", "psum"])
+        return pa.table({"lang": g["lang"], "pn": g["pn"].cast(pa.int64()),
+                         "psum": g["psum"].cast(pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("pn", alias_name="n_docs"),
+                   Sum("psum", alias_name="sum_chars"))
+    )
+
+    def attach_cutoff(b: pa.Table) -> pa.Table:
+        return b.append_column("cutoff", pa.array([cutoff] * len(b), pa.int64()))
+
+    return out.map_batches(attach_cutoff, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+
 def q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (longest 5 docs per lang, ties by doc_id): partial
     top-k per batch per group, <= k rows/group/block through the shuffle."""
@@ -1518,6 +1573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_energy": q_audio_energy,
         "media_video_frames": q_media_video_frames,
         "quantile_chars": q_quantile_chars,
+        "quantile_filter": q_quantile_filter,
+        "raster_hillshade": q_raster_hillshade,
         "top_docs_per_lang": q_top_docs_per_lang,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
@@ -1911,6 +1968,52 @@ WITH {raster_cells_cte()},
 WITH {raster_cells_cte()},
 {_tile_rollup.format(vexpr='(' + ' + '.join(_grad_terms) + ')')}"""
 
+    # hillshade: same guarded Horn numerators for BOTH axes, then the GDAL
+    # az=315/alt=45 shading; trig is safe here (see q_raster_hillshade)
+    def _horn_terms(xaxis: bool) -> str:
+        terms = []
+        for dc in (-1, 0, 1):
+            for dr in (-1, 0, 1):
+                w = dc * (2 if dr == 0 else 1) if xaxis else dr * (2 if dc == 0 else 1)
+                if w == 0:
+                    continue
+                terms.append(
+                    f"CASE WHEN col+({dc}) BETWEEN 0 AND {RASTER_COLS - 1}"
+                    f" AND row+({dr}) BETWEEN 0 AND {RASTER_ROWS - 1}"
+                    f" THEN ({w}) * (((row+({dr})) * {RASTER_COLS} + (col+({dc}))) % 32768)"
+                    f" ELSE 0 END"
+                )
+        return " + ".join(terms)
+
+    sql["raster_hillshade"] = f"""
+WITH {raster_cells_cte()},
+  grads AS (
+    SELECT row, col,
+           ({_horn_terms(True)}) / 80.0 AS gx,
+           ({_horn_terms(False)}) / 80.0 AS gy
+    FROM cells
+  ),
+  hs AS (
+    SELECT row, col,
+           round(255.0 * least(greatest(
+             sin(radians(45.0)) * cos(atan(sqrt(gx*gx + gy*gy)))
+             + cos(radians(45.0)) * sin(atan(sqrt(gx*gx + gy*gy)))
+               * cos(radians(315.0) - pi()/2.0 - atan2(gy, -gx)), 0.0), 1.0)) AS v
+    FROM grads
+  ),
+  g AS (
+    SELECT CAST(floor(col / {T}) AS BIGINT) AS tile_col,
+           CAST(floor(row / {T}) AS BIGINT) AS tile_row,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           count(*) AS n_valid
+    FROM hs GROUP BY 1, 2
+  )
+SELECT tile_col, tile_row,
+       CAST(least({T}, {RASTER_COLS} - tile_col * {T}) AS BIGINT) AS cols,
+       CAST(least({T}, {RASTER_ROWS} - tile_row * {T}) AS BIGINT) AS rows,
+       pixel_sum, n_valid
+FROM g"""
+
     sql["raster_pyramid"] = f"""
 WITH {raster_cells_cte()}
 SELECT CAST(floor(col / {2 * T}) AS BIGINT) AS tile_col,
@@ -2036,6 +2139,14 @@ FROM generate_series(0, 63) AS t(i)"""
         for q in (0.25, 0.5, 0.75, 0.9)
     )
     sql["quantile_chars"] = qparts
+
+    sql["quantile_filter"] = """
+WITH m AS (SELECT quantile_disc(n_chars, 0.5) AS cutoff FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(max(m.cutoff) AS BIGINT) AS cutoff
+FROM documents, m WHERE n_chars > m.cutoff GROUP BY lang"""
 
     sql["top_docs_per_lang"] = """
 SELECT lang, n_chars, doc_id FROM (

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "shuffle_head",
     "vocab_coverage",
     "audio_energy",
+    "quantile_filter",
+    "raster_hillshade",
 ]
 
 

@@ -410,10 +410,10 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
     integer-exact core of slope/hillshade; divide by 8*cellsize for the
     actual derivative).
     """
-    if op not in ("sum", "mean", "min", "max", "gradient_x", "gradient_y"):
+    if op not in ("sum", "mean", "min", "max", "gradient_x", "gradient_y", "hillshade"):
         raise ValueError(f"unknown focal op {op!r}")
-    if op.startswith("gradient") and radius != 1:
-        raise ValueError("gradient ops are defined on the 3x3 stencil (radius=1)")
+    if (op.startswith("gradient") or op == "hillshade") and radius != 1:
+        raise ValueError("gradient/hillshade ops are defined on the 3x3 stencil (radius=1)")
     d = int(radius)
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -487,7 +487,35 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
             place(frag, rel % 3 - 1, rel // 3 - 1)
 
         k = 2 * d + 1
-        if op.startswith("gradient"):
+        if op == "hillshade":
+            # GDAL-style hillshade (azimuth 315, altitude 45, z=1) from the
+            # same Horn stencil + halo plan as the gradient ops; output
+            # scaled to 0..255 int64.  Shares the gradient family's edge
+            # semantics (missing neighbors contribute 0 to the numerators).
+            work = np.where(valid, pad, 0.0)
+            agx = np.zeros((nb, h, w), np.float64)
+            agy = np.zeros((nb, h, w), np.float64)
+            for dr_ in (-1, 0, 1):
+                for dc_ in (-1, 0, 1):
+                    sl = work[:, d + dr_:d + dr_ + h, d + dc_:d + dc_ + w]
+                    wx = dc_ * (2 if dr_ == 0 else 1)
+                    wy = dr_ * (2 if dc_ == 0 else 1)
+                    if wx:
+                        agx += wx * sl
+                    if wy:
+                        agy += wy * sl
+            dx = (center["xmax"] - center["xmin"]) / w
+            dy = (center["ymax"] - center["ymin"]) / h
+            gx = agx / (8.0 * dx)
+            gy = agy / (8.0 * dy)
+            az, alt = np.deg2rad(315.0), np.deg2rad(45.0)
+            slope = np.arctan(np.sqrt(gx * gx + gy * gy))
+            aspect = np.arctan2(gy, -gx)
+            hs = (np.sin(alt) * np.cos(slope)
+                  + np.cos(alt) * np.sin(slope) * np.cos(az - np.pi / 2.0 - aspect))
+            res = np.rint(255.0 * np.clip(hs, 0.0, 1.0)).astype(np.int64)
+            out_ct = CellType("int64", None)
+        elif op.startswith("gradient"):
             work = np.where(valid, pad, 0.0)
             agg = np.zeros((nb, h, w), np.float64)
             for dr_ in (-1, 0, 1):

@@ -248,3 +248,37 @@ def test_focal_mean_nodata_excluded(ray_session):
     # including at the NoData cell itself (8 valid neighbors)
     assert np.allclose(px, 10.0, equal_nan=False)
     assert np.isfinite(px).all()
+
+
+def test_focal_hillshade_matches_reference(ray_session):
+    """Hillshade across tile seams equals the direct formula on the full
+    array (same zero-padded Horn numerators, GDAL az=315/alt=45)."""
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 200, size=(16, 16)).astype(np.float64)
+    g = GridExtent(Extent(0.0, 0.0, 160.0, 160.0), 10.0, 10.0, 16, 16)
+    src = InMemoryRasterSource(full[None], g)
+    layout = LayoutDefinition(g.extent, 8, 8, 2, 2)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    res = rst.focal_tiles(tiles, op="hillshade", radius=1).take_all()
+    stitched = rst.sparse_stitch(res)
+
+    padded = np.pad(full, 1)
+    agx = np.zeros((16, 16))
+    agy = np.zeros((16, 16))
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            wx = dc * (2 if dr == 0 else 1)
+            wy = dr * (2 if dc == 0 else 1)
+            sl = padded[1 + dr:17 + dr, 1 + dc:17 + dc]
+            agx += wx * sl
+            agy += wy * sl
+    gx, gy = agx / 80.0, agy / 80.0
+    az, alt = np.deg2rad(315.0), np.deg2rad(45.0)
+    slope = np.arctan(np.sqrt(gx**2 + gy**2))
+    aspect = np.arctan2(gy, -gx)
+    hs = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - np.pi / 2 - aspect)
+    exp = np.rint(255.0 * np.clip(hs, 0.0, 1.0))
+    assert np.array_equal(stitched.pixels[0].astype(np.float64), exp)
+    # sane range and real variation
+    assert stitched.pixels[0].min() >= 0 and stitched.pixels[0].max() <= 255
+    assert len(np.unique(stitched.pixels[0])) > 10
