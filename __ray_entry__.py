@@ -1510,6 +1510,43 @@ def q_audio_energy(sf_dir: str):
     return mm.audio_energy(_rd().from_arrow(t), batch_size=8)
 
 
+def q_span_table(sf_dir: str):
+    """The COMPLETE interleaved span table under the hash gate: flat docs
+    lifted to [text | media | text] spans (sources/documents.py), exploded
+    with their list ORDINAL — span order, kinds, both text halves, media
+    refs and offsets all cross the value-hash compare (the north-rule
+    span-sequence invariant as a driver-checked query, not just a pytest
+    guard)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.sources.documents import docs_to_spans
+
+    def explode(b: pa.Table) -> pa.Table:
+        spans_t = docs_to_spans(b)
+        spans = spans_t["spans"].combine_chunks()
+        n = len(spans_t)
+        offs = spans.offsets.to_numpy()
+        sizes = offs[1:] - offs[:-1]
+        parent = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        ordinal = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1].astype(np.int64), sizes)
+        num_id = pc.cast(pc.utf8_slice_codeunits(spans_t["doc_id"].combine_chunks(), 4),
+                         pa.int64()).to_numpy(zero_copy_only=False)[parent]
+        v = spans.values
+        return pa.table({
+            "doc_id": pa.array(num_id),
+            "span_idx": pa.array(ordinal),
+            "kind": v.field("kind"),
+            "span_text": v.field("text"),
+            "media_ref": v.field("media_ref"),
+            "offset": pc.cast(v.field("offset"), pa.int32()),
+        })
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
 def entry() -> Any:
     """Flagship interleaved-corpus pipeline on sf0.001."""
     from geotrellis_contrib_ray.pipelines.flagship import flagship
@@ -1594,6 +1631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mercator_cells": q_mercator_cells,
         "orders_left_join": q_orders_left_join,
         "span_media_join": q_span_media_join,
+        "span_table": q_span_table,
         "window_distinct": q_window_distinct,
     }
 
@@ -2325,6 +2363,23 @@ SELECT doc_id,
        CAST(len(text) // 2 + 1 AS INTEGER) AS "offset",
        CAST(16 + ((doc_id % 64) * 7) % 19 AS INTEGER) AS width,
        CAST(16 + (doc_id % 64) % 17 AS INTEGER) AS height
+FROM documents"""
+
+    # the full interleaved span model: 3 spans/doc with order, text halves,
+    # media refs and offsets (ASCII corpus -> byte midpoint == len//2)
+    sql["span_table"] = """
+SELECT doc_id, CAST(0 AS BIGINT) AS span_idx, 'text' AS kind,
+       substr(text, 1, len(text) // 2) AS span_text,
+       '' AS media_ref, CAST(0 AS INTEGER) AS "offset"
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), 'media', '',
+       'media://bucket' || CAST(doc_id % 7 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR),
+       CAST(len(text) // 2 + 1 AS INTEGER)
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), 'text', substr(text, len(text) // 2 + 1),
+       '', CAST(len(text) // 2 + 2 AS INTEGER)
 FROM documents"""
 
     # left-outer join: unmatched orders must survive with coalesced zeros
