@@ -222,3 +222,47 @@ def test_reproject_routes_through_overview():
     before2 = getattr(src, "overview_reads", 0)
     assert rp_base.read() is not None
     assert getattr(src, "overview_reads", 0) == before2
+
+
+def test_png_worldfile_source_roundtrip(tmp_path, ray_session):
+    """Second real on-disk format through the SPI registry: PNG + .pgw
+    world file.  Windowed reads match an in-memory source; the image
+    decodes exactly once per handle; tile_dataset consumes it unchanged."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.grid import Extent, GridBounds, GridExtent, LayoutDefinition
+    from geotrellis_contrib_ray.functions.codecs import encode_png
+    from geotrellis_contrib_ray.sources.png import PngRasterSource, write_world_file
+    from geotrellis_contrib_ray.sources.raster_source import InMemoryRasterSource
+    from geotrellis_contrib_ray.sources.registry import source_for_uri
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(32, 48, 3)).astype(np.uint8)
+    grid = GridExtent(Extent(100.0, 200.0, 100.0 + 48 * 0.5, 200.0 + 32 * 0.5),
+                      0.5, 0.5, 48, 32)
+    path = str(tmp_path / "scene.png")
+    with open(path, "wb") as f:
+        f.write(encode_png(img))
+    write_world_file(path, grid)
+
+    src = PngRasterSource(path)
+    assert src.grid == grid
+    assert src.band_count == 3
+    ref = InMemoryRasterSource(np.moveaxis(img, 2, 0).astype(np.float64), grid)
+    for gb in (GridBounds(0, 0, 47, 31), GridBounds(5, 3, 20, 17), GridBounds(40, 28, 47, 31)):
+        got = src.read_bounds(gb)
+        exp = ref.read_bounds(gb)
+        assert np.array_equal(got.pixels.astype(np.float64), exp.pixels)
+        assert got.extent == exp.extent
+    assert src.decode_count == 1  # whole-image decode happened once
+    assert src.read(Extent(0.0, 0.0, 1.0, 1.0)) is None  # no intersection
+
+    # registry resolution + distributed tile reads
+    via_registry = source_for_uri(f"png://{path}")
+    assert via_registry.grid == grid
+    layout = LayoutDefinition(grid.extent, 16, 16, 3, 2)
+    tiles = rst.tile_dataset([via_registry], layout, concurrency=2).take_all()
+    assert len(tiles) == 6
+    total = sum(np.frombuffer(t["pixels"], dtype=np.uint8).sum() for t in tiles)
+    assert total == int(img.sum())
