@@ -1485,6 +1485,38 @@ def q_media_audio_frames(sf_dir: str):
     return mm.sample_audio_frames(ds, batch_size=8).select_columns(["media_ref", "n_frames"])
 
 
+def q_media_image_checksum(sf_dir: str):
+    """Pixel-EXACT image decode oracle: formula images through the three
+    LOSSLESS codecs (PNG/BMP/PPM rotating by index) -> raw uint8 pixel sums
+    from the actor-pool extractor; the SQL twin re-sums the generator
+    formula cell by cell.  Complements media_image_decode (dims-only,
+    includes the lossy JPEG path)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.functions import codecs
+    from geotrellis_contrib_ray.stages import multimodal as mm
+
+    n = 48
+    encs = [codecs.encode_png, codecs.encode_bmp, codecs.encode_ppm]
+    refs, payloads = [], []
+    for i in range(n):
+        h = 16 + (i % 17)
+        w = 16 + ((i * 7) % 19)
+        col = np.arange(w, dtype=np.int64)[None, :]
+        row = np.arange(h, dtype=np.int64)[:, None]
+        px = ((row * w + col) % 256).astype(np.uint8)
+        img = np.repeat(px[:, :, None], 3, axis=2)
+        refs.append(f"img{i:03d}")
+        payloads.append(encs[i % 3](img))
+    t = pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    out = mm.extract_image_features(_rd().from_arrow(t), batch_size=16)
+    return out.select_columns(["media_ref", "width", "height", "pixel_sum"])
+
+
 def q_audio_energy(sf_dir: str):
     """Multimodal DSP oracle: REAL WAV encode/decode round-trip, then
     integer energy stats (sum of squares, peak) over the raw int16 PCM.
@@ -1608,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_decode": q_media_image_decode,
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
+        "media_image_checksum": q_media_image_checksum,
         "media_video_frames": q_media_video_frames,
         "quantile_chars": q_quantile_chars,
         "quantile_filter": q_quantile_filter,
@@ -2206,6 +2239,24 @@ FROM generate_series(0, 23) AS t(i)"""
 SELECT 'aud' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
        CAST(floor((1000 + 37 * i) / 256) AS INTEGER) AS n_frames
 FROM generate_series(0, 31) AS t(i)"""
+
+    sql["media_image_checksum"] = """
+WITH f AS (
+  SELECT CAST(i AS BIGINT) AS i,
+         CAST(16 + (i % 17) AS BIGINT) AS h,
+         CAST(16 + ((i * 7) % 19) AS BIGINT) AS w
+  FROM generate_series(0, 47) t(i)
+),
+nums AS (SELECT CAST(i AS BIGINT) AS k FROM generate_series(0, 40) t(i)),
+s AS (
+  SELECT f.i, f.h, f.w, 3 * ((r.k * f.w + c.k) % 256) AS v
+  FROM f JOIN nums r ON r.k < f.h JOIN nums c ON c.k < f.w
+)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_ref,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(sum(v) AS BIGINT) AS pixel_sum
+FROM s GROUP BY 1"""
 
     # audio_energy: the WAV payloads carry integer pseudo-noise samples;
     # after the real encode/decode round-trip the Ray side sums squares of

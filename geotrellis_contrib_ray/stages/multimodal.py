@@ -141,17 +141,19 @@ class ImageFeatureExtractor:
         return out / np.maximum(cnt, 1.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, widths, heights = [], [], []
+        feats, widths, heights, sums = [], [], [], []
         for payload in batch["payload"]:
             img = self.backend.decode_image(payload.as_py())
             heights.append(img.shape[0])
             widths.append(img.shape[1])
+            sums.append(int(img.astype(np.int64).sum()))  # exact raw-pixel checksum
             feats.append(self._resize(img).ravel().astype(np.float32))
         return pa.table(
             {
                 "media_ref": batch["media_ref"],
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
+                "pixel_sum": pa.array(sums, pa.int64()),
                 "features": pa.array(
                     [f.tolist() for f in feats], pa.list_(pa.float32())
                 ),

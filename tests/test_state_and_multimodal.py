@@ -167,7 +167,7 @@ def test_multimodal_image_features(ray_session):
     t = synth_media_table([f"media://b/{i}" for i in range(50)])
     out = extract_image_features(rd.from_arrow(t), backend=FakeDecodeBackend(), concurrency=2).to_pandas()
     assert len(out) == 50
-    assert set(out.columns) == {"media_ref", "width", "height", "features"}
+    assert set(out.columns) == {"media_ref", "width", "height", "pixel_sum", "features"}
     assert all(len(f) == 8 * 8 * 3 for f in out["features"])
     # deterministic across runs
     out2 = extract_image_features(rd.from_arrow(t), backend=FakeDecodeBackend(), concurrency=2).to_pandas()
