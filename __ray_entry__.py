@@ -1086,6 +1086,45 @@ def q_dedup_clusters(sf_dir: str):
     return neardup_clusters(ds, key_len=CLUSTER_KEY_LEN)
 
 
+def q_dedup_apply(sf_dir: str):
+    """The near-dup pipeline's APPLY step: connected-component clusters ->
+    keep only each cluster's representative (doc_id == cluster min-label),
+    rolled up per lang as kept/dropped counts.  The cluster table re-joins
+    the corpus through the bucketed hash join on the narrow int64 id — no
+    driver-side id set at any corpus size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from geotrellis_contrib_ray.pipelines.query_defs import CLUSTER_KEY_LEN
+    from geotrellis_contrib_ray.stages.graph import neardup_clusters
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    clusters = neardup_clusters(ds, key_len=CLUSTER_KEY_LEN)
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    joined = bucketed_hash_join(
+        docs, clusters, on="doc_id",
+        schemas=(pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+                 pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.equal(b["doc_id"], b["cluster_id"]), pa.int64())
+        t = pa.table({"lang": b["lang"], "k": keep,
+                      "d": pc.subtract(pa.scalar(1, pa.int64()), keep)})
+        g = t.group_by("lang", use_threads=False).aggregate([("k", "sum"), ("d", "sum")])
+        return g.rename_columns(["lang", "k", "d"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("k", alias_name="n_kept"), Sum("d", alias_name="n_dropped"))
+    )
+
+
 def q_semi_bloom(sf_dir: str):
     """Bloom-pushdown EXACT semi-join: lineitems of URGENT orders, rolled up
     per returnflag.  Distributed bloom build (per-batch bitmaps, tree OR),
@@ -1641,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
         "media_image_checksum": q_media_image_checksum,
+        "dedup_apply": q_dedup_apply,
         "media_video_frames": q_media_video_frames,
         "quantile_chars": q_quantile_chars,
         "quantile_filter": q_quantile_filter,
@@ -2519,6 +2559,31 @@ reach (node, label) AS (
   SELECT e.b, r.label FROM edges e JOIN reach r ON r.node = e.a
 )
 SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node"""
+
+    # the apply step over the same recursive clusters: representatives kept
+    sql["dedup_apply"] = f"""
+WITH RECURSIVE keys AS (
+  SELECT doc_id, substr(text, 1, {CLUSTER_KEY_LEN}) AS key FROM documents
+  UNION ALL
+  SELECT doc_id, substr(text, len(text) - {CLUSTER_KEY_LEN - 1}, {CLUSTER_KEY_LEN}) AS key
+  FROM documents
+),
+g AS (SELECT key, min(doc_id) AS mn FROM keys GROUP BY key),
+star AS (
+  SELECT DISTINCT k.doc_id AS a, g.mn AS b
+  FROM keys k JOIN g ON k.key = g.key WHERE k.doc_id <> g.mn
+),
+edges AS (SELECT a, b FROM star UNION SELECT b, a FROM star),
+reach (node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM edges e JOIN reach r ON r.node = e.a
+),
+final AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.lang,
+       CAST(sum(CASE WHEN f.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f.cluster_id <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d JOIN final f ON d.doc_id = f.doc_id GROUP BY 1"""
 
     # ann_cosine / minhash_pairs / quality_scores: intentionally no oracle
     # (float-summation order / regex semantics not bit-reproducible in SQL);
