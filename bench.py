@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "audio_energy",
     "quantile_filter",
     "raster_hillshade",
+    "span_table",
+    "dedup_apply",
 ]
 
 
