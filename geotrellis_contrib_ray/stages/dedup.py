@@ -597,8 +597,10 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
        counts (np.unique) BEFORE the wide shuffle.  Salting bounds the group
        count at ``group_salt`` (one group per raw token would pay ~1 ms/group
        python overhead).
-    3. n_shared: groupby(id1, id2) -> Sum(cnt); sz1/sz2 are constant per
-       pair, carried with Max.
+    3. n_shared: groupby(id1, id2, sz1, sz2) -> Sum(cnt).  sz1/sz2 are
+       pure functions of id1/id2, so widening the KEY does not change the
+       groups — and one Sum over a 4-col key measures ~2 s faster here
+       than Sum+Max+Max over a 2-col key.
     4. jaccard = n_shared / (sz1 + sz2 - n_shared) as one int64/int64 double
        division (bit-identical to the SQL oracle's CAST(... AS DOUBLE)/...).
 
@@ -614,7 +616,7 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
     pairs with jaccard >= threshold.  Reference parity: the window-overlap
     dedup semantics of vlm RasterSourceSpec (overlap detection by shared
     content) generalized to set similarity."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     def tokens(batch: pa.Table) -> pa.Table:
         dids, toks, sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
@@ -674,16 +676,14 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
     shared = (
         tok_ds.groupby("gsalt")
         .map_groups(pair_partials, batch_format="pandas")
-        .groupby(["id1", "id2"])
-        .aggregate(Sum("cnt", alias_name="n_shared"),
-                   Max("sz1", alias_name="s1"),
-                   Max("sz2", alias_name="s2"))
+        .groupby(["id1", "id2", "sz1", "sz2"])
+        .aggregate(Sum("cnt", alias_name="n_shared"))
     )
 
     def finalize(b: pa.Table) -> pa.Table:
         ns = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nu = (b["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
-              + b["s2"].to_numpy(zero_copy_only=False).astype(np.int64) - ns)
+        nu = (b["sz1"].to_numpy(zero_copy_only=False).astype(np.int64)
+              + b["sz2"].to_numpy(zero_copy_only=False).astype(np.int64) - ns)
         jac = ns / nu  # int64/int64 -> float64, same IEEE division as SQL
         keep = jac >= threshold
         return pa.table(
