@@ -176,75 +176,83 @@ def chunk_documents(ds, *, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
 
     Output: (id_col, chunk_id:int64, chunk_len:int64, chunk_text).
     """
-    import pyarrow.compute as pc
-
     def chunk_batch(b: pa.Table) -> pa.Table:
-        n = len(b)
-        ids = b[id_col]
-        out_schema = pa.schema([
-            (id_col, b.schema.field(id_col).type),
-            ("chunk_id", pa.int64()),
-            ("chunk_len", pa.int64()),
-            ("chunk_text", pa.string()),
-        ])
-        if n == 0:
-            return out_schema.empty_table()
-        arr = b[text_col].combine_chunks()
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.string())
-        # character lengths (SQL substr counts characters, not bytes)
-        char_lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
-        byte_lens = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
-        if not np.array_equal(char_lens, byte_lens):
-            # non-ASCII fallback: per-row character slicing (rare path)
-            rows_id, rows_cid, rows_txt = [], [], []
-            idvals = ids.to_pylist()
-            for i, t in enumerate(arr.to_pylist()):
-                t = t or ""
-                for j in range((len(t) - 1) // stride + 1 if t else 0):
-                    rows_id.append(idvals[i])
-                    rows_cid.append(j)
-                    rows_txt.append(t[j * stride : j * stride + size])
-            return pa.table({
-                id_col: pa.array(rows_id, out_schema.field(id_col).type),
-                "chunk_id": pa.array(rows_cid, pa.int64()),
-                "chunk_len": pa.array([len(t) for t in rows_txt], pa.int64()),
-                "chunk_text": pa.array(rows_txt, pa.string()),
-            })
-        # ASCII fast path: byte positions == char positions
-        off_buf = arr.buffers()[1]
-        width = 8 if pa.types.is_large_string(arr.type) else 4
-        offs = np.frombuffer(off_buf, np.int64 if width == 8 else np.int32,
-                             count=len(arr) + 1, offset=arr.offset * width).astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2], np.uint8)
-        n_chunks = np.where(char_lens > 0, (char_lens - 1) // stride + 1, 0)
-        total = int(n_chunks.sum())
-        if total == 0:
-            return out_schema.empty_table()
-        doc_rep = np.repeat(np.arange(n), n_chunks)
-        excl = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
-        chunk_id = np.arange(total) - np.repeat(excl, n_chunks)
-        starts = offs[:-1][doc_rep] + chunk_id * stride
-        ends = np.minimum(starts + size, offs[1:][doc_rep])
-        out_lens = ends - starts
-        new_offs = np.concatenate(([0], np.cumsum(out_lens))).astype(np.int64)
-        positions = (np.arange(int(new_offs[-1]))
-                     - np.repeat(new_offs[:-1], out_lens)
-                     + np.repeat(starts, out_lens))
-        new_data = data[positions]
-        chunk_arr = pa.Array.from_buffers(
-            pa.large_string(), total,
-            [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(new_data.tobytes())],
-        ).cast(pa.string())
-        return pa.table({
-            id_col: ids.take(pa.array(doc_rep, pa.int64())),
-            "chunk_id": pa.array(chunk_id, pa.int64()),
-            "chunk_len": pa.array(out_lens, pa.int64()),
-            "chunk_text": chunk_arr,
-        })
+        return chunk_batch_table(b, size=size, stride=stride,
+                                 id_col=id_col, text_col=text_col)
 
     return ds.map_batches(chunk_batch, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None)
+
+
+def chunk_batch_table(b: pa.Table, *, size: int, stride: int,
+                      id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Pure per-batch kernel of chunk_documents (hypothesis-testable
+    without a Ray session)."""
+    import pyarrow.compute as pc
+
+    n = len(b)
+    ids = b[id_col]
+    out_schema = pa.schema([
+        (id_col, b.schema.field(id_col).type),
+        ("chunk_id", pa.int64()),
+        ("chunk_len", pa.int64()),
+        ("chunk_text", pa.string()),
+    ])
+    if n == 0:
+        return out_schema.empty_table()
+    arr = b[text_col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], pa.string())
+    # character lengths (SQL substr counts characters, not bytes)
+    char_lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    byte_lens = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    if not np.array_equal(char_lens, byte_lens):
+        # non-ASCII fallback: per-row character slicing (rare path)
+        rows_id, rows_cid, rows_txt = [], [], []
+        idvals = ids.to_pylist()
+        for i, t in enumerate(arr.to_pylist()):
+            t = t or ""
+            for j in range((len(t) - 1) // stride + 1 if t else 0):
+                rows_id.append(idvals[i])
+                rows_cid.append(j)
+                rows_txt.append(t[j * stride : j * stride + size])
+        return pa.table({
+            id_col: pa.array(rows_id, out_schema.field(id_col).type),
+            "chunk_id": pa.array(rows_cid, pa.int64()),
+            "chunk_len": pa.array([len(t) for t in rows_txt], pa.int64()),
+            "chunk_text": pa.array(rows_txt, pa.string()),
+        })
+    # ASCII fast path: byte positions == char positions
+    off_buf = arr.buffers()[1]
+    width = 8 if pa.types.is_large_string(arr.type) else 4
+    offs = np.frombuffer(off_buf, np.int64 if width == 8 else np.int32,
+                         count=len(arr) + 1, offset=arr.offset * width).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    n_chunks = np.where(char_lens > 0, (char_lens - 1) // stride + 1, 0)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return out_schema.empty_table()
+    doc_rep = np.repeat(np.arange(n), n_chunks)
+    excl = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_id = np.arange(total) - np.repeat(excl, n_chunks)
+    starts = offs[:-1][doc_rep] + chunk_id * stride
+    ends = np.minimum(starts + size, offs[1:][doc_rep])
+    out_lens = ends - starts
+    new_offs = np.concatenate(([0], np.cumsum(out_lens))).astype(np.int64)
+    positions = (np.arange(int(new_offs[-1]))
+                 - np.repeat(new_offs[:-1], out_lens)
+                 + np.repeat(starts, out_lens))
+    new_data = data[positions]
+    chunk_arr = pa.Array.from_buffers(
+        pa.large_string(), total,
+        [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(new_data.tobytes())],
+    ).cast(pa.string())
+    return pa.table({
+        id_col: ids.take(pa.array(doc_rep, pa.int64())),
+        "chunk_id": pa.array(chunk_id, pa.int64()),
+        "chunk_len": pa.array(out_lens, pa.int64()),
+        "chunk_text": chunk_arr,
+    })
 
 
 # epoch-shuffle constants (shared with the SQL oracle); EPOCH_C decorrelates

@@ -133,6 +133,34 @@ def test_wkt_polygon_srid_roundtrip_property(ring, srid):
     assert geom.geometry_to_wkt(kind2, coords2, srid2) == wkt
 
 
+@given(
+    st.lists(st.text(max_size=40), min_size=0, max_size=12),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=100, deadline=None)
+def test_chunk_batch_table_matches_python_slicing(texts, size, stride):
+    # chunk i of a doc is text[i*stride : i*stride+size] over CHARACTERS
+    # (both the ASCII buffer-gather fast path and the non-ASCII fallback
+    # must agree with plain python slicing / SQL substr)
+    import pyarrow as pa
+    from geotrellis_contrib_ray.stages.pack import chunk_batch_table
+
+    b = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = chunk_batch_table(b, size=size, stride=stride)
+    expect = []
+    for i, t in enumerate(texts):
+        for j in range((len(t) - 1) // stride + 1 if t else 0):
+            expect.append((i, j, t[j * stride : j * stride + size]))
+    got = list(zip(out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+                   out["chunk_text"].to_pylist()))
+    assert got == expect
+    assert out["chunk_len"].to_pylist() == [len(t) for _, _, t in expect]
+
+
 @given(st.lists(_pt, min_size=1, max_size=6))
 @settings(max_examples=30, deadline=None)
 def test_wkt_multipoint_roundtrip_property(pts):
