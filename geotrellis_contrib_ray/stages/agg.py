@@ -1,0 +1,139 @@
+"""Bounded-fanout distributed group-reduce (fast groupby.aggregate swap-in).
+
+Measured in this sandbox: Ray's ``groupby(keys).aggregate(...)`` sort-based
+path costs ~10-15 s for ~500k rows / ~30k groups REGARDLESS of key layout
+(packed single int64 key with Sum+Max: 10.5 s; 4-col key with Sum: 15.2 s —
+the per-task AggregateMap/Reduce machinery dominates, not the key compare).
+The same total reduction expressed as ONE groupby over a bounded
+deterministic key-hash salt (<= ``salt`` groups) with a vectorized
+lexsort + ``np.*.reduceat`` inside each group measures ~0.26 s — 40x.
+
+Correctness: the salt is a pure function of the FULL key, so every row of a
+given key lands in exactly one salted group and the in-group reduction is
+total (not partial).  Group count is bounded by ``salt`` (default 64), so
+the ~1 ms/group python overhead of map_groups stays bounded (CLAUDE.md
+gotcha) while skew is spread by the hash.
+
+At 100 TB this is the same single all-to-all as groupby.aggregate — rows
+move once, keyed by hash(key) % salt — with ``salt`` sized ~4x the cluster
+reduce-task slots.  Callers should still pre-aggregate per batch upstream
+when the reduction collapses rows (same rule as everywhere else).
+
+Ops: sum / min / max / count / first; ``carry`` columns must be pure
+functions of the key (constant within each group; first value is taken).
+Key columns may be int/uint/float64 or utf8.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _col_hash(arr: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Vectorized uint64 hash of one key column (no python per row)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        from .text import hash_utf8_array
+
+        return hash_utf8_array(arr).view(np.uint64)
+    v = arr.to_numpy(zero_copy_only=False)
+    if v.dtype.kind == "f":
+        v = v.view(np.uint64)
+    return v.astype(np.int64, copy=False).view(np.uint64)
+
+
+def _add_salt(keys: list[str], salt: int):
+    def add(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in keys:
+            h = (h * _MIX) ^ _col_hash(b[k])
+        return b.append_column("_gsalt", pa.array(
+            (h % np.uint64(salt)).astype(np.int64)))
+
+    return add
+
+
+def _sort_codes(vals: np.ndarray) -> np.ndarray:
+    """int sort codes for one key column (strings -> factorized codes)."""
+    if vals.dtype == object or vals.dtype.kind in "US":
+        _, codes = np.unique(vals.astype(object), return_inverse=True)
+        return codes
+    return vals
+
+
+def _default_shuffle_partitions() -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus // 2)
+
+
+def salted_group_reduce(ds, keys: list[str],
+                        aggs: list[tuple[str | None, str, str]],
+                        *, salt: int = 64, carry: tuple[str, ...] = (),
+                        shuffle_partitions: int | None = None):
+    """groupby(keys) total reduction via one bounded-salt shuffle.
+
+    ``aggs``: (source_col, op, alias) with op in sum|min|max|count|first
+    (source_col is ignored for count).  ``carry``: columns constant within
+    each key group, passed through (first value).  Returns a Dataset with
+    columns keys + carry + aliases; dtypes are preserved (int sums stay
+    int64, strings stay utf8 — empty results keep utf8 via explicit types).
+
+    ``shuffle_partitions``: Ray's sort-shuffle cost scales with the BLOCK
+    count of its input (measured here: 0.82 s at 64 blocks vs 0.22 s at 8
+    for the same 500k rows), so the input is narrowly repartitioned to
+    ~cluster_CPUs/2 partitions before the wide step by default — enough
+    reduce-side parallelism for the <= ``salt`` groups, without the
+    64x64 task-matrix fixed cost.  Scales with the cluster (more nodes ->
+    more partitions); pass an explicit value for very large reductions.
+    """
+    ops = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+    def reduce_groups(g):
+        kvals = [g[k].to_numpy() for k in keys]
+        codes = [_sort_codes(v) for v in kvals]
+        order = np.lexsort(tuple(reversed(codes)))
+        sorted_codes = [c[order] for c in codes]
+        n = len(order)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in sorted_codes:
+            change[1:] |= c[1:] != c[:-1]
+        st = np.nonzero(change)[0]
+        lens = np.diff(np.r_[st, n])
+
+        def out_col(vals):
+            picked = vals[order][st]
+            if picked.dtype == object or picked.dtype.kind in "US":
+                return pa.array(picked.astype(object), pa.string())
+            return pa.array(picked)
+
+        cols: dict[str, pa.Array] = {k: out_col(v) for k, v in zip(keys, kvals)}
+        for c in carry:
+            cols[c] = out_col(g[c].to_numpy())
+        for src, op, alias in aggs:
+            if op == "count":
+                cols[alias] = pa.array(lens.astype(np.int64))
+            elif op == "first":
+                cols[alias] = out_col(g[src].to_numpy())
+            else:
+                v = g[src].to_numpy()[order]
+                cols[alias] = pa.array(ops[op].reduceat(v, st))
+        return pa.table(cols)
+
+    parts = shuffle_partitions or _default_shuffle_partitions()
+    return (
+        ds.map_batches(_add_salt(keys, salt), batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
+        .repartition(parts)
+        .groupby("_gsalt")
+        .map_groups(reduce_groups, batch_format="pandas")
+    )

@@ -15,6 +15,15 @@ import pyarrow.compute as pc
 
 _log = logging.getLogger("geotrellis_contrib_ray.dedup")
 
+
+def _shuffle_parts() -> int:
+    """Shuffle partition count for the pair-emission groupbys: Ray's sort
+    cost scales with input BLOCK count (see stages/agg.py measurements), so
+    narrow-repartition small pair streams to ~CPUs/2 before the wide step."""
+    from .agg import _default_shuffle_partitions
+
+    return _default_shuffle_partitions()
+
 # worker-process-global sketcher cache (task-pool tier; see knn_indexed)
 _WORKER_SKETCHER_CACHE: dict[tuple, object] = {}
 
@@ -250,7 +259,8 @@ def _bucket_runs(hashes: np.ndarray, order: np.ndarray):
 
 
 def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=None,
-                            group_salt: int = 64, max_bucket: int = 1000):
+                            group_salt: int = 64, max_bucket: int = 1000,
+                            distinct: bool = True):
     """Near-dup candidate pairs via LSH banding: actor-pool signature stage ->
     groupby((band, band_hash % group_salt)) -> vectorized run-based pair
     emission -> distinct.
@@ -321,18 +331,24 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=
         return pa.table({"id1": pa.array(np.concatenate(id1s).astype(np.int64)),
                          "id2": pa.array(np.concatenate(id2s).astype(np.int64))})
 
-    cand = salted.groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas")
+    cand = (salted.repartition(_shuffle_parts())
+            .groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas"))
 
-    def dedup_batch(b: pa.Table) -> pa.Table:
-        return b.group_by(["id1", "id2"], use_threads=False).aggregate([])
+    # Each (pair, band) is emitted exactly once (one band_hash per
+    # (doc, band) -> one bucket per band; buckets partition across gsalt),
+    # so a plain count per pair IS the band-match count.  The old per-block
+    # distinct pre-pass was both unnecessary and subtly wrong: a map_groups
+    # output BLOCK can span several band groups, so distinct-per-block could
+    # collapse the same pair across two bands and undercount n_bands.
+    # ``distinct=False`` skips this whole barrier for callers whose
+    # downstream already groups per pair (ngram_jaccard_pairs' verify) —
+    # they get (id1, id2) rows duplicated once per colliding band.
+    if not distinct:
+        return cand
+    from .agg import salted_group_reduce
 
-    from ray.data.aggregate import Count
-
-    return (
-        cand.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-        .groupby(["id1", "id2"])
-        .aggregate(Count(alias_name="n_bands"))
-    )
+    return salted_group_reduce(cand, ["id1", "id2"],
+                               [(None, "count", "n_bands")], salt=group_salt)
 
 
 def jaccard_verify(pairs_df, texts_by_id: dict, shingle_k: int = 5, threshold: float = 0.7):
@@ -453,18 +469,20 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4,
                          "id2": pa.array(np.maximum(lo, hi)),
                          "hamming": pa.array(np.concatenate(hds).astype(np.int64))})
 
-    cand = banded.groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas")
+    cand = (banded.repartition(_shuffle_parts())
+            .groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas"))
 
+    # distinct across bands, keeping the min hamming per pair (min-of-min is
+    # safe under any block layout, unlike the count in minhash)
     def dedup_batch(b: pa.Table) -> pa.Table:
         return b.group_by(["id1", "id2"], use_threads=False).aggregate([("hamming", "min")]).rename_columns(["id1", "id2", "hamming"])
 
-    from ray.data.aggregate import Min
+    from .agg import salted_group_reduce
 
-    return (
-        cand.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(["id1", "id2"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-    )
+    pre = cand.map_batches(dedup_batch, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return salted_group_reduce(pre, ["id1", "id2"],
+                               [("hamming", "min", "hamming")], salt=group_salt)
 
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
@@ -485,7 +503,11 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     stages.  Output: id1 < id2, jaccard >= threshold (exact, float64)."""
     from .joins import bucketed_hash_join
 
-    cand = minhash_candidate_pairs(ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    # distinct=False: the per-pair verify below already groups by pair, so
+    # the candidate-distinct barrier (a full extra all-to-all) is skipped;
+    # pairs arrive duplicated once per colliding band (small constant)
+    cand = minhash_candidate_pairs(ds, num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k, distinct=False)
 
     # explode each candidate pair into two (doc_id, id1, id2, slot) probe rows
     def explode(b: pa.Table) -> pa.Table:
@@ -510,7 +532,11 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     text_schema = pa.schema([("doc_id", i64), ("text", pa.string())])
     # static schemas: .schema() on the probes side would re-execute the
     # whole LSH candidate pipeline once more just for the column list
-    attached = bucketed_hash_join(probes, texts, on="doc_id", schemas=(probe_schema, text_schema))
+    # buckets ~ CPUs (not the 8x default): this is a small verify join and
+    # sort-shuffle fixed cost scales with partition count (stages/agg.py)
+    attached = bucketed_hash_join(probes, texts, on="doc_id",
+                                  schemas=(probe_schema, text_schema),
+                                  buckets=2 * _shuffle_parts())
 
     # final verify: pairs grouped by a SALT of the pair key (bounded group
     # count — one map_groups call per pair would pay per-group overhead for
@@ -525,32 +551,60 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     salted = attached.map_batches(add_pair_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def jac_group(g):
-        import pandas as pd
-
-        def shingles(t):
-            return {t[j : j + shingle_k] for j in range(max(0, len(t) - shingle_k + 1))}
-
-        out_id1, out_id2, out_j = [], [], []
-        for (i1, i2), sub in g.groupby(["id1", "id2"], sort=True):
-            t0 = sub[sub["slot"] == 0]["text"]
-            t1 = sub[sub["slot"] == 1]["text"]
-            if len(t0) == 0 or len(t1) == 0:
-                continue
-            sa, sc = shingles(t0.iloc[0]), shingles(t1.iloc[0])
-            j = len(sa & sc) / max(1, len(sa | sc))
-            if j >= threshold:
-                out_id1.append(np.int64(i1))
-                out_id2.append(np.int64(i2))
-                out_j.append(np.float64(j))
-        return pd.DataFrame(
-            {
-                "id1": pd.Series(out_id1, dtype=np.int64),
-                "id2": pd.Series(out_id2, dtype=np.int64),
-                "jaccard": pd.Series(out_j, dtype=np.float64),
-            }
-        )
+        i1, i2, ns, nu = _pairwise_hash_jaccard(g, shingle_k)
+        jac = ns / np.maximum(nu, 1)
+        keep = jac >= threshold
+        return pa.table({"id1": pa.array(i1[keep]), "id2": pa.array(i2[keep]),
+                         "jaccard": pa.array(jac[keep])})
 
     return salted.groupby("psalt").map_groups(jac_group, batch_format="pandas")
+
+
+def _pairwise_hash_jaccard(g, shingle_k: int, text_col: str = "text"):
+    """Exact per-pair Jaccard counts for one attached pair-probe group.
+
+    Input rows: (id1, id2, slot, text) — slot 0 carries id1's text, slot 1
+    id2's.  One vectorized shingle-hash pass per DISTINCT doc in the group
+    (docs appear in many pairs; the old per-pair python set-of-substrings
+    re-shingled each text once per pair), then each pair is a sorted-int64
+    ``np.intersect1d``.  Counts are exact modulo 64-bit hash collisions —
+    the same guarantee (and the same tokenizer) as jaccard_similarity_join,
+    so the SQL oracle parity carries over.
+
+    Returns (id1, id2, n_shared, n_union) int64 arrays over pairs where
+    both texts arrived and the union is non-empty."""
+    z = np.zeros(0, np.int64)
+    if len(g) == 0:
+        return z, z, z, z
+    slot = np.asarray(g["slot"])
+    id1 = np.asarray(g["id1"]).astype(np.int64)
+    id2 = np.asarray(g["id2"]).astype(np.int64)
+    did = np.where(slot == 0, id1, id2)
+    texts = np.asarray(g[text_col], dtype=object)
+    uids, first_idx = np.unique(did, return_index=True)
+    hs = _shingle_hashes(pa.array(texts[first_idx], pa.string()), shingle_k)
+    toks = {int(u): np.unique(h) for u, h in zip(uids, hs)}
+    order = np.lexsort((id2, id1))
+    s1, s2, ss = id1[order], id2[order], slot[order]
+    first = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+    starts = np.nonzero(first)[0]
+    ends = np.r_[starts[1:], len(s1)]
+    out1, out2, ns_l, nu_l = [], [], [], []
+    for st, en in zip(starts, ends):
+        sl = ss[st:en]
+        if not ((sl == 0).any() and (sl == 1).any()):
+            continue
+        a, b = toks[int(s1[st])], toks[int(s2[st])]
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        uni = a.size + b.size - inter
+        if uni == 0:
+            continue
+        out1.append(s1[st])
+        out2.append(s2[st])
+        ns_l.append(inter)
+        nu_l.append(uni)
+    return (np.array(out1, np.int64), np.array(out2, np.int64),
+            np.array(ns_l, np.int64), np.array(nu_l, np.int64))
 
 
 def _distinct_doc_tokens(batch: pa.Table, shingle_k: int, id_col: str, text_col: str):
@@ -597,10 +651,11 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
        counts (np.unique) BEFORE the wide shuffle.  Salting bounds the group
        count at ``group_salt`` (one group per raw token would pay ~1 ms/group
        python overhead).
-    3. n_shared: groupby(id1, id2, sz1, sz2) -> Sum(cnt).  sz1/sz2 are
-       pure functions of id1/id2, so widening the KEY does not change the
-       groups — and one Sum over a 4-col key measures ~2 s faster here
-       than Sum+Max+Max over a 2-col key.
+    3. n_shared: salted_group_reduce(id1, id2) -> total sum of cnt, with
+       sz1/sz2 carried (pure functions of the key).  Ray's native
+       groupby.aggregate measured ~9 s on this stage's ~470k rows / ~31k
+       groups; the bounded-salt lexsort+reduceat plan measures ~0.3 s
+       (see stages/agg.py for the measurements).
     4. jaccard = n_shared / (sz1 + sz2 - n_shared) as one int64/int64 double
        division (bit-identical to the SQL oracle's CAST(... AS DOUBLE)/...).
 
@@ -616,7 +671,7 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
     pairs with jaccard >= threshold.  Reference parity: the window-overlap
     dedup semantics of vlm RasterSourceSpec (overlap detection by shared
     content) generalized to set similarity."""
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
     def tokens(batch: pa.Table) -> pa.Table:
         dids, toks, sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
@@ -673,11 +728,11 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
                          "sz1": pa.array(q1[o][st].astype(np.int64)),
                          "sz2": pa.array(q2[o][st].astype(np.int64))})
 
-    shared = (
-        tok_ds.groupby("gsalt")
-        .map_groups(pair_partials, batch_format="pandas")
-        .groupby(["id1", "id2", "sz1", "sz2"])
-        .aggregate(Sum("cnt", alias_name="n_shared"))
+    pairs = (tok_ds.repartition(_shuffle_parts())
+             .groupby("gsalt").map_groups(pair_partials, batch_format="pandas"))
+    shared = salted_group_reduce(
+        pairs, ["id1", "id2"], [("cnt", "sum", "n_shared")],
+        salt=group_salt, carry=("sz1", "sz2"),
     )
 
     def finalize(b: pa.Table) -> pa.Table:
@@ -736,7 +791,6 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     real-text corpora the candidate set collapses instead — that regime is
     what this operator exists for."""
     import ray
-    from ray.data.aggregate import Sum
 
     from .joins import bucketed_hash_join
 
@@ -746,10 +800,12 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
         u, c = np.unique(toks, return_counts=True)
         return pa.table({"tok": pa.array(u), "pdf": pa.array(c.astype(np.int64))})
 
-    df_ds = (
-        ds.map_batches(tok_partials, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("tok")
-        .aggregate(Sum("pdf", alias_name="df"))
+    from .agg import salted_group_reduce
+
+    df_ds = salted_group_reduce(
+        ds.map_batches(tok_partials, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["tok"], [("pdf", "sum", "df")], salt=256,
     )
     df_tbl = pa.concat_tables(df_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
     toks_sorted = df_tbl["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -813,13 +869,10 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
         first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
         return pa.table({"id1": pa.array(a[first]), "id2": pa.array(b[first])})
 
-    from ray.data.aggregate import Count
-
-    cand = (
-        pref.groupby("gsalt")
-        .map_groups(cand_pairs, batch_format="pandas")
-        .groupby(["id1", "id2"])
-        .aggregate(Count(alias_name="_nb"))  # global distinct
+    cand = salted_group_reduce(
+        pref.repartition(_shuffle_parts())
+        .groupby("gsalt").map_groups(cand_pairs, batch_format="pandas"),
+        ["id1", "id2"], [(None, "count", "_nb")],  # global distinct
     )
 
     # --- stage 5: exact verify via text re-attach ----------------------------
@@ -848,6 +901,8 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
             pa.schema([("doc_id", i64), ("id1", i64), ("id2", i64), ("slot", pa.int8())]),
             pa.schema([("doc_id", i64), (text_col, pa.string())]),
         ),
+        # small verify join: buckets ~ CPUs, not the 8x large-join default
+        buckets=2 * _shuffle_parts(),
     )
 
     def add_pair_salt(b: pa.Table) -> pa.Table:
@@ -859,33 +914,16 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     salted = attached.map_batches(add_pair_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def verify(g):
-        out1, out2, shr, uni, jac = [], [], [], [], []
-        for (i1, i2), sub in g.groupby(["id1", "id2"], sort=True):
-            t0 = sub[sub["slot"] == 0][text_col]
-            t1 = sub[sub["slot"] == 1][text_col]
-            if len(t0) == 0 or len(t1) == 0:
-                continue
-            a, b = t0.iloc[0], t1.iloc[0]
-            sa = {a[j : j + shingle_k] for j in range(max(0, len(a) - shingle_k + 1))}
-            sb = {b[j : j + shingle_k] for j in range(max(0, len(b) - shingle_k + 1))}
-            ns = len(sa & sb)
-            nu = len(sa | sb)
-            if nu == 0:
-                continue
-            j = ns / nu
-            if j >= threshold:
-                out1.append(np.int64(i1))
-                out2.append(np.int64(i2))
-                shr.append(np.int64(ns))
-                uni.append(np.int64(nu))
-                jac.append(np.float64(j))
+        i1, i2, ns, nu = _pairwise_hash_jaccard(g, shingle_k, text_col)
+        jac = ns / nu  # int64/int64 -> float64, same IEEE division as SQL
+        keep = jac >= threshold
         return pa.table(
             {
-                "id1": pa.array(np.array(out1, np.int64)),
-                "id2": pa.array(np.array(out2, np.int64)),
-                "n_shared": pa.array(np.array(shr, np.int64)),
-                "n_union": pa.array(np.array(uni, np.int64)),
-                "jaccard": pa.array(np.array(jac, np.float64)),
+                "id1": pa.array(i1[keep]),
+                "id2": pa.array(i2[keep]),
+                "n_shared": pa.array(ns[keep]),
+                "n_union": pa.array(nu[keep]),
+                "jaccard": pa.array(jac[keep]),
             }
         )
 
@@ -984,19 +1022,20 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
                          "id2": pa.array(ids[jj][keep].astype(np.int64)),
                          "cosine": pa.array(sims[ii, jj][keep])})
 
-    cand = bucketed.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
+    cand = (bucketed.repartition(_shuffle_parts())
+            .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas"))
 
     # distinct across bands: a true pair can collide in several bands
-    from ray.data.aggregate import Max
-
+    # (max-of-max per pair; same cosine value wherever the pair collides)
     def pre(b: pa.Table) -> pa.Table:
         g = b.group_by(["id1", "id2"], use_threads=False).aggregate([("cosine", "max")])
         return g.rename_columns(["id1", "id2", "cosine"])
 
-    return (
-        cand.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(["id1", "id2"])
-        .aggregate(Max("cosine", alias_name="cosine"))
+    from .agg import salted_group_reduce
+
+    return salted_group_reduce(
+        cand.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        ["id1", "id2"], [("cosine", "max", "cosine")],
     )
 
 
