@@ -431,19 +431,19 @@ def bloom_semi_join(left, right_keys, on: str, *, bits_log2: int = 23,
     survivors = left.map_batches(prefilter, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
 
-    # distinct right keys (per-batch collapse, then one narrow groupby)
-    from ray.data.aggregate import Count
-
+    # distinct right keys (per-batch collapse, then one bounded-salt
+    # reduce — Ray's native aggregate pays ~1 ms/group at this group count,
+    # see stages/agg.py)
     def batch_distinct(b: pa.Table) -> pa.Table:
         return b.group_by(on, use_threads=False).aggregate([])
 
-    distinct = (
+    from .agg import salted_group_reduce
+
+    distinct = salted_group_reduce(
         keys_only.map_batches(batch_distinct, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None)
-        .groupby(on)
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-    )
+                              zero_copy_batch=True, batch_size=None),
+        [on], [(None, "count", "_c")],
+    ).drop_columns(["_c"])
     if schemas is not None:
         lschema = schemas[0]
     else:
