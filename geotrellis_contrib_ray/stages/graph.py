@@ -174,7 +174,6 @@ def connected_components(edges, nodes, id_col: str = "node",
     labels = nodes.map_batches(init_labels, batch_format="pyarrow",
                                zero_copy_batch=True, batch_size=None).materialize()
     label_schema = pa.schema([("node", i64), ("label", i64)])
-    from ray.data.aggregate import Min
     from .joins import default_join_partitions
 
     # Bound the label table's block count: groupby/sort stages emit one
@@ -191,10 +190,13 @@ def connected_components(edges, nodes, id_col: str = "node",
         )
 
         def as_msgs(b: pa.Table) -> pa.Table:
+            # _old sentinel (int64 max) instead of null: the min-reduce
+            # below is a vectorized reduceat (no null skipping needed) and
+            # every node contributes exactly one real _old via withold
             return pa.table({
                 "node": b["nbr"].combine_chunks(),
                 "label": b["label"].combine_chunks(),
-                "_old": pa.nulls(len(b), i64),
+                "_old": pa.array(np.full(len(b), np.iinfo(np.int64).max, np.int64)),
             })
 
         msgs = joined.map_batches(as_msgs, batch_format="pyarrow",
@@ -205,11 +207,15 @@ def connected_components(edges, nodes, id_col: str = "node",
 
         withold = labels.map_batches(carry_old, batch_format="pyarrow",
                                      zero_copy_batch=True, batch_size=None)
-        agg = (
-            withold.union(msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"),
-                       Min("_old", alias_name="_old"))
+        # min-label per node: one group per NODE, so Ray's native aggregate
+        # pays its per-group cost over the whole node table every round —
+        # the bounded-salt reduceat plan does the same total min in one
+        # bounded shuffle (stages/agg.py measurements)
+        from .agg import salted_group_reduce
+
+        agg = salted_group_reduce(
+            withold.union(msgs), ["node"],
+            [("label", "min", "label"), ("_old", "min", "_old")],
         )
 
         if pointer_jump:

@@ -323,8 +323,6 @@ def vocab_coverage(ds, top_v: int = 32, id_col: str = "doc_id",
     Output: (id_col, n_tokens:int64, n_hits:int64)."""
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Sum
-
     def token_tf(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern(b[text_col], " ")
         flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
@@ -332,11 +330,14 @@ def vocab_coverage(ds, top_v: int = 32, id_col: str = "doc_id",
         g = t.group_by("tok", use_threads=False).aggregate([([], "count_all")])
         return pa.table({"tok": g["tok"], "c": g["count_all"].cast(pa.int64())})
 
-    counts = (
+    from .agg import salted_group_reduce
+
+    # one group per distinct token: bounded-salt reduce instead of the
+    # per-group-cost native aggregate (stages/agg.py measurements)
+    counts = salted_group_reduce(
         ds.map_batches(token_tf, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None)
-        .groupby("tok")
-        .aggregate(Sum("c", alias_name="n"))
+                       batch_size=None),
+        ["tok"], [("c", "sum", "n")], salt=256,
     )
     top = counts.sort(["n", "tok"], descending=[True, False]).limit(top_v).take_all()
     vocab = pa.array([r["tok"] for r in top], pa.string())

@@ -141,13 +141,17 @@ def window_distinct_users(ds, window_sec: int = 3600):
         })
         return t.group_by(["window_start", "user_id"], use_threads=False).aggregate([])
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    dedup = (
+    from .agg import salted_group_reduce
+
+    # global distinct (window, user): one group per pair, so Ray's native
+    # aggregate pays per-group cost over every distinct pair — the
+    # bounded-salt reduce does the same distinct in one bounded shuffle
+    dedup = salted_group_reduce(
         ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None)
-        .groupby(["window_start", "user_id"])
-        .aggregate(Count(alias_name="_c"))
+                       batch_size=None),
+        ["window_start", "user_id"], [(None, "count", "_c")],
     )
 
     def fold(b: pa.Table) -> pa.Table:
