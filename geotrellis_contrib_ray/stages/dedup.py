@@ -47,37 +47,49 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Exact duplicate groups: hash-partition on a 64-bit content FINGERPRINT
     (not the text itself) — the shuffle key is 8 bytes/group at any corpus
     size.  Per-batch partial aggregation collapses in-batch duplicates before
-    the shuffle; one exemplar text per group rides along for the output and
-    a min/max pair detects (and refuses) fingerprint collisions.
+    the shuffle; one exemplar text per group rides along for the output.
+
+    Collision check: a SECOND independent 64-bit hash family (different FNV
+    seed) rides the shuffle as int min/max per group — unequal means two
+    distinct texts collided in the primary fingerprint (refused with an
+    error).  Combined miss probability ~2^-128 per text pair (both families
+    colliding at once), vs the old string min/max pair which shuffled two
+    extra TEXT columns and forced Ray's per-group native aggregate (~1 group
+    per distinct text; the bounded-salt reduceat plan is ~40x cheaper, see
+    stages/agg.py).
 
     Output: text, first_doc (min id), n_copies.
     SQL twin: SELECT text, min(doc_id) first_doc, count(*) n_copies GROUP BY text.
     """
-    from .text import add_fingerprint
+    from .agg import salted_group_reduce
+    from .text import add_fingerprint, hash_utf8_array
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = add_fingerprint(batch)
+        h2 = hash_utf8_array(batch[text_col], seed=0x9E3779B97F4A7C15)
+        batch = batch.append_column("_h2", pa.array(h2, pa.int64()))
         g = (
-            batch.select(["fingerprint", text_col, id_col])
+            batch.select(["fingerprint", text_col, id_col, "_h2"])
             .group_by("fingerprint", use_threads=False)
             .aggregate(
-                [(id_col, "min"), (id_col, "count"), (text_col, "min"), (text_col, "max")]
+                [(id_col, "min"), (id_col, "count"), (text_col, "min"),
+                 ("_h2", "min"), ("_h2", "max")]
             )
         )
-        return g.rename_columns(["fingerprint", "pmin", "pcnt", "ptmin", "ptmax"])
-
-    from ray.data.aggregate import Max, Min, Sum
+        return g.rename_columns(
+            ["fingerprint", "pmin", "pcnt", "ptext", "ph2min", "ph2max"])
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-    agg = part.groupby("fingerprint").aggregate(
-        Min("pmin", alias_name="first_doc"),
-        Sum("pcnt", alias_name="n_copies"),
-        Min("ptmin", alias_name=text_col),
-        Max("ptmax", alias_name="_tmax"),
+    agg = salted_group_reduce(
+        part, ["fingerprint"],
+        [("pmin", "min", "first_doc"), ("pcnt", "sum", "n_copies"),
+         ("ptext", "first", text_col),
+         ("ph2min", "min", "_h2min"), ("ph2max", "max", "_h2max")],
+        salt=256,
     )
 
     def finalize(b: pa.Table) -> pa.Table:
-        neq = pc.not_equal(b[text_col], b["_tmax"])
+        neq = pc.not_equal(b["_h2min"], b["_h2max"])
         if len(b) and pc.any(neq).as_py():
             raise ValueError(
                 "fingerprint collision: two distinct texts share a 64-bit "

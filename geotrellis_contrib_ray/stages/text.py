@@ -103,10 +103,12 @@ def add_lang_guess(batch: pa.Table) -> pa.Table:
     )
 
 
-def hash_utf8_array(texts) -> np.ndarray:
+def hash_utf8_array(texts, seed: int = 0) -> np.ndarray:
     """Vectorized FNV-1a over each string of a utf8 array -> int64 hashes
     (uint64 bit-viewed: raw uint64 > 2^63 breaks Ray's arrow<->python
-    shuffle round-trips).  Offset-aware (sliced arrays hash correctly)."""
+    shuffle round-trips).  Offset-aware (sliced arrays hash correctly).
+    ``seed`` xors the init basis — a second independent 64-bit family for
+    collision cross-checks (see dedup.exact_dedup_groups)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     texts = texts.cast(pa.string())
@@ -117,7 +119,7 @@ def hash_utf8_array(texts) -> np.ndarray:
     offs = np.frombuffer(off_buf, dtype=np.int32)[texts.offset : texts.offset + n + 1].astype(np.int64)
     data_buf = texts.buffers()[2]
     data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.zeros(0, np.uint8)
-    return _segment_hash(data, offs).view(np.int64)
+    return _segment_hash(data, offs, seed=seed).view(np.int64)
 
 
 def add_fingerprint(batch: pa.Table) -> pa.Table:
@@ -131,13 +133,13 @@ def add_fingerprint(batch: pa.Table) -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.int64()))
 
 
-def _segment_hash(data: np.ndarray, offs: np.ndarray) -> np.ndarray:
+def _segment_hash(data: np.ndarray, offs: np.ndarray, seed: int = 0) -> np.ndarray:
     """FNV-1a per segment, vectorized across rows: process column-of-bytes
     position-by-position over the max length but masked to each row's span.
     Rows are short texts; cost is O(max_len * n) numpy ops."""
     n = len(offs) - 1
     lens = offs[1:] - offs[:-1]
-    out = np.full(n, np.uint64(0xCBF29CE484222325))
+    out = np.full(n, np.uint64(0xCBF29CE484222325) ^ np.uint64(seed))
     prime = np.uint64(0x100000001B3)
     max_len = int(lens.max()) if n else 0
     # chunk positions to bound memory: 64 positions at a time

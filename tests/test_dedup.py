@@ -237,3 +237,32 @@ def test_contamination_check_planted(ray_session):
     assert got[0][1] == got[0][2] > 0        # full copy: all grams hit
     assert got[2][2] == 0                    # clean doc: zero hits
     assert len(out) == 3                     # 'tiny' has no 8-gram row
+
+
+def test_exact_dedup_refuses_fingerprint_collision(ray_session, monkeypatch):
+    # force every text into ONE primary-fingerprint group; the second
+    # independent hash family must detect the distinct texts and refuse
+    import pyarrow as pa
+    import ray
+
+    import geotrellis_contrib_ray.stages.dedup as dedup_mod
+
+    def fake_fingerprint(batch):
+        return batch.append_column(
+            "fingerprint", pa.array([7] * len(batch), pa.int64()))
+
+    monkeypatch.setattr(dedup_mod, "add_fingerprint", fake_fingerprint,
+                        raising=False)
+    # the function imports add_fingerprint from .text inside its body
+    import geotrellis_contrib_ray.stages.text as text_mod
+    monkeypatch.setattr(text_mod, "add_fingerprint", fake_fingerprint)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha", "omega"], pa.string()),
+    }))
+    try:
+        dedup_mod.exact_dedup_groups(ds).take_all()
+        raise AssertionError("expected fingerprint-collision ValueError")
+    except Exception as e:  # Ray wraps the worker ValueError
+        assert "fingerprint collision" in str(e)
