@@ -1293,7 +1293,10 @@ def q_kmeans_embed(sf_dir: str):
         .take_all()
     )
     seeds = np.stack([np.asarray(r["embedding"], np.float64) for r in seed_t])
-    ds = _rd().read_parquet(path, columns=cols)
+    # one scan total: the embedding table is object-store-resident across
+    # the Lloyd's rounds AND the final assign (kmeans_fit would otherwise
+    # cache its own copy and assign would re-scan the parquet)
+    ds = _rd().read_parquet(path, columns=cols).materialize()
     cents = kmeans_fit(ds, seeds, n_iter=KMEANS_ITERS)
     return kmeans_assign(ds, cents)
 

@@ -31,17 +31,25 @@ def _assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def kmeans_fit(ds, init: np.ndarray, n_iter: int = 2,
-               vec_col: str = "embedding") -> np.ndarray:
+               vec_col: str = "embedding", cache: bool = True) -> np.ndarray:
     """Lloyd's iterations over a Dataset; returns the (k, d) centroids.
 
     ``init``: explicit deterministic seeds (k, d) — at query level the first
     k vectors by id; callers wanting k-means++ can sample a block and seed
-    driver-side (the fit itself never materializes the corpus).
+    driver-side (the fit itself never pulls the corpus to the driver).
+
+    ``cache=True`` materializes the input into the object store once so the
+    n_iter passes re-read blocks instead of re-running the source scan each
+    round (Ray spills to disk if the table exceeds store memory — still
+    cheaper than n_iter remote re-reads).  Pass False to re-scan lazily when
+    even spill space is tight.
     """
     import ray
 
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
+    if cache:
+        ds = ds.materialize()
     cents = np.ascontiguousarray(init, dtype=np.float64)
     k, dim = cents.shape
     for _ in range(n_iter):
@@ -62,11 +70,13 @@ def kmeans_fit(ds, init: np.ndarray, n_iter: int = 2,
                 "n": pa.array(np.repeat(counts, dim)),
             })
 
-        agg = (
+        # k*d groups per iteration: bounded-salt reduce (stages/agg.py) —
+        # float sums accumulate in a different order than any other engine,
+        # which the oracle already tolerates (Voronoi-boundary caveat)
+        agg = salted_group_reduce(
             ds.map_batches(partials, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None)
-            .groupby(["cid", "dim"])
-            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+                           zero_copy_batch=True, batch_size=None),
+            ["cid", "dim"], [("s", "sum", "s"), ("n", "sum", "n")],
         )
         new = cents.copy()  # emptied clusters keep their previous centroid
         for row in agg.take_all():  # exactly k*d tiny rows
