@@ -383,12 +383,13 @@ def rasterize_count(ds, grid: GridExtent, value_col: str | None = None):
         return g.rename_columns(names)
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
-    aggs = [Sum("pcnt", alias_name="n_points")]
+    aggs = [("pcnt", "sum", "n_points")]
     if value_col is not None:
-        aggs.append(Sum("psum", alias_name=f"sum_{value_col}"))
-    return part.groupby(["col", "row"]).aggregate(*aggs)
+        aggs.append(("psum", "sum", f"sum_{value_col}"))
+    # one group per grid cell — bounded-salt reduce (stages/agg.py)
+    return salted_group_reduce(part, ["col", "row"], aggs)
 
 
 def pyramid_aggregate(tile_ds, levels: int, count_col: str = "n_points"):
@@ -398,7 +399,7 @@ def pyramid_aggregate(tile_ds, levels: int, count_col: str = "n_points"):
     Each iteration's input shrinks ~4x; per-batch partial aggregation keeps
     every shuffle small."""
     ds = tile_ds
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
     for _ in range(levels):
         def to_parent(batch: pa.Table) -> pa.Table:
@@ -410,10 +411,9 @@ def pyramid_aggregate(tile_ds, levels: int, count_col: str = "n_points"):
             g = t.group_by(["col", "row"], use_threads=False).aggregate([(count_col, "sum")])
             return g.rename_columns(["col", "row", count_col])
 
-        ds = (
-            ds.map_batches(to_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-            .groupby(["col", "row"])
-            .aggregate(Sum(count_col, alias_name=count_col))
+        ds = salted_group_reduce(
+            ds.map_batches(to_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,),
+            ["col", "row"], [(count_col, "sum", count_col)],
         )
     return ds
 
@@ -431,12 +431,11 @@ def pyramid_rollup(tile_ds, levels: int, count_col: str = "n_points"):
         g = t.group_by(["col", "row"], use_threads=False).aggregate([(count_col, "sum")])
         return g.rename_columns(["col", "row", count_col])
 
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
-    return (
-        tile_ds.map_batches(to_ancestor, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-        .groupby(["col", "row"])
-        .aggregate(Sum(count_col, alias_name=count_col))
+    return salted_group_reduce(
+        tile_ds.map_batches(to_ancestor, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,),
+        ["col", "row"], [(count_col, "sum", count_col)],
     )
 
 
