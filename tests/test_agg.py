@@ -1,0 +1,85 @@
+"""Parity tests for stages/agg.py salted_group_reduce vs pandas groupby."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geotrellis_contrib_ray.stages.agg import salted_group_reduce
+
+
+def _run(ds_table, keys, aggs, **kw):
+    import ray
+
+    ds = ray.data.from_arrow(ds_table).map_batches(
+        lambda b: b, batch_format="pyarrow", zero_copy_batch=True)
+    return salted_group_reduce(ds, keys, aggs, **kw).to_pandas()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_salted_reduce_matches_pandas_int_keys(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = 5000
+    t = pa.table({
+        "k1": rng.integers(-50, 50, n),
+        "k2": rng.integers(0, 7, n),
+        "v": rng.integers(-1000, 1000, n),
+        "f": rng.normal(size=n),
+    })
+    got = _run(t, ["k1", "k2"],
+               [("v", "sum", "vs"), ("v", "min", "vmin"), ("v", "max", "vmax"),
+                (None, "count", "cnt"), ("f", "max", "fmax")],
+               salt=16)
+    got = got.sort_values(["k1", "k2"]).reset_index(drop=True)
+    df = t.to_pandas()
+    exp = (df.groupby(["k1", "k2"], as_index=False)
+           .agg(vs=("v", "sum"), vmin=("v", "min"), vmax=("v", "max"),
+                cnt=("v", "size"), fmax=("f", "max"))
+           .sort_values(["k1", "k2"]).reset_index(drop=True))
+    assert got["k1"].tolist() == exp["k1"].tolist()
+    assert got["k2"].tolist() == exp["k2"].tolist()
+    assert got["vs"].tolist() == exp["vs"].tolist()
+    assert got["vmin"].tolist() == exp["vmin"].tolist()
+    assert got["vmax"].tolist() == exp["vmax"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    assert np.allclose(got["fmax"], exp["fmax"])
+    # dtypes preserved: int sums stay int64
+    assert got["vs"].dtype == np.int64 and got["cnt"].dtype == np.int64
+
+
+def test_salted_reduce_string_keys_and_carry(ray_session):
+    rng = np.random.default_rng(3)
+    n = 2000
+    langs = np.array(["en", "de", "fr", "es", "und"])[rng.integers(0, 5, n)]
+    src = (rng.integers(0, 10, n) * 7 + 3).astype(np.int64)  # carry = f(key)?
+    # make carry a pure function of the key
+    key_id = rng.integers(0, 20, n)
+    carry = key_id * 11 + 1
+    t = pa.table({
+        "lang": pa.array(langs.astype(object), pa.string()),
+        "kid": pa.array(key_id),
+        "car": pa.array(carry),
+        "v": pa.array(src),
+    })
+    got = _run(t, ["lang", "kid"], [("v", "sum", "vs")], carry=("car",), salt=8)
+    got = got.sort_values(["lang", "kid"]).reset_index(drop=True)
+    df = t.to_pandas()
+    exp = (df.groupby(["lang", "kid"], as_index=False)
+           .agg(car=("car", "first"), vs=("v", "sum"))
+           .sort_values(["lang", "kid"]).reset_index(drop=True))
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    assert got["kid"].tolist() == exp["kid"].tolist()
+    assert got["car"].tolist() == exp["car"].tolist()
+    assert got["vs"].tolist() == exp["vs"].tolist()
+    # string key column stays utf8
+    assert got["lang"].dtype == object
+
+
+def test_salted_reduce_single_group_and_negative_values(ray_session):
+    t = pa.table({"k": pa.array([5] * 100, pa.int64()),
+                  "v": pa.array(list(range(-50, 50)), pa.int64())})
+    got = _run(t, ["k"], [("v", "min", "mn"), ("v", "max", "mx"),
+                          (None, "count", "c")])
+    assert got["mn"].tolist() == [-50]
+    assert got["mx"].tolist() == [49]
+    assert got["c"].tolist() == [100]
