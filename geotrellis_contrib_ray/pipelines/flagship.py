@@ -101,12 +101,13 @@ def flagship_over(docs_ds: "rd.Dataset") -> "rd.Dataset":
         )
         return g.rename_columns(["zone_name", "parent_cell", "pcnt"])
 
-    from ray.data.aggregate import Sum
+    from ..stages.agg import salted_group_reduce
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-        .groupby(["zone_name", "parent_cell"])
-        .aggregate(Sum("pcnt", alias_name="n_spans"))
+    # the pipeline's ONE wide op: pre-aggregated per batch above, total
+    # reduce as the bounded-salt plan (int64 sums; stages/agg.py)
+    return salted_group_reduce(
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,),
+        ["zone_name", "parent_cell"], [("pcnt", "sum", "n_spans")],
     )
 
 
