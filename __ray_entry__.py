@@ -194,12 +194,13 @@ def q_lang_profile(sf_dir: str):
         )
         return g.rename_columns(["lang", "ptok", "pchars", "pcnt"])
 
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-    return part.groupby("lang").aggregate(
-        Sum("ptok", alias_name="sum_tokens"),
-        Sum("pchars", alias_name="sum_chars"),
-        Sum("pcnt", alias_name="n_docs"),
-    )
+    return driver_group_rollup(part, ["lang"],
+                               [("ptok", "sum", "sum_tokens"),
+                                ("pchars", "sum", "sum_chars"),
+                                ("pcnt", "sum", "n_docs")])
 
 
 def q_event_windows(sf_dir: str):
@@ -292,12 +293,13 @@ def q_lineitem_pricing(sf_dir: str):
         )
         return g.rename_columns(["l_returnflag", "l_linestatus", "pq", "pp", "pc"])
 
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-    return part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("pq", alias_name="sum_qty_cents"),
-        Sum("pp", alias_name="sum_price_cents"),
-        Sum("pc", alias_name="n_rows"),
-    )
+    return driver_group_rollup(part, ["l_returnflag", "l_linestatus"],
+                               [("pq", "sum", "sum_qty_cents"),
+                                ("pp", "sum", "sum_price_cents"),
+                                ("pc", "sum", "n_rows")])
 
 
 def q_orders_by_segment(sf_dir: str):
@@ -347,9 +349,11 @@ def q_orders_by_segment(sf_dir: str):
         batch_size=None,
         concurrency=default_pool_size(),
     )
-    return part.groupby("c_mktsegment").aggregate(
-        Sum("ps", alias_name="sum_total_cents"), Sum("pc", alias_name="n_orders")
-    )
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
+    return driver_group_rollup(part, ["c_mktsegment"],
+                               [("ps", "sum", "sum_total_cents"),
+                                ("pc", "sum", "n_orders")])
 
 
 def q_knn_indexed(sf_dir: str):
@@ -512,10 +516,10 @@ def q_distinct_lang_source(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         return b.group_by(["lang", "source"], use_threads=False).aggregate([])
 
-    from ray.data.aggregate import Count
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    out = part.groupby(["lang", "source"]).aggregate(Count(alias_name="_n"))
+    out = driver_group_rollup(part, ["lang", "source"], [(None, "count", "_n")])
     return out.drop_columns(["_n"])
 
 
@@ -567,10 +571,13 @@ def q_order_lineitem_join(sf_dir: str):
         )
         return g.rename_columns(["o_orderpriority", "ps", "pc"])
 
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
     part = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return part.groupby("o_orderpriority").aggregate(
-        Sum("ps", alias_name="sum_price_cents"), Sum("pc", alias_name="n_items")
-    )
+    # bounded group count (priorities): driver-combine, no second all-to-all
+    return driver_group_rollup(part, ["o_orderpriority"],
+                               [("ps", "sum", "sum_price_cents"),
+                                ("pc", "sum", "n_items")])
 
 
 def q_ann_cosine(sf_dir: str):
@@ -1028,10 +1035,12 @@ def q_train_split(sf_dir: str):
         )
         return g.rename_columns(["split", "pchars", "pcnt"])
 
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
     part = tagged.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return part.groupby("split").aggregate(
-        Sum("pchars", alias_name="sum_chars"), Sum("pcnt", alias_name="n_docs")
-    )
+    return driver_group_rollup(part, ["split"],
+                               [("pchars", "sum", "sum_chars"),
+                                ("pcnt", "sum", "n_docs")])
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1117,11 +1126,13 @@ def q_dedup_apply(sf_dir: str):
         g = t.group_by("lang", use_threads=False).aggregate([("k", "sum"), ("d", "sum")])
         return g.rename_columns(["lang", "k", "d"])
 
-    return (
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
+    return driver_group_rollup(
         joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                           batch_size=None)
-        .groupby("lang")
-        .aggregate(Sum("k", alias_name="n_kept"), Sum("d", alias_name="n_dropped"))
+                           batch_size=None),
+        ["lang"],
+        [("k", "sum", "n_kept"), ("d", "sum", "n_dropped")],
     )
 
 
@@ -1163,16 +1174,16 @@ def q_semi_bloom(sf_dir: str):
             [("qc", "sum"), ("qc", "count")])
         return g.rename_columns(["l_returnflag", "s", "n"])
 
-    from ray.data.aggregate import Sum
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
 
-    agg = (
+    # final rollup has a bounded group count (returnflags): driver-combine
+    # of the per-block partials, no second all-to-all after the join
+    return driver_group_rollup(
         semi.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                         batch_size=None)
-        .groupby("l_returnflag")
-        .aggregate(Sum("s", alias_name="sum_qty_cents"),
-                   Sum("n", alias_name="n_items"))
+                         batch_size=None),
+        ["l_returnflag"],
+        [("s", "sum", "sum_qty_cents"), ("n", "sum", "n_items")],
     )
-    return agg
 
 
 def q_tfidf_terms(sf_dir: str):
@@ -1229,13 +1240,14 @@ def q_orders_left_join(sf_dir: str):
             [("m", "count"), ("m", "sum"), ("c", "sum")])
         return g.rename_columns(["o_orderpriority", "n", "m", "c"])
 
-    return (
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
+    return driver_group_rollup(
         joined.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True,
-                           batch_size=None)
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n", alias_name="n_orders"),
-                   Sum("m", alias_name="n_matched"),
-                   Sum("c", alias_name="sum_price_cents"))
+                           batch_size=None),
+        ["o_orderpriority"],
+        [("n", "sum", "n_orders"), ("m", "sum", "n_matched"),
+         ("c", "sum", "sum_price_cents")],
     )
 
 
@@ -1437,19 +1449,15 @@ def q_quantile_filter(sf_dir: str):
         return pa.table({"lang": g["lang"], "pn": g["pn"].cast(pa.int64()),
                          "psum": g["psum"].cast(pa.int64())})
 
-    out = (
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
+    out = driver_group_rollup(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None)
-        .groupby("lang")
-        .aggregate(Sum("pn", alias_name="n_docs"),
-                   Sum("psum", alias_name="sum_chars"))
+                       batch_size=None),
+        ["lang"],
+        [("pn", "sum", "n_docs"), ("psum", "sum", "sum_chars")],
     )
-
-    def attach_cutoff(b: pa.Table) -> pa.Table:
-        return b.append_column("cutoff", pa.array([cutoff] * len(b), pa.int64()))
-
-    return out.map_batches(attach_cutoff, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None)
+    return out.append_column("cutoff", pa.array([cutoff] * out.num_rows, pa.int64()))
 
 
 def q_top_docs_per_lang(sf_dir: str):

@@ -366,7 +366,9 @@ def _mix64(x: np.ndarray, salt: int) -> np.ndarray:
 
 def bloom_semi_join(left, right_keys, on: str, *, bits_log2: int = 23,
                     n_hashes: int = 3, buckets: int | None = None,
-                    schemas: tuple | None = None, reduce_parts: int = 8):
+                    schemas: tuple | None = None, reduce_parts: int = 8,
+                    verify: str = "auto",
+                    broadcast_max_keys: int = 4_000_000):
     """EXACT semi-join tier for a big probe side and a big-ish key side:
     left rows whose ``on`` value appears in ``right_keys[on]``.
 
@@ -384,12 +386,23 @@ def bloom_semi_join(left, right_keys, on: str, *, bits_log2: int = 23,
        movement is survivors + right keys.
 
     ``on`` must be an integer key column (hash string keys to int64 first,
-    e.g. ``text.hash_utf8_array``)."""
+    e.g. ``text.hash_utf8_array``).
+
+    ``verify``: how false positives are eliminated after the prefilter —
+    ``"join"`` (bucketed hash join of survivors vs distinct keys, the
+    arbitrarily-large-key-side tier), ``"broadcast"`` (exact distinct key
+    set shipped once via ``ray.put``, survivors verified by a narrow
+    vectorized ``isin`` — NO second all-to-all), or ``"auto"`` (broadcast
+    when the distinct key count is <= ``broadcast_max_keys``, else join;
+    the distinct reduce is materialized either way, so the count check is
+    free)."""
     import ray
 
     mask = np.uint64((1 << bits_log2) - 1)
     nbytes = 1 << (bits_log2 - 3)
-    keys_only = right_keys.select_columns([on])
+    # one scan of the key side feeds BOTH the bloom build and the distinct
+    # verify set (materialized blocks are read back zero-copy)
+    keys_only = right_keys.select_columns([on]).materialize()
 
     def bitmap_batch(b: pa.Table) -> pa.Table:
         k = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -443,13 +456,35 @@ def bloom_semi_join(left, right_keys, on: str, *, bits_log2: int = 23,
         keys_only.map_batches(batch_distinct, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None),
         [on], [(None, "count", "_c")],
-    ).drop_columns(["_c"])
+    ).drop_columns(["_c"]).materialize()
     if schemas is not None:
         lschema = schemas[0]
     else:
         s = left.schema()
         lschema = pa.schema(list(zip(s.names, s.types)))
     key_type = dict(zip(lschema.names, lschema.types))[on]
+
+    n_distinct = distinct.count()
+    if verify == "broadcast" or (verify == "auto" and n_distinct <= broadcast_max_keys):
+        # exact verify with NO second all-to-all: the distinct key set rides
+        # one ray.put; survivors (already ~matches only, thanks to the
+        # bloom) die or pass in a narrow vectorized membership test
+        key_blocks = ray.get(distinct.to_arrow_refs())
+        key_arr = np.sort(np.concatenate(
+            [b[on].to_numpy(zero_copy_only=False) for b in key_blocks]
+            or [np.array([], np.int64)]).astype(np.int64))
+        keys_ref = ray.put(key_arr)
+
+        def exact_verify(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            v = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ks) == 0:
+                return b.filter(pa.array(np.zeros(len(v), bool)))
+            idx = np.clip(np.searchsorted(ks, v), 0, len(ks) - 1)
+            return b.filter(pa.array(ks[idx] == v))
+
+        return survivors.map_batches(exact_verify, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
     return bucketed_hash_join(
         survivors, distinct, on=on, buckets=buckets,
         schemas=(lschema, pa.schema([(on, key_type)])),
