@@ -50,12 +50,22 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
-    def merge(g):
-        scols = [order_col, tie_col]
-        asc = [ascending, True]
-        return g.sort_values(scols, ascending=asc, kind="mergesort").head(k)
+    # total merge via ONE bounded-salt shuffle: groups land whole inside a
+    # salted group (salt = hash(group) % 64), where the same vectorized
+    # rank-within-group kernel is total — no per-group pandas map_groups
+    # (~1 ms/group at corpus-scale group counts, CLAUDE.md)
+    from .agg import _add_salt, _default_shuffle_partitions
 
-    return part.groupby(group_col).map_groups(merge, batch_format="pandas")
+    def merge_block(t: pa.Table) -> pa.Table:
+        return partial(t.drop_columns(["_gsalt"]))
+
+    return (
+        part.map_batches(_add_salt([group_col], 64), batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+        .repartition(_default_shuffle_partitions())
+        .groupby("_gsalt")
+        .map_groups(merge_block, batch_format="pyarrow")
+    )
 
 
 def grouped_quantiles(ds, value_col: str, qs: tuple[float, ...],

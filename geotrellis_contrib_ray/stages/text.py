@@ -243,7 +243,12 @@ def tfidf_top_terms(ds, top_n: int = 3, id_col: str = "doc_id",
         out = g.select([id_col, "term", "tf"]).join(dfc, keys="term")
         return out.select([id_col, "term", "tf", "df"])
 
-    joined = tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    from .agg import _default_shuffle_partitions
+
+    # sort-shuffle fixed cost scales with input BLOCK count (CLAUDE.md):
+    # narrow-repartition before the wide step
+    joined = (tagged.repartition(_default_shuffle_partitions())
+              .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow"))
 
     def score(b: pa.Table) -> pa.Table:
         tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
