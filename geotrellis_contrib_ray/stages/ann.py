@@ -117,10 +117,11 @@ def ann_topk(ds, queries: np.ndarray, k: int, id_col: str = "vec_id", batch_size
             score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
         )
 
-    def finalize(g):
-        return g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+    # total merge: vectorized bounded-salt top-k (no per-query pandas groups)
+    from .stats import top_k_per_group
 
-    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    return top_k_per_group(partial, group_col="query_id", order_col="cosine",
+                           k=k, tie_col="vec_id", ascending=False)
 
 
 def ann_topk_ranks(ds, queries: np.ndarray, k: int, query_ids, id_col: str = "vec_id",
@@ -145,14 +146,30 @@ def ann_topk_ranks(ds, queries: np.ndarray, k: int, query_ids, id_col: str = "ve
         concurrency=concurrency if concurrency is not None else default_pool_size(),
     )
 
-    def finalize(g):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["query_id"] = qid[g["query_id"].to_numpy()]
-        return g[["query_id", "vec_id", "rnk"]]
+    from .stats import top_k_per_group
 
-    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    top = top_k_per_group(partial, group_col="query_id", order_col="cosine",
+                          k=k, tie_col="vec_id", ascending=False)
+
+    def rank(b: pa.Table) -> pa.Table:
+        # groups arrive WHOLE per block (the salted merge emits one table per
+        # salted group); re-derive the in-group rank order vectorized
+        q = b["query_id"].to_numpy(zero_copy_only=False)
+        c = b["cosine"].to_numpy(zero_copy_only=False)
+        v = b["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -c, q))
+        qs, n = q[order], len(q)
+        start = np.maximum.accumulate(
+            np.where(np.r_[True, qs[1:] != qs[:-1]], np.arange(n), 0))
+        rnk = np.arange(n) - start + 1
+        return pa.table({
+            "query_id": pa.array(qid[qs]),
+            "vec_id": pa.array(v[order]),
+            "rnk": pa.array(rnk.astype(np.int64)),
+        })
+
+    return top.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
 
 
 class HyperplaneLSH:

@@ -231,11 +231,11 @@ def knn(ds, queries, k: int, id_col: str = "doc_id", batch_size=131072):
         batch_size=batch_size,
     )
 
-    def finalize(g):
-        g = g.sort_values(["dist", "doc_id"], kind="mergesort").head(k)
-        return g
+    # total merge: vectorized bounded-salt top-k (no per-query pandas groups)
+    from .stats import top_k_per_group
 
-    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    return top_k_per_group(partial, group_col="query_id", order_col="dist",
+                           k=k, tie_col="doc_id", ascending=True)
 
 
 # ---------------------------------------------------------------------------

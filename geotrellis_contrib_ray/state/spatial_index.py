@@ -164,6 +164,101 @@ class GridPointIndex:
         sel = cand[order]
         return self.ids[sel], d[order]
 
+    def nearest_k_bulk(self, qx: np.ndarray, qy: np.ndarray, k: int):
+        """Vectorized ``nearest_k`` over a whole query set — ONE numpy pass
+        per radius round instead of a python ring loop per query.
+
+        Per round, every still-active query gathers ALL points in its
+        (2r+1)^2 cell window (CSR bucket layout: offsets + repeat-gather),
+        takes its (dist, id)-ordered top-k, and retires once the kth-best
+        distance is strictly below the distance to the nearest UN-searched
+        cell boundary (same exactness rule as nearest_k).  Survivors retry
+        with a doubled radius; the radius starts at the density-implied
+        window that should hold ~3k candidates.
+
+        Returns (query_pos, ids, dists) flat arrays in (query, rank) order;
+        exact — matches nearest_k row-for-row (tested)."""
+        qx = np.asarray(qx, np.float64)
+        qy = np.asarray(qy, np.float64)
+        nq = len(qx)
+        if nq == 0 or len(self.ids) == 0:
+            return (np.zeros(0, np.int64),) * 2 + (np.zeros(0, np.float64),)
+        cbx = np.clip(((qx - self.xmin) / self.dx).astype(np.int64), 0, self.nx - 1)
+        cby = np.clip(((qy - self.ymin) / self.dy).astype(np.int64), 0, self.ny - 1)
+        # density-implied starting radius: window expected to hold ~3k points
+        per_cell = max(len(self.ids) / (self.nx * self.ny), 1e-9)
+        r = int(np.ceil((np.sqrt(3.0 * k / per_cell) - 1.0) / 2.0))
+        r = max(0, min(r, max(self.nx, self.ny)))
+        max_r = max(self.nx, self.ny)
+
+        active = np.arange(nq)
+        out_q = [np.zeros(0, np.int64)]
+        out_i = [np.zeros(0, np.int64)]
+        out_d = [np.zeros(0, np.float64)]
+        while len(active):
+            a_cbx, a_cby = cbx[active], cby[active]
+            off = np.arange(-r, r + 1)
+            cx = a_cbx[:, None, None] + off[None, :, None]   # (A, W, 1)
+            cy = a_cby[:, None, None] + off[None, None, :]   # (A, 1, W)
+            cx, cy = np.broadcast_arrays(cx, cy)
+            valid = (cx >= 0) & (cx < self.nx) & (cy >= 0) & (cy < self.ny)
+            qslot = np.broadcast_to(
+                np.arange(len(active))[:, None, None], cx.shape)[valid]
+            cell = (cy[valid] * self.nx + cx[valid])
+            starts = self.offsets[cell]
+            cnt = self.offsets[cell + 1] - starts
+            total = int(cnt.sum())
+            if total:
+                base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                gather = np.arange(total) - base + np.repeat(starts, cnt)
+                pts = self.sorted_idx[gather]
+                qrep = np.repeat(qslot, cnt)
+                d = np.sqrt((self.xs[pts] - qx[active][qrep]) ** 2
+                            + (self.ys[pts] - qy[active][qrep]) ** 2)
+                order = np.lexsort((self.ids[pts], d, qrep))
+                qs, ds_, ps = qrep[order], d[order], pts[order]
+                n = len(qs)
+                startpos = np.maximum.accumulate(
+                    np.where(np.r_[True, qs[1:] != qs[:-1]], np.arange(n), 0))
+                rank = np.arange(n) - startpos
+                keep = rank < k
+                # per-active-query candidate count and kth-best distance
+                have = np.bincount(qs, minlength=len(active))
+                kth = np.full(len(active), np.inf)
+                lastkeep = keep & ((rank == k - 1) | (np.r_[qs[1:] != qs[:-1], True]))
+                kth[qs[lastkeep]] = ds_[lastkeep]
+                kth[have < k] = np.inf
+            else:
+                have = np.zeros(len(active), np.int64)
+                kth = np.full(len(active), np.inf)
+                keep = np.zeros(0, bool)
+                qs = np.zeros(0, np.int64)
+                ds_ = np.zeros(0, np.float64)
+                ps = np.zeros(0, np.int64)
+            # margin to nearest un-searched cell boundary (clipped sides open)
+            margin = np.full(len(active), np.inf)
+            m = a_cbx - r > 0
+            margin[m] = np.minimum(margin[m], qx[active][m] - (self.xmin + (a_cbx[m] - r) * self.dx))
+            m = a_cbx + r < self.nx - 1
+            margin[m] = np.minimum(margin[m], (self.xmin + (a_cbx[m] + r + 1) * self.dx) - qx[active][m])
+            m = a_cby - r > 0
+            margin[m] = np.minimum(margin[m], qy[active][m] - (self.ymin + (a_cby[m] - r) * self.dy))
+            m = a_cby + r < self.ny - 1
+            margin[m] = np.minimum(margin[m], (self.ymin + (a_cby[m] + r + 1) * self.dy) - qy[active][m])
+            done = (kth < margin) | np.isinf(margin) | (r >= max_r)
+            if total:
+                emit = keep & done[qs]
+                out_q.append(active[qs[emit]])
+                out_i.append(self.ids[ps[emit]])
+                out_d.append(ds_[emit])
+            active = active[~done]
+            r = r * 2 + 1
+        oq = np.concatenate(out_q)
+        oi = np.concatenate(out_i)
+        od = np.concatenate(out_d)
+        order = np.lexsort((oi, od, oq))
+        return oq[order], oi[order], od[order]
+
 
 class PolygonIndexActor:
     """map_batches actor: builds GridPolygonIndex once per actor from a
@@ -314,6 +409,9 @@ def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=None,
         )
     else:
         qlist = [(int(q[0]), float(q[1]), float(q[2])) for q in queries]
+        qids = np.array([q[0] for q in qlist], np.int64)
+        qxs = np.array([q[1] for q in qlist], np.float64)
+        qys = np.array([q[2] for q in qlist], np.float64)
 
         def probe(batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -328,6 +426,15 @@ def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=None,
             xs = batch["lon"].to_numpy(zero_copy_only=False)
             ys = batch["lat"].to_numpy(zero_copy_only=False)
             idx = _cached_grid_index(ids, xs, ys, index=index)
+            if hasattr(idx, "nearest_k_bulk"):
+                # vectorized whole-query-set probe (one numpy pass per
+                # radius round, no per-query python ring loop)
+                qpos, nid, nd = idx.nearest_k_bulk(qxs, qys, k)
+                return pa.table({
+                    "query_id": pa.array(qids[qpos]),
+                    "doc_id": pa.array(nid),
+                    "dist": pa.array(nd),
+                })
             out_q, out_id, out_d = [], [], []
             for qid, qx, qy in qlist:
                 nid, nd = idx.nearest_k(qx, qy, k)
@@ -346,10 +453,11 @@ def knn_indexed(ds, queries, k: int, id_col: str = "doc_id", concurrency=None,
             probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
 
-    def finalize(g):
-        return g.sort_values(["dist", "doc_id"], kind="mergesort").head(k)
+    # total merge: vectorized bounded-salt top-k (no per-query pandas groups)
+    from ..stages.stats import top_k_per_group
 
-    return partial.groupby("query_id").map_groups(finalize, batch_format="pandas")
+    return top_k_per_group(partial, group_col="query_id", order_col="dist",
+                           k=k, tie_col="doc_id", ascending=True)
 
 
 # worker-global polygon-index cache for the task-pool tier (see knn_indexed)

@@ -189,3 +189,40 @@ def test_spatial_sort_hilbert_locality(ray_session):
         )
     full = np.hypot(5.0, 3.0)
     assert np.median(diags) < full / 4
+
+
+def test_grid_point_index_bulk_matches_per_query():
+    """nearest_k_bulk must be row-for-row identical to per-query nearest_k
+    (same exact expanding-window termination and (dist, id) tie-break),
+    including clustered + uniform mixes, queries outside the data extent,
+    and k > n."""
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(0, 100, (15, 2))
+    pts = np.vstack([
+        centers[rng.integers(0, 15, 4000)] + rng.normal(0, 1.5, (4000, 2)),
+        rng.uniform(-10, 110, (1000, 2)),
+    ])
+    ids = rng.permutation(len(pts)).astype(np.int64)
+    idx = GridPointIndex(ids, pts[:, 0], pts[:, 1])
+    qx = rng.uniform(-20, 120, 300)
+    qy = rng.uniform(-20, 120, 300)
+    for k in (1, 5, 17):
+        qpos, bids, bd = idx.nearest_k_bulk(qx, qy, k)
+        for qi in range(len(qx)):
+            sel = qpos == qi
+            eids, ed = idx.nearest_k(qx[qi], qy[qi], k)
+            assert bids[sel].tolist() == eids.tolist(), (k, qi)
+            assert np.allclose(bd[sel], ed)
+
+
+def test_grid_point_index_bulk_ties_and_k_exceeds_n():
+    xs = np.array([1.0, -1.0, 0.0, 0.0, 3.0])
+    ys = np.array([0.0, 0.0, 1.0, -1.0, 3.0])
+    ids = np.array([40, 30, 20, 10, 5])
+    idx = GridPointIndex(ids, xs, ys)
+    qpos, bids, bd = idx.nearest_k_bulk(np.array([0.0]), np.array([0.0]), 3)
+    assert bids.tolist() == [10, 20, 30]
+    assert np.allclose(bd, [1.0, 1.0, 1.0])
+    qpos, bids, bd = idx.nearest_k_bulk(np.array([1.0]), np.array([0.0]), 10)
+    assert qpos.tolist() == [0] * 5
+    assert bids.tolist() == [40, 10, 20, 30, 5]
