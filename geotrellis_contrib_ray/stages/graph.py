@@ -55,6 +55,10 @@ def star_edges(keyed, id_col: str = "doc_id", hash_col: str = "key_hash",
 
     salted = keyed.map_batches(add_salt, batch_format="pyarrow",
                                zero_copy_batch=True, batch_size=None)
+    from .agg import _default_shuffle_partitions
+
+    # sort-shuffle fixed cost scales with input block count — coalesce narrow
+    salted = salted.repartition(_default_shuffle_partitions())
 
     def emit(g):
         ids = g[id_col].to_numpy()

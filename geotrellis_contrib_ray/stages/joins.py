@@ -52,7 +52,8 @@ def default_join_partitions(factor: int = 8, floor: int = 16, cap: int = 512) ->
 
 def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how: str = "inner",
                        schemas: tuple | None = None,
-                       right_pre_agg: dict[str, str] | None = None):
+                       right_pre_agg: dict[str, str] | None = None,
+                       narrow_repartition: int | bool | None = None):
     """Tier-3 portable partitioned hash join.
 
     Shuffle payload is both sides' projected rows exactly once; each bucket
@@ -73,7 +74,15 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
     partial-aggregate rows (possibly several per key); they are combined
     per key inside each bucket group BEFORE the merge.  This fuses the
     "groupby(key).aggregate -> join" pattern into the join's single
-    shuffle — one all-to-all instead of two."""
+    shuffle — one all-to-all instead of two.
+
+    ``narrow_repartition``: the sort-shuffle's fixed cost scales with the
+    BLOCK count of its input (measured here: the same sf0.1 join runs
+    3.7 s from the readers' ~128 tagged blocks vs 1.8 s coalesced to 16),
+    so the tagged union is narrowly repartitioned to ~cluster_CPUs/2
+    blocks by default — same policy as agg.salted_group_reduce, and
+    cluster-proportional (more nodes -> more CPUs -> more blocks).  Pass
+    an int to override or ``False`` to keep the upstream block layout."""
     if buckets is None:
         buckets = default_join_partitions()
 
@@ -129,6 +138,12 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
     tagged = left.map_batches(tag(0, ronly), batch_format="pyarrow", batch_size=None).union(
         right.map_batches(tag(1, lonly), batch_format="pyarrow", batch_size=None)
     )
+    if narrow_repartition is None:
+        from .agg import _default_shuffle_partitions
+
+        narrow_repartition = _default_shuffle_partitions()
+    if narrow_repartition:
+        tagged = tagged.repartition(int(narrow_repartition))
 
     out_schema = pa.schema([(c, type_of[c]) for c in all_cols])
     # accept SQL-ish names; Arrow's acero wants the "... outer" spellings
@@ -189,6 +204,9 @@ def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int =
     tagged = left.map_batches(tag(0), batch_format="pyarrow", batch_size=None).union(
         right.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
     )
+    from .agg import _default_shuffle_partitions
+
+    tagged = tagged.repartition(_default_shuffle_partitions())
 
     def per_bucket(g):
         import pandas as pd
@@ -329,6 +347,9 @@ def interval_join_bucketed(points, intervals, *, on: str, id_col: str = "interva
             batch_size=None,
         )
     )
+    from .agg import _default_shuffle_partitions
+
+    tagged = tagged.repartition(_default_shuffle_partitions())
 
     def per_bucket(g: pa.Table) -> pa.Table:
         side = g["_side"].to_numpy(zero_copy_only=False)

@@ -532,6 +532,10 @@ def box_join(left, right, *, cell: float, id_col: str = "id",
             replicate(1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
     )
+    from .agg import _default_shuffle_partitions
+
+    # sort-shuffle fixed cost scales with input block count — coalesce narrow
+    tagged = tagged.repartition(_default_shuffle_partitions())
 
     def per_cell(g: pa.Table) -> pa.Table:
         side = g["_side"].to_numpy(zero_copy_only=False)
