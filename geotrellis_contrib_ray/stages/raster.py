@@ -67,6 +67,42 @@ def tile_pixels(row: dict) -> np.ndarray:
     )
 
 
+# worker-process-global source-list cache for the task tier of tile_dataset
+# (same reuse semantics as joins._WORKER_INTERVAL_CACHE: Ray's prestarted
+# workers persist module state, so headers/handles are constructed once per
+# WORKER, not once per task — ST1 without per-query actor-pool spin-up).
+_WORKER_SOURCE_CACHE: dict = {}
+
+
+def _cached_sources(sources_ref):
+    import ray
+
+    key = sources_ref.hex()
+    srcs = _WORKER_SOURCE_CACHE.get(key)
+    if srcs is None:
+        srcs = ray.get(sources_ref)
+        _WORKER_SOURCE_CACHE.clear()  # one live source list per worker
+        _WORKER_SOURCE_CACHE[key] = srcs
+    return srcs
+
+
+def _read_windows(sources, layout, bands, batch: pa.Table) -> pa.Table:
+    out = []
+    for sid, c, r in zip(
+        batch["src_id"].to_numpy(zero_copy_only=False),
+        batch["tile_col"].to_numpy(zero_copy_only=False),
+        batch["tile_row"].to_numpy(zero_copy_only=False),
+    ):
+        source = sources[sid]
+        raster = source.read(layout.key_extent(int(c), int(r)), bands)
+        if raster is None:
+            continue
+        out.append(tile_row(int(sid), (int(c), int(r)), raster, source.cell_type))
+    if not out:
+        return TILE_SCHEMA.empty_table()
+    return pa.Table.from_pylist(out, schema=TILE_SCHEMA)
+
+
 class WindowReader:
     """Actor-pool stage (ST1): batch of (src_id, tile_col, tile_row) window
     requests -> tile rows.  Sources are constructed once per actor from the
@@ -81,26 +117,24 @@ class WindowReader:
         self.bands = bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        src_ids = batch["src_id"].to_numpy(zero_copy_only=False)
-        cols = batch["tile_col"].to_numpy(zero_copy_only=False)
-        rows_ = batch["tile_row"].to_numpy(zero_copy_only=False)
-        out = []
-        for sid, c, r in zip(src_ids, cols, rows_):
-            source = self.sources[sid]
-            raster = source.read(self.layout.key_extent(int(c), int(r)), self.bands)
-            if raster is None:
-                continue
-            out.append(tile_row(int(sid), (int(c), int(r)), raster, source.cell_type))
-        if not out:
-            return TILE_SCHEMA.empty_table()
-        return pa.Table.from_pylist(out, schema=TILE_SCHEMA)
+        return _read_windows(self.sources, self.layout, self.bands, batch)
 
 
 def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concurrency=None,
-                 bands=None, key_filter=None):
+                 bands=None, key_filter=None, compute: str = "tasks"):
     """RasterSourceRDD.read analog (CHANGELOG.md:71,85): enumerate layout keys
     intersecting each source (row-major, J4), fan the (src, key) request table
-    through a WindowReader actor pool -> tile-row Dataset."""
+    through a window-reader stage -> tile-row Dataset.
+
+    ``compute="tasks"`` (default) reads windows in plain Ray tasks with the
+    source list cached once per WORKER process (module-global, keyed on the
+    broadcast ref) — ST1 handle reuse without actor-pool spin-up, which
+    costs ~1.3 s of fixed wall per query on this host (measured: 36-tile
+    layer 1.8-2.0 s actor pool vs 0.5-0.8 s tasks).  ``compute="actors"``
+    keeps the dedicated WindowReader pool — the right tier when source
+    construction is so expensive that per-worker duplication hurts (every
+    worker caches its own copy under tasks; an actor pool bounds the number
+    of live handle sets to the pool size)."""
     import ray
     import ray.data as rd
 
@@ -142,13 +176,21 @@ def tile_dataset(sources: list[RasterSource], layout: LayoutDefinition, *, concu
         .map_batches(expand, batch_format="pyarrow", batch_size=max(1, len(sources) // (concurrency * 2)) if sources else 1)
         .repartition(concurrency * 4)
     )
+    if compute == "actors":
+        return reqs.map_batches(
+            WindowReader,
+            fn_constructor_kwargs={"sources_ref": sources_ref, "layout": layout, "bands": bands},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+            concurrency=concurrency,
+        )
+
+    def read_windows(batch: pa.Table) -> pa.Table:
+        return _read_windows(_cached_sources(sources_ref), layout, bands, batch)
+
     return reqs.map_batches(
-        WindowReader,
-        fn_constructor_kwargs={"sources_ref": sources_ref, "layout": layout, "bands": bands},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-        concurrency=concurrency,
+        read_windows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -217,7 +259,11 @@ def mosaic_merge(tiles_ds, layout: LayoutDefinition, block_shift: int = 3):
         br = b["tile_row"].to_numpy(zero_copy_only=False) >> block_shift
         return b.append_column("_bcol", pa.array(bc)).append_column("_brow", pa.array(br))
 
+    from .agg import _default_shuffle_partitions
+
     blocked = tiles_ds.map_batches(add_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # sort-shuffle fixed cost scales with input block count — coalesce narrow
+    blocked = blocked.repartition(_default_shuffle_partitions())
     return blocked.groupby(["_bcol", "_brow"]).map_groups(merge_block, batch_format="pandas")
 
 
@@ -320,8 +366,11 @@ def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None,
                 .append_column("_brow", pa.array(prow >> block_shift))
             )
 
+        from .agg import _default_shuffle_partitions
+
         cur = (
             cur.map_batches(add_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+            .repartition(_default_shuffle_partitions())
             .groupby(["_bcol", "_brow"])
             .map_groups(mk_make_parent(cur_tw, cur_th), batch_format="pandas")
         )
@@ -571,8 +620,12 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
 
     frags = tiles_ds.map_batches(emit, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
+    from .agg import _default_shuffle_partitions
+
     blocked = frags.map_batches(add_block, batch_format="pyarrow",
                                 zero_copy_batch=True, batch_size=None)
+    # sort-shuffle fixed cost scales with input block count — coalesce narrow
+    blocked = blocked.repartition(_default_shuffle_partitions())
     grouped = blocked.groupby(["_bcol", "_brow"]).map_groups(focal_block, batch_format="pandas")
 
     def to_arrow(b: pa.Table) -> pa.Table:
