@@ -133,6 +133,8 @@ def exact_dedup_keep_first(ds, id_col: str = "doc_id", text_col: str = "text",
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=None)
+    # sort-shuffle fixed cost scales with input block count — coalesce narrow
+    tagged = tagged.repartition(_shuffle_parts())
 
     def keep_first(g: pa.Table) -> pa.Table:
         fp = g["fingerprint"].to_numpy(zero_copy_only=False)

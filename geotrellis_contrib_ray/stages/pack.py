@@ -101,7 +101,10 @@ def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "tex
             }
         )
 
-    return chunked.groupby("chunk").map_groups(assign, batch_format="pandas")
+    from .agg import _default_shuffle_partitions
+
+    return (chunked.repartition(_default_shuffle_partitions())
+            .groupby("chunk").map_groups(assign, batch_format="pandas"))
 
 
 def train_val_test_split(ds, id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10):

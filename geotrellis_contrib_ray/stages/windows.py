@@ -62,6 +62,10 @@ def sessionize(ds, gap_sec: int = 1800, group_salt: int = 64):
         return b.append_column("gsalt", pa.array(salt))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from .agg import _default_shuffle_partitions
+
+    # sort-shuffle fixed cost scales with input block count — coalesce narrow
+    salted = salted.repartition(_default_shuffle_partitions())
 
     def per_salt(g):
         uid = g["user_id"].to_numpy().astype(np.int64)
