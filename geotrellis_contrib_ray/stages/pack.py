@@ -70,14 +70,14 @@ def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "tex
         )
         return g.rename_columns(["chunk", "ptok"])
 
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
-    chunk_tot = (
-        chunked.map_batches(chunk_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("chunk")
-        .aggregate(Sum("ptok", alias_name="chunk_tokens"))
-        .to_pandas()
-    )
+    # chunk count scales with the corpus (max_id/chunk_size) — many-group
+    # total reduce via the bounded-salt plan (the ~40x rule, stages/agg.py)
+    chunk_tot = salted_group_reduce(
+        chunked.map_batches(chunk_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        ["chunk"], [("ptok", "sum", "chunk_tokens")],
+    ).to_pandas()
     chunk_tot = chunk_tot.sort_values("chunk").reset_index(drop=True)
     prefix = np.concatenate([[0], np.cumsum(chunk_tot["chunk_tokens"].to_numpy())[:-1]])
     offsets_ref = ray.put(

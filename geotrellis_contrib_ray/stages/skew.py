@@ -36,14 +36,12 @@ def detect_hot_keys(ds, keys: list[str], threshold: int) -> set:
         )
         return g.rename_columns(keys + ["pcnt"])
 
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(keys)
-        .aggregate(Sum("pcnt", alias_name="n"))
-        .to_pandas()
-    )
+    counts = salted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        keys, [("pcnt", "sum", "n")],
+    ).to_pandas()
     hot = counts[counts["n"] > threshold]
     if len(keys) == 1:
         return set(hot[keys[0]].tolist())

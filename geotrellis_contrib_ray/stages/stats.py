@@ -90,10 +90,15 @@ def grouped_quantiles(ds, value_col: str, qs: tuple[float, ...],
         )
         return g.rename_columns(gcols + [value_col, "pcnt"])
 
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(gcols + [value_col])
-        .aggregate(Sum("pcnt", alias_name="cnt"))
+    # histogram combine = a MANY-group total reduction (one group per
+    # distinct (group, value)): bounded-salt reduce, not raw groupby
+    # aggregate (the ~40x rule, CLAUDE.md / stages/agg.py)
+    from .agg import salted_group_reduce
+
+    hist = salted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        gcols + [value_col],
+        [("pcnt", "sum", "cnt")],
     )
 
     qarr = np.asarray(sorted(qs), dtype=np.float64)

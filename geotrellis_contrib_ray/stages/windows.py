@@ -33,11 +33,14 @@ def tumbling_window_agg(ds, window_sec: int = 3600):
         )
         return g.rename_columns(["event_type", "window_start", "psum", "pcnt"])
 
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-    return part.groupby(["event_type", "window_start"]).aggregate(
-        Sum("psum", alias_name="sum_cents"), Sum("pcnt", alias_name="n_events")
+    # window count grows with the stream's time range — many-group total
+    # reduce via the bounded-salt plan (the ~40x rule, stages/agg.py)
+    return salted_group_reduce(
+        part, ["event_type", "window_start"],
+        [("psum", "sum", "sum_cents"), ("pcnt", "sum", "n_events")],
     )
 
 
@@ -117,11 +120,12 @@ def sliding_window_agg(ds, size_sec: int = 3600, hop_sec: int = 1800):
         )
         return g.rename_columns(["event_type", "window_start", "psum", "pcnt"])
 
-    from ray.data.aggregate import Sum
+    from .agg import salted_group_reduce
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return part.groupby(["event_type", "window_start"]).aggregate(
-        Sum("psum", alias_name="sum_cents"), Sum("pcnt", alias_name="n_events")
+    return salted_group_reduce(
+        part, ["event_type", "window_start"],
+        [("psum", "sum", "sum_cents"), ("pcnt", "sum", "n_events")],
     )
 
 
@@ -145,8 +149,6 @@ def window_distinct_users(ds, window_sec: int = 3600):
         })
         return t.group_by(["window_start", "user_id"], use_threads=False).aggregate([])
 
-    from ray.data.aggregate import Sum
-
     from .agg import salted_group_reduce
 
     # global distinct (window, user): one group per pair, so Ray's native
@@ -163,9 +165,10 @@ def window_distinct_users(ds, window_sec: int = 3600):
             .aggregate([([], "count_all")])
         return g.rename_columns(["window_start", "p"])
 
-    return (
+    from .agg import salted_group_reduce as _sgr
+
+    return _sgr(
         dedup.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True,
-                          batch_size=None)
-        .groupby("window_start")
-        .aggregate(Sum("p", alias_name="n_users"))
+                          batch_size=None),
+        ["window_start"], [("p", "sum", "n_users")],
     )
