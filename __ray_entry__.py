@@ -1098,26 +1098,19 @@ def q_dedup_clusters(sf_dir: str):
 def q_dedup_apply(sf_dir: str):
     """The near-dup pipeline's APPLY step: connected-component clusters ->
     keep only each cluster's representative (doc_id == cluster min-label),
-    rolled up per lang as kept/dropped counts.  The cluster table re-joins
-    the corpus through the bucketed hash join on the narrow int64 id — no
-    driver-side id set at any corpus size."""
+    rolled up per lang as kept/dropped counts.  ``lang`` rides THROUGH the
+    cluster pipeline as a carried node column (graph.connected_components
+    carry_cols) — no separate corpus⋈labels join and no driver-side id set
+    at any corpus size."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Sum
-
     from geotrellis_contrib_ray.pipelines.query_defs import CLUSTER_KEY_LEN
     from geotrellis_contrib_ray.stages.graph import neardup_clusters
-    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
 
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    clusters = neardup_clusters(ds, key_len=CLUSTER_KEY_LEN)
-    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-    joined = bucketed_hash_join(
-        docs, clusters, on="doc_id",
-        schemas=(pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
-                 pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])),
-    )
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    joined = neardup_clusters(ds, key_len=CLUSTER_KEY_LEN, carry_cols=("lang",))
 
     def partial(b: pa.Table) -> pa.Table:
         keep = pc.cast(pc.equal(b["doc_id"], b["cluster_id"]), pa.int64())

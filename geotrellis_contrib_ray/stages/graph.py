@@ -86,12 +86,19 @@ def star_edges(keyed, id_col: str = "doc_id", hash_col: str = "key_hash",
 def connected_components(edges, nodes, id_col: str = "node",
                          max_rounds: int = 50, pointer_jump: bool = True,
                          buckets: int | None = None,
-                         driver_threshold: int = 1_000_000):
+                         driver_threshold: int = 1_000_000,
+                         carry_cols: tuple[str, ...] = ()):
     """Label every node with the MIN node id of its connected component.
 
     ``edges``: Dataset (src, dst) — direction ignored (symmetrized here).
     ``nodes``: Dataset with unique ``id_col`` (every node, incl. isolated).
-    Returns Dataset (node, label), one row per node.
+    Returns Dataset (node, label, *carry_cols), one row per node —
+    ``carry_cols`` are extra ``nodes`` columns passed through the label
+    pass, so callers never pay a separate corpus⋈labels join to get node
+    attributes next to their cluster label (the driver tier carries them
+    through the narrow apply; the distributed tier re-attaches them with
+    one bucketed join, which that tier's caller would otherwise run
+    itself).
 
     TWO TIERS, picked by edge count (the candidate-pair edge set after star
     compression is usually ≪ the corpus — exactly the economics of the
@@ -152,11 +159,15 @@ def connected_components(edges, nodes, id_col: str = "node",
             keys, labs = ray.get(lookup_ref)
             ids = b[id_col].combine_chunks().cast(i64).to_numpy(zero_copy_only=False)
             if len(keys) == 0:
-                return pa.table({"node": pa.array(ids), "label": pa.array(ids)})
-            pos = np.clip(np.searchsorted(keys, ids), 0, len(keys) - 1)
-            hit = keys[pos] == ids
-            out = np.where(hit, labs[pos], ids)
-            return pa.table({"node": pa.array(ids), "label": pa.array(out)})
+                out = ids
+            else:
+                pos = np.clip(np.searchsorted(keys, ids), 0, len(keys) - 1)
+                hit = keys[pos] == ids
+                out = np.where(hit, labs[pos], ids)
+            cols = {"node": pa.array(ids), "label": pa.array(out)}
+            for c in carry_cols:
+                cols[c] = b[c]
+            return pa.table(cols)
 
         return nodes.map_batches(apply_labels, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
@@ -278,6 +289,25 @@ def connected_components(edges, nodes, id_col: str = "node",
         if changed == 0:
             break
 
+    if carry_cols:
+        # big-graph tier: re-attach node attributes with one bucketed join
+        from .joins import bucketed_hash_join as _bhj
+
+        def as_nodes(b: pa.Table) -> pa.Table:
+            cols = {"node": b[id_col].combine_chunks().cast(i64)}
+            for c in carry_cols:
+                cols[c] = b[c]
+            return pa.table(cols)
+
+        node_attrs = nodes.map_batches(as_nodes, batch_format="pyarrow",
+                                       zero_copy_batch=True, batch_size=None)
+        nschema = nodes.schema()
+        ntypes = dict(zip(nschema.names, nschema.types))
+        return _bhj(
+            labels, node_attrs, on="node",
+            schemas=(label_schema,
+                     pa.schema([("node", i64)] + [(c, ntypes[c]) for c in carry_cols])),
+        )
     return labels
 
 
@@ -285,7 +315,8 @@ def neardup_clusters(ds, key_len: int = 10, id_col: str = "doc_id",
                      text_col: str = "text", group_salt: int = 256,
                      max_rounds: int = 50, pointer_jump: bool = True,
                      buckets: int | None = None,
-                     driver_threshold: int = 1_000_000):
+                     driver_threshold: int = 1_000_000,
+                     carry_cols: tuple[str, ...] = ()):
     """Transitive near-dup clusters: docs sharing a ``key_len``-char PREFIX
     or SUFFIX are connected; output (doc_id, cluster_id) for EVERY doc
     (singletons label themselves), cluster_id = min doc_id of the component.
@@ -315,14 +346,15 @@ def neardup_clusters(ds, key_len: int = 10, id_col: str = "doc_id",
                            zero_copy_batch=True, batch_size=None)
     edges = star_edges(keyed, id_col=id_col, hash_col="key_hash",
                        group_salt=group_salt)
-    nodes = ds.select_columns([id_col])
+    nodes = ds.select_columns([id_col, *carry_cols])
     labels = connected_components(edges, nodes, id_col=id_col,
                                   max_rounds=max_rounds,
                                   pointer_jump=pointer_jump, buckets=buckets,
-                                  driver_threshold=driver_threshold)
+                                  driver_threshold=driver_threshold,
+                                  carry_cols=carry_cols)
 
     def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["doc_id", "cluster_id"])
+        return b.rename_columns(["doc_id", "cluster_id", *carry_cols])
 
     return labels.map_batches(rename, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)

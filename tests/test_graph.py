@@ -135,3 +135,26 @@ def test_neardup_clusters_all_docs_labeled(ray_session):
     canon = set(df["cluster_id"])
     own = set(df.loc[df["doc_id"] == df["cluster_id"], "doc_id"])
     assert canon == own
+
+
+def test_connected_components_carry_cols_both_tiers(ray_session):
+    """carry_cols must ride node attributes through the label pass in BOTH
+    tiers (driver apply carries narrowly; distributed tier re-attaches with
+    one bucketed join) — same (node, label, attr) rows either way."""
+    import ray
+
+    edges_ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 5], pa.int64()),
+        "dst": pa.array([1, 2, 6], pa.int64()),
+    }))
+    nodes_ds = ray.data.from_arrow(pa.table({
+        "node": pa.array(range(8), pa.int64()),
+        "attr": pa.array([f"a{i}" for i in range(8)], pa.string()),
+    }))
+    want = {(i, {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}.get(i, i), f"a{i}") for i in range(8)}
+    for thr in (1_000_000, 0):
+        out = connected_components(edges_ds, nodes_ds, buckets=8,
+                                   driver_threshold=thr,
+                                   carry_cols=("attr",)).to_pandas()
+        got = {(int(r["node"]), int(r["label"]), r["attr"]) for _, r in out.iterrows()}
+        assert got == want, thr
