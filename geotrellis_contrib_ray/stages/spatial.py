@@ -355,12 +355,16 @@ def zonal_summary(ds, boxes, convex_zones=(), value_col: str = "n_chars"):
         return t.rename_columns(["zone_name", "psum", "pcnt"])
 
     part = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
-    from ray.data.aggregate import Sum
+    import ray.data as rd
 
-    out = part.groupby("zone_name").aggregate(
-        Sum("psum", alias_name="sum_chars"), Sum("pcnt", alias_name="n_docs")
-    )
-    return out
+    from .agg import driver_group_rollup
+
+    # bounded group count (one row per ZONE): driver-combine tier, no
+    # all-to-all (stages/agg.py tier rules)
+    return rd.from_arrow(driver_group_rollup(
+        part, ["zone_name"],
+        [("psum", "sum", "sum_chars"), ("pcnt", "sum", "n_docs")],
+    ))
 
 
 def rasterize_count(ds, grid: GridExtent, value_col: str | None = None):

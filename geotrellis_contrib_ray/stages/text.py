@@ -346,8 +346,20 @@ def vocab_coverage(ds, top_v: int = 32, id_col: str = "doc_id",
                        batch_size=None),
         ["tok"], [("c", "sum", "n")], salt=256,
     )
-    top = counts.sort(["n", "tok"], descending=[True, False]).limit(top_v).take_all()
-    vocab = pa.array([r["tok"] for r in top], pa.string())
+    # top-V selection: per-block partial top-V, tiny driver merge — a full
+    # Dataset.sort range-shuffles every (token, count) row just to keep 32
+    def block_top(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        tok = b["tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:top_v]
+        return b.take(pa.array(np.sort(order)))
+
+    rows = counts.map_batches(block_top, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None).take_all()
+    nn = np.array([r["n"] for r in rows], np.int64)
+    tt = np.array([r["tok"] for r in rows], object)
+    sel = np.lexsort((tt, -nn))[:top_v]
+    vocab = pa.array(tt[sel], pa.string())
 
     def score(b: pa.Table) -> pa.Table:
         toks = b[text_col]
