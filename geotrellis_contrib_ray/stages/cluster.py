@@ -46,7 +46,7 @@ def kmeans_fit(ds, init: np.ndarray, n_iter: int = 2,
     """
     import ray
 
-    from .agg import salted_group_reduce
+    from .agg import driver_group_rollup
 
     if cache:
         ds = ds.materialize()
@@ -70,18 +70,23 @@ def kmeans_fit(ds, init: np.ndarray, n_iter: int = 2,
                 "n": pa.array(np.repeat(counts, dim)),
             })
 
-        # k*d groups per iteration: bounded-salt reduce (stages/agg.py) —
-        # float sums accumulate in a different order than any other engine,
-        # which the oracle already tolerates (Voronoi-boundary caveat)
-        agg = salted_group_reduce(
+        # k*d groups per iteration — a BOUNDED count, so the M-step
+        # combine is the driver-rollup tier: per-block partials funnel to
+        # the driver with NO all-to-all per round (float sums accumulate in
+        # a different order than any other engine, which the oracle already
+        # tolerates — Voronoi-boundary caveat)
+        agg = driver_group_rollup(
             ds.map_batches(partials, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None),
             ["cid", "dim"], [("s", "sum", "s"), ("n", "sum", "n")],
         )
         new = cents.copy()  # emptied clusters keep their previous centroid
-        for row in agg.take_all():  # exactly k*d tiny rows
-            if row["n"] > 0:
-                new[row["cid"], row["dim"]] = row["s"] / row["n"]
+        cid_a = agg["cid"].to_numpy()
+        dim_a = agg["dim"].to_numpy()
+        s_a = agg["s"].to_numpy()
+        n_a = agg["n"].to_numpy()
+        nz = n_a > 0
+        new[cid_a[nz], dim_a[nz]] = s_a[nz] / n_a[nz]
         cents = new
     return cents
 
