@@ -693,6 +693,22 @@ def q_jaccard_exact_pairs(sf_dir: str):
     )
 
 
+def q_substring_pairs(sf_dir: str):
+    """Exact substring-duplication pairs (suffix-array-dedup stand-in, Lee
+    et al. 2021 shape): doc pairs sharing >= 1 exact SUBSTR_WIN-char window
+    on the SUBSTR_STRIDE grid, with the shared-window count.  Fully
+    hash-checked: integer ids + integer counts, window equality is on the
+    string itself on both engines."""
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        SUBSTR_STRIDE,
+        SUBSTR_WIN,
+    )
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.substring_match_pairs(ds, win=SUBSTR_WIN, stride=SUBSTR_STRIDE)
+
+
 def q_jaccard_prefix_pairs(sf_dir: str):
     """PPJoin prefix-filtered exact Jaccard — same oracle as
     jaccard_exact_pairs (the prefix filter is exact by theorem; the driver
@@ -1699,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": q_redact,
         "contamination": q_contamination,
         "dedup_clusters": q_dedup_clusters,
+        "substring_pairs": q_substring_pairs,
         "raster_focal": q_raster_focal,
         "kmeans_embed": q_kmeans_embed,
         "tfidf_terms": q_tfidf_terms,
@@ -2544,6 +2561,27 @@ SELECT doc_id, term, tf, df FROM (
 
     # dedup_clusters: connected components = min-label reach via a recursive
     # CTE (UNION dedups, so the recursion terminates at the closure).
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        SUBSTR_MAX_OFF, SUBSTR_STRIDE, SUBSTR_WIN)
+
+    # substring_pairs: the window grid reproduced with a bounded offset
+    # series (1-based substr; offsets 1, 1+stride, ... while a FULL window
+    # fits), distinct per (doc, window), self-join, pair counts
+    sql["substring_pairs"] = f"""
+WITH offs AS (SELECT unnest(generate_series(1, {SUBSTR_MAX_OFF}, {SUBSTR_STRIDE})) AS o),
+w AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(o AS INT), {SUBSTR_WIN}) AS g
+  FROM documents, offs
+  WHERE o <= length(text) - {SUBSTR_WIN} + 1
+),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM w a JOIN w b USING (g)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id1, id2, count(*) AS n_grams FROM p GROUP BY id1, id2
+"""
+
     sql["dedup_clusters"] = f"""
 WITH RECURSIVE keys AS (
   SELECT doc_id, substr(text, 1, {CLUSTER_KEY_LEN}) AS key FROM documents

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "knn_many",
     "sessionize",
     "jaccard_exact_pairs",
+    "substring_pairs",
     "media_video_frames",
     "pip_zones_rtree",
     "knn_rtree",

@@ -131,6 +131,12 @@ STOP_WORDS = (
 # expansion — is pathologically dense; the sample keeps the oracle-checked
 # run bounded while the operator itself stays fully general.
 JACCARD_K = 5
+
+# exact substring-duplication windows (dedup.substring_match_pairs and its
+# SQL twin share these; SUBSTR_MAX_OFF must cover max text length)
+SUBSTR_WIN = 32
+SUBSTR_STRIDE = 16
+SUBSTR_MAX_OFF = 8192
 JACCARD_THRESHOLD = 0.5
 JACCARD_SAMPLE_LIMIT = 250  # doc_id < 250
 

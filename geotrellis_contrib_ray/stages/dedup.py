@@ -1114,3 +1114,124 @@ def contamination_check(ds, bench_ds, shingle_k: int = 8,
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication pairs (the suffix-array dedup's distributed
+# stand-in: Lee et al. 2021, "Deduplicating Training Data Makes Language
+# Models Better" — exact contiguous duplication, not shingle-set similarity)
+# ---------------------------------------------------------------------------
+
+
+def _substring_windows(b: pa.Table, *, win: int, stride: int,
+                       id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-batch kernel: (doc_id, g) rows — every FULL ``win``-char window at
+    offsets 0, stride, 2*stride... (windows shorter than ``win`` are NOT
+    emitted, unlike pack.chunk_batch_table's trailing chunks), DISTINCT per
+    document (a doc's rows live in one batch, so in-batch distinct is global
+    distinct).  ASCII fast path gathers straight from the shared utf8
+    buffer; non-ASCII rows fall back to per-row char slicing (SQL substr
+    counts characters)."""
+    out_schema = pa.schema([(id_col, pa.int64()), ("g", pa.string())])
+    if len(b) == 0:
+        return out_schema.empty_table()
+    arr = b[text_col].combine_chunks()
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    char_lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    byte_lens = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    if not np.array_equal(char_lens, byte_lens):
+        rows_id, rows_g = [], []
+        for i, t in enumerate(arr.to_pylist()):
+            t = t or ""
+            seen = set()
+            for o in range(0, len(t) - win + 1, stride):
+                g = t[o:o + win]
+                if g not in seen:
+                    seen.add(g)
+                    rows_id.append(int(ids[i]))
+                    rows_g.append(g)
+        return pa.table({id_col: pa.array(rows_id, pa.int64()),
+                         "g": pa.array(rows_g, pa.string())})
+    width = 8 if pa.types.is_large_string(arr.type) else 4
+    offs = np.frombuffer(arr.buffers()[1],
+                         np.int64 if width == 8 else np.int32,
+                         count=len(arr) + 1, offset=arr.offset * width).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8) if arr.buffers()[2] is not None else np.zeros(0, np.uint8)
+    n_win = np.maximum((char_lens - win) // stride + 1, 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return out_schema.empty_table()
+    row = np.repeat(np.arange(len(ids), dtype=np.int64), n_win)
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+    starts = offs[row] + k * stride
+    gather = starts[:, None] + np.arange(win, dtype=np.int64)[None, :]
+    wbytes = data[gather]                          # (W, win) uint8
+    new_offs = np.arange(total + 1, dtype=np.int32) * win
+    g_arr = pa.StringArray.from_buffers(
+        total, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(wbytes.tobytes()))
+    t = pa.table({id_col: pa.array(ids[row]), "g": g_arr})
+    # exact distinct per (doc, window) via Arrow's C++ string hash
+    return t.group_by([id_col, "g"], use_threads=False).aggregate([]).select([id_col, "g"])
+
+
+def substring_match_pairs(ds, win: int = 32, stride: int = 16,
+                          group_salt: int = 64,
+                          id_col: str = "doc_id", text_col: str = "text"):
+    """Doc pairs sharing >= 1 exact ``win``-char substring window (stride
+    grid), with the shared-window count: (id1, id2, n_grams), id1 < id2.
+
+    Scale shape: narrow window extraction (distinct per doc) -> window
+    strings salted by hash(g) % group_salt (equal windows co-locate, group
+    COUNT stays bounded) -> vectorized equal-g run detection + triu pair
+    emission with IN-GROUP partial pair counts -> bounded-salt total sum.
+    Exactness: grouping/verification is on the window STRING (Arrow/numpy
+    equality), never only its hash — no false pairs from hash collisions.
+    Partitioning assumption: one salted group's window rows fit a worker
+    (scale ``group_salt`` with the corpus); a window shared by millions of
+    docs emits O(n^2) pairs — cap upstream with a hot-window drop if that
+    is a real corpus shape (cf. minhash max_bucket)."""
+    from .agg import salted_group_reduce
+    from .text import hash_utf8_array
+
+    w = ds.map_batches(
+        lambda b: _substring_windows(b, win=win, stride=stride,
+                                     id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        gh = hash_utf8_array(b["g"])
+        salt = (gh.view(np.uint64) % np.uint64(group_salt)).astype(np.int64)
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = w.map_batches(add_salt, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    salted = salted.repartition(_shuffle_parts())
+
+    def pairs(gdf):
+        ids = gdf[id_col].to_numpy().astype(np.int64)
+        gs = gdf["g"].to_numpy()
+        order = np.lexsort((ids, gs))
+        gso, ido = gs[order], ids[order]
+        starts = np.nonzero(np.r_[True, gso[1:] != gso[:-1]])[0]
+        ends = np.r_[starts[1:], len(gso)]
+        id1s, id2s = [], []
+        for ri in range(len(starts)):
+            run = ido[starts[ri]:ends[ri]]
+            if len(run) < 2:
+                continue
+            ii, jj = np.triu_indices(len(run), k=1)
+            id1s.append(run[ii])
+            id2s.append(run[jj])
+        if not id1s:
+            z = pa.array([], pa.int64())
+            return pa.table({"id1": z, "id2": z, "pn": z})
+        p = pa.table({"id1": pa.array(np.concatenate(id1s)),
+                      "id2": pa.array(np.concatenate(id2s))})
+        # in-group partial count per pair (a pair repeats once per shared g)
+        g = p.group_by(["id1", "id2"], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"id1": g["id1"], "id2": g["id2"],
+                         "pn": g["count_all"].cast(pa.int64())})
+
+    partials = salted.groupby("gsalt").map_groups(pairs, batch_format="pandas")
+    return salted_group_reduce(partials, ["id1", "id2"],
+                               [("pn", "sum", "n_grams")])

@@ -266,3 +266,35 @@ def test_exact_dedup_refuses_fingerprint_collision(ray_session, monkeypatch):
         raise AssertionError("expected fingerprint-collision ValueError")
     except Exception as e:  # Ray wraps the worker ValueError
         assert "fingerprint collision" in str(e)
+
+
+def test_substring_match_pairs_planted(ray_session):
+    """Planted exact substrings: only pairs sharing a full aligned window on
+    the stride grid are reported, with the correct distinct-window count."""
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.dedup import substring_match_pairs
+
+    shared = "X" * 16 + "Y" * 16  # one 32-char block, repeated below
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            shared * 3 + "tail one",        # windows at 0,16,32,48,64: block offsets align
+            shared * 3 + "other suffix",    # same aligned windows as doc 1
+            "z" * 7 + shared,               # shared text NOT on the stride grid of doc 1/2
+            "unrelated " * 10,
+        ], pa.string()),
+    })
+    out = substring_match_pairs(rd.from_arrow(t), win=32, stride=16).to_pandas()
+    out = out.sort_values(["id1", "id2"]).reset_index(drop=True)
+    # docs 1-2: identical first 96 chars -> shared aligned windows; doc 3's
+    # copy starts at offset 7 (off-grid), so it matches nobody; doc 4 never
+    assert out["id1"].tolist() == [1]
+    assert out["id2"].tolist() == [2]
+    # distinct windows over the 96 identical chars at stride 16, win 32:
+    # offsets 0..64 -> 5 windows, but only DISTINCT g count: offsets 0,32
+    # give XXYY-XXYY pattern repeats -> compute directly
+    texts = t["text"].to_pylist()
+    ws = {texts[0][o:o + 32] for o in range(0, len(texts[0]) - 31, 16)}
+    ws2 = {texts[1][o:o + 32] for o in range(0, len(texts[1]) - 31, 16)}
+    assert out["n_grams"].tolist() == [len(ws & ws2)]
