@@ -213,14 +213,22 @@ class AudioEnergy:
 
 
 def audio_energy(ds, *, concurrency=None, batch_size=256):
-    from ..util import default_pool_size
-
+    """Default tier = plain tasks (the stdlib decode backends are PURE
+    derived state — nothing to hold open, so the actor pool's ~1.3 s
+    per-query spin-up buys nothing; README tier rules).  Pass
+    ``concurrency=`` for an explicit pool (native handles / model state)."""
+    if concurrency is None:
+        stage = AudioEnergy()
+        return ds.map_batches(
+            lambda b: stage(b), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=batch_size,
+        )
     return ds.map_batches(
         AudioEnergy,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else default_pool_size(),
+        concurrency=concurrency,
     )
 
 
@@ -261,16 +269,22 @@ class VideoFrameSampler:
 
 def sample_video_frames(ds, *, backend: DecodeBackend | None = None, stride: int = 2,
                         concurrency=None, batch_size=16):
-    """Video frame-sample pipeline stage (REAL MJPEG-AVI decode by default)."""
-    from ..util import default_pool_size
-
+    """Video frame-sample pipeline stage (REAL MJPEG-AVI decode by default).
+    Task tier by default (pure stdlib codecs); ``concurrency=`` opts into an
+    actor pool for stateful backends."""
+    if concurrency is None:
+        stage = VideoFrameSampler(backend=backend or StdlibDecodeBackend(), stride=stride)
+        return ds.map_batches(
+            lambda b: stage(b), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=batch_size,
+        )
     return ds.map_batches(
         VideoFrameSampler,
         fn_constructor_kwargs={"backend": backend or StdlibDecodeBackend(), "stride": stride},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else default_pool_size(),
+        concurrency=concurrency,
     )
 
 
@@ -280,15 +294,19 @@ def extract_image_features(ds, *, backend: DecodeBackend | None = None,
     actor pool holding the decoder.  Default backend = the real stdlib
     codecs (PPM/BMP/PNG); pass FakeDecodeBackend() for synthetic payloads or
     RealDecodeBackend() at deploy time for exotic formats."""
-    from ..util import default_pool_size
-
+    if concurrency is None:
+        stage = ImageFeatureExtractor(backend=backend or StdlibDecodeBackend())
+        return ds.map_batches(
+            lambda b: stage(b), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=batch_size,
+        )
     return ds.map_batches(
         ImageFeatureExtractor,
         fn_constructor_kwargs={"backend": backend or StdlibDecodeBackend()},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else default_pool_size(),
+        concurrency=concurrency,
     )
 
 
@@ -296,11 +314,17 @@ def sample_audio_frames(ds, *, backend: DecodeBackend | None = None,
                         concurrency=None, batch_size=256):
     from ..util import default_pool_size
 
+    if concurrency is None:
+        stage = AudioFrameSampler(backend=backend or StdlibDecodeBackend())
+        return ds.map_batches(
+            lambda b: stage(b), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=batch_size,
+        )
     return ds.map_batches(
         AudioFrameSampler,
         fn_constructor_kwargs={"backend": backend or StdlibDecodeBackend()},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else default_pool_size(),
+        concurrency=concurrency,
     )
