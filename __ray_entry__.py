@@ -322,32 +322,28 @@ def q_orders_by_segment(sf_dir: str):
 
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
-    class JoinSegment:
-        def __init__(self):
-            self.keys, self.segs = ray.get(lookup_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, ck)
-            pos = np.clip(pos, 0, len(self.keys) - 1)
-            seg = self.segs[pos]
-            cents = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
-                np.int64
-            )
-            t = pa.table({"c_mktsegment": pa.array(seg, pa.string()), "cents": cents})
-            g = t.group_by("c_mktsegment", use_threads=False).aggregate(
-                [("cents", "sum"), ("cents", "count")]
-            )
-            return g.rename_columns(["c_mktsegment", "ps", "pc"])
-
-    from geotrellis_contrib_ray.util import default_pool_size
+    def join_segment(b: pa.Table) -> pa.Table:
+        # broadcast lookup rides the ray.put ref; per-task ray.get is a
+        # zero-copy plasma read (task tier — nothing to hold open)
+        keys, segs = ray.get(lookup_ref)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        seg = segs[pos]
+        cents = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        t = pa.table({"c_mktsegment": pa.array(seg, pa.string()), "cents": cents})
+        g = t.group_by("c_mktsegment", use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "ps", "pc"])
 
     part = ds.map_batches(
-        JoinSegment,
+        join_segment,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=None,
-        concurrency=default_pool_size(),
     )
     from geotrellis_contrib_ray.stages.agg import driver_group_rollup
 
@@ -743,19 +739,12 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
-    """Actor-pool quality scoring (regex state per actor; rows-only check)."""
+    """Quality scoring (compiled-regex state memoized once per worker —
+    task tier, stages/text.py::quality_score; rows-only check)."""
     from geotrellis_contrib_ray.stages import text as textmod
 
-    from geotrellis_contrib_ray.util import default_pool_size
-
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        textmod.QualityScorer,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-        concurrency=default_pool_size(),
-    )
+    ds = textmod.quality_score(ds)
     return ds.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality", "n_bpe_tokens"])
 
 
@@ -764,16 +753,9 @@ def q_quality_counts(sf_dir: str):
     counts) — hash-comparable against the DuckDB regexp_extract_all oracle;
     the shared regex/stoplist constants live in pipelines/query_defs."""
     from geotrellis_contrib_ray.stages import text as textmod
-    from geotrellis_contrib_ray.util import default_pool_size
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        textmod.QualityScorer,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-        concurrency=default_pool_size(),
-    )
+    ds = textmod.quality_score(ds)
     return ds.select_columns(["doc_id", "n_words", "n_stop_words", "n_alpha_chars", "n_bpe_tokens"])
 
 

@@ -32,9 +32,12 @@ def add_token_stats(batch: pa.Table) -> pa.Table:
 
 
 class QualityScorer:
-    """Actor-pool stage: compiled-regex quality heuristics (stopword ratio,
-    alpha ratio, mean word length) — state built once per actor (ST-pattern),
-    batches scored vectorized via pandas str ops."""
+    """Compiled-regex quality heuristics (stopword ratio, alpha ratio, mean
+    word length), batches scored vectorized via pandas str ops.  State is
+    built once per EXECUTOR: run it as an actor pool (``map_batches(
+    QualityScorer, concurrency=N)``) for long-lived services, or through
+    :func:`quality_score` for the default task tier (instance memoized in
+    worker module state — same compile-once semantics, no pool spin-up)."""
 
     def __init__(self):
         import re
@@ -385,3 +388,28 @@ def vocab_coverage(ds, top_v: int = 32, id_col: str = "doc_id",
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+# worker-process-global scorer cache for the task tier (see stages/raster.py
+# _WORKER_SOURCE_CACHE for the pattern; regex state is pure derived state)
+_WORKER_SCORER_CACHE: dict = {}
+
+
+def quality_score(ds, *, batch_size=None, concurrency=None):
+    """QualityScorer over a Dataset — task tier by default, actor pool when
+    ``concurrency`` is given."""
+    if concurrency is not None:
+        return ds.map_batches(
+            QualityScorer, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size, concurrency=concurrency,
+        )
+
+    def score(batch):
+        inst = _WORKER_SCORER_CACHE.get("q")
+        if inst is None:
+            inst = QualityScorer()
+            _WORKER_SCORER_CACHE["q"] = inst
+        return inst(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
