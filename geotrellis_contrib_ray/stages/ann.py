@@ -134,17 +134,35 @@ def ann_topk_ranks(ds, queries: np.ndarray, k: int, query_ids, id_col: str = "ve
     (~1e-7 here vs ~1e-3 gaps on the synthetic embeddings), but never on the
     similarity BITS (different summation order).  query_id is remapped from
     the positional index to the caller's stable id (the query row's vec_id)."""
-    from ..util import default_pool_size
+    import ray
 
     qid = np.asarray(query_ids, dtype=np.int64)
-    partial = ds.map_batches(
-        CosineTopK,
-        fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else default_pool_size(),
-    )
+    if concurrency is not None:
+        partial = ds.map_batches(
+            CosineTopK,
+            fn_constructor_kwargs={"queries": queries, "k": k, "id_col": id_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    else:
+        # task tier with the normalized query matrix memoized per worker
+        # (same pattern as ann_topk above)
+        qref = ray.put(np.asarray(queries, dtype=np.float64))
+
+        def score(batch: pa.Table) -> pa.Table:
+            key = (qref.hex(), k, id_col)
+            scorer = _WORKER_SCORER_CACHE.get(key)
+            if scorer is None:
+                scorer = CosineTopK(ray.get(qref), k, id_col)
+                _WORKER_SCORER_CACHE.clear()
+                _WORKER_SCORER_CACHE[key] = scorer
+            return scorer(batch)
+
+        partial = ds.map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        )
 
     from .stats import top_k_per_group
 
