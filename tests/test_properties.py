@@ -169,3 +169,29 @@ def test_wkt_multipoint_roundtrip_property(pts):
     kind, coords, _ = geom.parse_wkt(wkt)
     assert kind == "MultiPoint"
     assert np.allclose([c for _, c, _ in coords], [c for _, c, _ in parts])
+
+
+@given(
+    st.lists(st.text(alphabet="ab λé", min_size=0, max_size=90), min_size=0, max_size=12),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_substring_windows_match_python(texts, win, stride):
+    """_substring_windows == the direct python stride-window set per doc,
+    for ASCII and non-ASCII (char-counted) texts alike."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.dedup import _substring_windows
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = _substring_windows(t, win=win, stride=stride)
+    got = set(zip(out["doc_id"].to_pylist(), out["g"].to_pylist()))
+    want = set()
+    for i, s in enumerate(texts):
+        for o in range(0, len(s) - win + 1, stride):
+            want.add((i, s[o:o + win]))
+    assert got == want
