@@ -322,10 +322,18 @@ def q_orders_by_segment(sf_dir: str):
 
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
+    from geotrellis_contrib_ray.stages.text import _WORKER_SCORER_CACHE as _wc
+
     def join_segment(b: pa.Table) -> pa.Table:
-        # broadcast lookup rides the ray.put ref; per-task ray.get is a
-        # zero-copy plasma read (task tier — nothing to hold open)
-        keys, segs = ray.get(lookup_ref)
+        # the segment side is an OBJECT array (python strings) — ray.get
+        # would unpickle it per task, so memoize the deserialized lookup in
+        # worker module state (the int keys side is zero-copy either way)
+        ck_key = lookup_ref.hex()
+        entry = _wc.get(ck_key)
+        if entry is None:
+            entry = ray.get(lookup_ref)
+            _wc[ck_key] = entry
+        keys, segs = entry
         ck = b["o_custkey"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keys, ck)
         pos = np.clip(pos, 0, len(keys) - 1)

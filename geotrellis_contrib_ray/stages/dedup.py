@@ -1137,8 +1137,14 @@ def _substring_windows(b: pa.Table, *, win: int, stride: int,
         return out_schema.empty_table()
     arr = b[text_col].combine_chunks()
     ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    char_lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
-    byte_lens = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null texts: utf8_length yields null -> NaN -> INT64_MIN after astype,
+    # which would wrap the fast path's window count to ~5.8e17 — zero them
+    char_lens = np.nan_to_num(
+        pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+    ).astype(np.int64)
+    byte_lens = np.nan_to_num(
+        pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+    ).astype(np.int64)
     if not np.array_equal(char_lens, byte_lens):
         rows_id, rows_g = [], []
         for i, t in enumerate(arr.to_pylist()):
@@ -1164,7 +1170,10 @@ def _substring_windows(b: pa.Table, *, win: int, stride: int,
     row = np.repeat(np.arange(len(ids), dtype=np.int64), n_win)
     k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(n_win) - n_win, n_win)
     starts = offs[row] + k * stride
-    gather = starts[:, None] + np.arange(win, dtype=np.int64)[None, :]
+    # int32 gather indices: block byte offsets < 2^31 by construction, and
+    # the (W, win) index matrix is the kernel's largest transient — int64
+    # doubles it for nothing
+    gather = (starts[:, None] + np.arange(win, dtype=np.int64)[None, :]).astype(np.int32)
     wbytes = data[gather]                          # (W, win) uint8
     new_offs = np.arange(total + 1, dtype=np.int32) * win
     g_arr = pa.StringArray.from_buffers(
@@ -1207,19 +1216,25 @@ def substring_match_pairs(ds, win: int = 32, stride: int = 16,
                            zero_copy_batch=True, batch_size=None)
     salted = salted.repartition(_shuffle_parts())
 
-    def pairs(gdf):
+    def pairs(gdf, max_bucket: int = 1000):
         ids = gdf[id_col].to_numpy().astype(np.int64)
         gs = gdf["g"].to_numpy()
         order = np.lexsort((ids, gs))
         gso, ido = gs[order], ids[order]
         starts = np.nonzero(np.r_[True, gso[1:] != gso[:-1]])[0]
         ends = np.r_[starts[1:], len(gso)]
+        counts = ends - starts
         id1s, id2s = [], []
-        for ri in range(len(starts)):
-            run = ido[starts[ri]:ends[ri]]
-            if len(run) < 2:
+        # iterate only runs with >= 2 members (most stride windows are
+        # unique — a python step per singleton is the per-group overhead
+        # CLAUDE.md warns about); cap pathological hot windows like minhash
+        for ri in np.nonzero(counts >= 2)[0]:
+            n = int(counts[ri])
+            if n > max_bucket:
+                _log_bucket_drop("substring_match_pairs", n, max_bucket)
                 continue
-            ii, jj = np.triu_indices(len(run), k=1)
+            run = ido[starts[ri]:ends[ri]]
+            ii, jj = np.triu_indices(n, k=1)
             id1s.append(run[ii])
             id2s.append(run[jj])
         if not id1s:

@@ -303,11 +303,20 @@ def connected_components(edges, nodes, id_col: str = "node",
                                        zero_copy_batch=True, batch_size=None)
         nschema = nodes.schema()
         ntypes = dict(zip(nschema.names, nschema.types))
-        return _bhj(
+        joined = _bhj(
             labels, node_attrs, on="node",
             schemas=(label_schema,
                      pa.schema([("node", i64)] + [(c, ntypes[c]) for c in carry_cols])),
         )
+
+        # the join emits right-only columns in SORTED name order — reorder
+        # to (node, label, *carry_cols) so both tiers return one schema and
+        # positional renames downstream stay correct
+        def reorder(b: pa.Table) -> pa.Table:
+            return b.select(["node", "label", *carry_cols])
+
+        return joined.map_batches(reorder, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
     return labels
 
 

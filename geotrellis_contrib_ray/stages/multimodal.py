@@ -312,8 +312,6 @@ def extract_image_features(ds, *, backend: DecodeBackend | None = None,
 
 def sample_audio_frames(ds, *, backend: DecodeBackend | None = None,
                         concurrency=None, batch_size=256):
-    from ..util import default_pool_size
-
     if concurrency is None:
         stage = AudioFrameSampler(backend=backend or StdlibDecodeBackend())
         return ds.map_batches(

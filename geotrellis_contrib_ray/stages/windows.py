@@ -165,9 +165,7 @@ def window_distinct_users(ds, window_sec: int = 3600):
             .aggregate([([], "count_all")])
         return g.rename_columns(["window_start", "p"])
 
-    from .agg import salted_group_reduce as _sgr
-
-    return _sgr(
+    return salted_group_reduce(
         dedup.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None),
         ["window_start"], [("p", "sum", "n_users")],

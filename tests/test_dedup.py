@@ -298,3 +298,16 @@ def test_substring_match_pairs_planted(ray_session):
     ws = {texts[0][o:o + 32] for o in range(0, len(texts[0]) - 31, 16)}
     ws2 = {texts[1][o:o + 32] for o in range(0, len(texts[1]) - 31, 16)}
     assert out["n_grams"].tolist() == [len(ws & ws2)]
+
+
+def test_substring_windows_null_and_empty_rows():
+    """Null / empty / short texts emit zero windows (a null once wrapped the
+    fast path's window count to ~5.8e17 via INT64_MIN — regression guard)."""
+    from geotrellis_contrib_ray.stages.dedup import _substring_windows
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["abcdefgh" * 8, None, "", "tiny"], pa.string()),
+    })
+    out = _substring_windows(t, win=32, stride=16)
+    assert set(out["doc_id"].to_pylist()) == {1}

@@ -149,12 +149,18 @@ def test_connected_components_carry_cols_both_tiers(ray_session):
     }))
     nodes_ds = ray.data.from_arrow(pa.table({
         "node": pa.array(range(8), pa.int64()),
+        # caller order (zz, attr) deliberately differs from sorted order so
+        # a positionally-renamed join-sorted schema would mislabel them
+        "zz": pa.array([f"z{i}" for i in range(8)], pa.string()),
         "attr": pa.array([f"a{i}" for i in range(8)], pa.string()),
     }))
-    want = {(i, {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}.get(i, i), f"a{i}") for i in range(8)}
+    want = {(i, {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}.get(i, i), f"z{i}", f"a{i}")
+            for i in range(8)}
     for thr in (1_000_000, 0):
         out = connected_components(edges_ds, nodes_ds, buckets=8,
                                    driver_threshold=thr,
-                                   carry_cols=("attr",)).to_pandas()
-        got = {(int(r["node"]), int(r["label"]), r["attr"]) for _, r in out.iterrows()}
+                                   carry_cols=("zz", "attr")).to_pandas()
+        assert list(out.columns) == ["node", "label", "zz", "attr"], thr
+        got = {(int(r["node"]), int(r["label"]), r["zz"], r["attr"])
+               for _, r in out.iterrows()}
         assert got == want, thr
