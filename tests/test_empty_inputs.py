@@ -1,0 +1,82 @@
+"""Zero-row inputs through the main stage entry points: empty Arrow batches
+carry None buffers and null-typed columns (CLAUDE.md gotchas) — every
+operator must return its typed empty result instead of crashing."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _empty_docs():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }))
+
+
+def test_dedup_family_empty(ray_session):
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _empty_docs()
+    assert dedup.exact_dedup_groups(ds).count() == 0
+    assert dedup.substring_match_pairs(ds).count() == 0
+    assert dedup.minhash_candidate_pairs(ds).count() == 0
+
+
+def test_text_and_stats_empty(ray_session):
+    from geotrellis_contrib_ray.stages import text as textmod
+    from geotrellis_contrib_ray.stages.stats import grouped_quantiles, top_k_per_group
+
+    ds = _empty_docs()
+    assert textmod.quality_score(ds).count() == 0
+    assert textmod.vocab_coverage(ds).count() == 0
+    q = grouped_quantiles(ds.select_columns(["lang", "n_chars"]), "n_chars",
+                          qs=(0.5,), group_col="lang")
+    assert q.count() == 0
+    t = top_k_per_group(ds.select_columns(["lang", "n_chars", "doc_id"]),
+                        group_col="lang", order_col="n_chars", k=3, tie_col="doc_id")
+    assert t.count() == 0
+
+
+def test_joins_and_graph_empty(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.graph import neardup_clusters
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    ds = _empty_docs()
+    left = ds.select_columns(["doc_id", "n_chars"])
+    right = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang2": pa.array([], pa.string()),
+    }))
+    j = bucketed_hash_join(
+        left, right, on="doc_id",
+        schemas=(pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+                 pa.schema([("doc_id", pa.int64()), ("lang2", pa.string())])),
+    )
+    assert j.count() == 0
+    assert neardup_clusters(ds, carry_cols=("lang",)).count() == 0
+
+
+def test_windows_empty(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import (
+        sessionize,
+        tumbling_window_agg,
+        window_distinct_users,
+    )
+
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+    }))
+    assert tumbling_window_agg(ev).count() == 0
+    assert sessionize(ev).count() == 0
+    assert window_distinct_users(ev).count() == 0
