@@ -659,7 +659,8 @@ def q_simhash_pairs(sf_dir: str):
     from geotrellis_contrib_ray.stages import dedup
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.simhash_candidate_pairs(ds, max_hamming=8)
+    # bands=9 (7-bit chunks) guarantees every pair with hamming <= 8 collides
+    return dedup.simhash_candidate_pairs(ds, max_hamming=8, bands=9)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):

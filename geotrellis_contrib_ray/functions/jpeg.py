@@ -162,6 +162,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # trim emitted high bits: without this the python-int accumulator
+        # grows by 8 bits per stream byte and every shift becomes O(stream)
+        self.acc &= (1 << self.nbits) - 1
 
     def pad_to_byte(self):
         if self.nbits:
@@ -368,7 +371,10 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # trim consumed high bits (bounded accumulator — see _BitWriter)
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         if n == 0:
@@ -376,7 +382,9 @@ class _BitReader:
         while self.nbits < n:
             self._fill()
         self.nbits -= n
-        return (self.acc >> self.nbits) & ((1 << n) - 1)
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
 
     def sync_restart(self):
         """Byte-align and consume the expected RSTn marker."""

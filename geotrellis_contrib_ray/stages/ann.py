@@ -228,6 +228,11 @@ def ann_lsh_topk(ds, queries: np.ndarray, k: int, dim: int, n_planes: int = 8, i
     return ann_topk(filtered, queries, k, id_col=id_col)
 
 
+def _unit(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    return v / np.where(n == 0, 1.0, n)
+
+
 class IVFIndex:
     """IVF coarse quantizer (the second scale path named alongside LSH):
     k-means-lite centroids fit once on a sample (seed-fixed Lloyd iterations,
@@ -236,7 +241,13 @@ class IVFIndex:
 
     def __init__(self, sample: np.ndarray, n_lists: int = 16, iters: int = 10, seed: int = 42):
         rng = np.random.default_rng(seed)
-        sample = np.asarray(sample, dtype=np.float64)
+        # the rerank metric is COSINE, so the quantizer must run on the
+        # unit sphere: with unnormalized vectors, norm skew routes a query
+        # toward centroids of similar MAGNITUDE rather than direction
+        # (e.g. corpus {~10*e0, ~e1}: query e0 probes the e1 list and
+        # misses every exact cosine match).  Normalize sample, vectors and
+        # queries alike (_unit below).
+        sample = _unit(np.asarray(sample, dtype=np.float64))
         init = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
         cent = init.copy()
         for _ in range(iters):
@@ -249,11 +260,13 @@ class IVFIndex:
         self.centroids = cent
 
     def assign(self, vecs: np.ndarray) -> np.ndarray:
-        d = ((np.asarray(vecs, dtype=np.float64)[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        v = _unit(np.asarray(vecs, dtype=np.float64))
+        d = ((v[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         return d.argmin(axis=1)
 
     def probe_lists(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
-        d = ((np.asarray(queries, dtype=np.float64)[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        q = _unit(np.asarray(queries, dtype=np.float64))
+        d = ((q[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         return np.argsort(d, axis=1)[:, :nprobe]
 
 

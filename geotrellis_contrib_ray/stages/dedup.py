@@ -161,7 +161,10 @@ def _shingle_hashes(texts: pa.Array, k: int) -> list[np.ndarray]:
     n = len(texts)
     if n == 0:
         return []
-    offs = np.frombuffer(texts.buffers()[1], dtype=np.int32)[
+    # large_string columns carry int64 offsets — reading them as int32
+    # silently garbles every row slice (and with it the whole dedup family)
+    off_dtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    offs = np.frombuffer(texts.buffers()[1], dtype=off_dtype)[
         texts.offset : texts.offset + n + 1
     ].astype(np.int64)
     data_buf = texts.buffers()[2]
@@ -243,6 +246,21 @@ class MinHashLSH:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         shingle_lists = _shingle_hashes(batch["text"], self.k)
         n = len(ids)
+        # docs with ZERO shingles (shorter than k) all share the sentinel
+        # signature — banding them makes every short doc collide with every
+        # other in every band (O(n^2) junk pairs or max_bucket drop spam);
+        # a doc with no shingles has no content to near-match, so skip it
+        has = np.array([len(s) > 0 for s in shingle_lists], dtype=bool)
+        if not has.all():
+            ids = ids[has]
+            shingle_lists = [s for s in shingle_lists if len(s)]
+            n = len(ids)
+        if n == 0:
+            return pa.table({
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            })
         sigs = self._signatures(shingle_lists)
         r = self.rows_per_band
         band_hash = np.empty((n, self.bands), dtype=np.uint64)
@@ -256,8 +274,10 @@ class MinHashLSH:
         return pa.table(
             {
                 "band_id": np.repeat(np.arange(self.bands, dtype=np.int32), n),
-                "band_hash": band_hash.T.ravel(),
-                "doc_id": np.tile(ids, self.bands),
+                # int64 bit-view: raw uint64 > 2^63 breaks Ray shuffle
+                # arrow<->python round-trips (CLAUDE.md)
+                "band_hash": band_hash.T.ravel().view(np.int64),
+                "doc_id": np.tile(np.asarray(ids, dtype=np.int64), self.bands),
             }
         )
 
@@ -315,7 +335,8 @@ def minhash_candidate_pairs(ds, num_perm=64, bands=16, shingle_k=5, concurrency=
         )
 
     def add_salt(b: pa.Table) -> pa.Table:
-        salt = (b["band_hash"].to_numpy(zero_copy_only=False) % np.uint64(group_salt)).astype(np.int64)
+        salt = (b["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+                % np.uint64(group_salt)).astype(np.int64)
         return b.append_column("gsalt", pa.array(salt))
 
     salted = banded.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -413,23 +434,37 @@ class SimHash:
             votes = 2 * ones - lens[nz][:, None]          # ones - zeros
             weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
             out[nz] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
-        return batch.append_column("simhash", pa.array(out, pa.uint64()))
+        # int64 bit-view (the shuffle rule, CLAUDE.md); consumers re-view
+        return (batch.append_column("simhash", pa.array(out.view(np.int64), pa.int64()))
+                     .append_column("sh_valid", pa.array(nz)))
 
 
-def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4,
-                            group_salt: int = 64, max_bucket: int = 1000):
-    """SimHash near-dup: 64-bit signatures banded into ``bands`` 16-bit
-    chunks; docs sharing any chunk are candidates (guaranteed to catch all
-    pairs with < bands bit flips), verified by exact hamming distance.
+def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
+                            group_salt: int = 64, max_bucket: int = 1000,
+                            allow_partial_recall: bool = False):
+    """SimHash near-dup: 64-bit signatures banded into ``64/bands``-bit
+    chunks; docs sharing any chunk are candidates, verified by exact
+    hamming distance.  BANDING COMPLETENESS: only pairs with hamming <
+    ``bands`` are guaranteed to collide in some band (pigeonhole), so the
+    defaults (bands=4, max_hamming=3) are exhaustive; asking for
+    max_hamming >= bands raises unless ``allow_partial_recall=True``
+    (then the output is a recall-limited candidate set, not a guarantee).
+    Docs with zero shingles (shorter than shingle_k) are excluded — they
+    all share the zero signature and would cross-collide meaninglessly.
     Groups are salted to ``bands x group_salt`` partitions (see
     minhash_candidate_pairs for why raw-hash groups don't scale down);
     pair emission is vectorized run detection within each group.
     Output: id1 < id2, hamming."""
+    if max_hamming >= bands and not allow_partial_recall:
+        raise ValueError(
+            f"bands={bands} only guarantees pairs with hamming < {bands}; "
+            f"raise bands to >= {max_hamming + 1} or pass allow_partial_recall=True")
     signed = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        sh = batch["simhash"].to_numpy(zero_copy_only=False)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        valid = batch["sh_valid"].to_numpy(zero_copy_only=False).astype(bool)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False)[valid].view(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[valid]
         n = len(ids)
         width = 64 // bands
         out_band, out_key, out_id, out_sh = [], [], [], []
@@ -443,10 +478,11 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4,
         return pa.table(
             {
                 "band_id": np.concatenate(out_band),
-                "band_key": key,
+                # band_key chunks are < 2^width <= 2^16 — int64-safe as-is
+                "band_key": key.astype(np.int64),
                 "gsalt": (key % np.uint64(group_salt)).astype(np.int64),
                 "doc_id": np.concatenate(out_id),
-                "simhash": np.concatenate(out_sh),
+                "simhash": np.concatenate(out_sh).view(np.int64),
             }
         )
 
@@ -455,7 +491,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 8, bands: int = 4,
     def pairs(g):
         ids = g["doc_id"].to_numpy()
         keys = g["band_key"].to_numpy()
-        sh_all = g["simhash"].to_numpy().astype(np.uint64)
+        sh_all = g["simhash"].to_numpy().view(np.uint64)
         order = np.lexsort((ids, keys))
         starts, ends = _bucket_runs(keys, order)
         sids, ssh = ids[order], sh_all[order]

@@ -30,9 +30,17 @@ class CheckpointManifest:
             with open(self.path) as f:
                 for line in f:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         rec = json.loads(line)
-                        out[rec["partition"]] = rec
+                    except json.JSONDecodeError:
+                        # torn tail from a crash mid-append: the partition's
+                        # completion was not durably recorded — treat it as
+                        # incomplete (it will re-run; the atomic parquet
+                        # rename makes the rewrite safe), don't wedge resume
+                        continue
+                    out[rec["partition"]] = rec
         return out
 
     def record(self, partition: str, *, rows: int, fingerprint: str = "", span_hash: int = 0, wall_sec: float = 0.0, extra: dict | None = None):
@@ -47,14 +55,35 @@ class CheckpointManifest:
         if extra:
             rec.update(extra)
         # O_APPEND single-line writes are atomic enough for one writer per
-        # partition; concurrent writers each append whole lines
+        # partition; concurrent writers each append whole lines.  If a crash
+        # left a torn line without a trailing newline, lead with one so this
+        # record doesn't fuse onto the torn tail (the torn line itself is
+        # skipped by completed()).
+        lead = ""
+        if os.path.exists(self.path) and os.path.getsize(self.path) > 0:
+            with open(self.path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    lead = "\n"
         with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+            f.write(lead + json.dumps(rec) + "\n")
 
-    def pending(self, partitions: list[str]) -> list[str]:
-        """Resume anti-join: plan partitions minus completed ones."""
+    def pending(self, partitions: list[str], fingerprint_fn=None) -> list[str]:
+        """Resume anti-join: plan partitions minus completed ones.
+
+        With ``fingerprint_fn``, a completed partition whose recorded input
+        fingerprint no longer matches the CURRENT input is re-run — the
+        fingerprint participates in invalidation, it is not write-only."""
         done = self.completed()
-        return [p for p in partitions if p not in done]
+
+        def fresh(p: str) -> bool:
+            if p not in done:
+                return False
+            if fingerprint_fn is None:
+                return True
+            return str(done[p].get("fingerprint", "")) == str(fingerprint_fn(p))
+
+        return [p for p in partitions if not fresh(p)]
 
 
 def write_partition_atomic(table, root: str, partition: str) -> str:
@@ -84,7 +113,7 @@ def run_partitioned(
     Partition-level driver loop — each make_table is itself a Ray pipeline
     over that partition's input shard, so the loop body is cheap."""
     manifest = CheckpointManifest(root)
-    pending = manifest.pending(partitions)
+    pending = manifest.pending(partitions, fingerprint_fn=fingerprint_fn)
     skipped = [p for p in partitions if p not in pending]
     ran = []
     for p in pending:
@@ -102,14 +131,20 @@ def run_partitioned(
     return ran, skipped
 
 
-def read_all_partitions(root: str):
-    """Read back the union of completed partitions (validation / downstream)."""
-    import glob
+def read_all_partitions(root: str, partitions: list[str] | None = None):
+    """Read back the union of completed partitions (validation / downstream).
 
+    Reads only files the MANIFEST records as complete (a stale part file
+    from a previous plan with different partition names is not silently
+    unioned in); ``partitions`` further restricts to the current plan."""
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    files = sorted(glob.glob(os.path.join(root, "part-*.parquet")))
+    done = CheckpointManifest(root).completed()
+    names = sorted(done if partitions is None
+                   else [p for p in partitions if p in done])
+    files = [os.path.join(root, f"part-{p}.parquet") for p in names]
+    files = [f for f in files if os.path.exists(f)]
     if not files:
         return None
     return pa.concat_tables([pq.read_table(f) for f in files])

@@ -317,7 +317,7 @@ class KnnIndexPartial:
         self._cache_cap = cache_blocks
 
     def _index_for(self, ids, xs, ys) -> GridPointIndex:
-        key = (len(ids), int(ids[0]), int(ids[-1]))
+        key = _block_key(ids, xs, ys)
         idx = self._cache.get(key)
         if idx is None:
             n_side = int(np.clip(np.sqrt(len(ids) / 8.0), 8, 128))
@@ -363,8 +363,23 @@ class KnnIndexPartial:
 _WORKER_GRID_CACHE: dict[tuple, GridPointIndex] = {}
 
 
+def _block_key(ids, xs, ys) -> tuple:
+    """Content key for a block's point set: a blake2b digest of the raw
+    coordinate/id bytes.  (len, first-id, last-id) alone is NOT safe —
+    two corpus snapshots with the same id layout but moved points would
+    silently reuse the wrong geometry's index.  O(n) at memcmp speed,
+    negligible next to the index build it guards."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(ids).tobytes())
+    h.update(np.ascontiguousarray(xs).tobytes())
+    h.update(np.ascontiguousarray(ys).tobytes())
+    return (len(ids), h.digest())
+
+
 def _cached_grid_index(ids, xs, ys, cap: int = 16, index: str = "grid"):
-    key = (len(ids), int(ids[0]), int(ids[-1]), index)
+    key = (*_block_key(ids, xs, ys), index)
     idx = _WORKER_GRID_CACHE.get(key)
     if idx is None:
         if index == "rtree":

@@ -92,7 +92,9 @@ def test_simhash_planted_recall(ray_session):
     import ray.data as rd
 
     t, planted = _mk_texts()
-    pairs = dedup.simhash_candidate_pairs(rd.from_arrow(t), max_hamming=16).to_pandas()
+    # bands=17 (3-bit chunks): banding completeness for hamming <= 16
+    pairs = dedup.simhash_candidate_pairs(rd.from_arrow(t), max_hamming=16,
+                                          bands=17).to_pandas()
     got = set(zip(pairs["id1"].astype(int), pairs["id2"].astype(int)))
     hit = sum(1 for p in planted if p in got)
     assert hit / len(planted) >= 0.7, (hit, len(planted))

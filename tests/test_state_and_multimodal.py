@@ -198,3 +198,54 @@ def test_real_backend_raises():
 
     with pytest.raises(NotImplementedError):
         RealDecodeBackend().decode_image(b"x")
+
+
+def test_manifest_torn_line_resume(tmp_path):
+    """A crash mid-append leaves a torn JSONL tail: completed() must skip it
+    (partition re-runs) and the next record() must not fuse onto it."""
+    from geotrellis_contrib_ray.state.checkpoint import CheckpointManifest
+
+    m = CheckpointManifest(str(tmp_path))
+    m.record("p0", rows=5)
+    with open(m.path, "a") as f:
+        f.write('{"partition": "p1", "rows"')  # torn: no close, no newline
+    done = m.completed()
+    assert set(done) == {"p0"}
+    m.record("p2", rows=7)
+    done = m.completed()
+    assert set(done) == {"p0", "p2"}
+    assert done["p2"]["rows"] == 7
+
+
+def test_pending_honors_fingerprint(tmp_path):
+    from geotrellis_contrib_ray.state.checkpoint import CheckpointManifest
+
+    m = CheckpointManifest(str(tmp_path))
+    m.record("a", rows=1, fingerprint="f1")
+    m.record("b", rows=1, fingerprint="f2")
+    fps = {"a": "f1", "b": "CHANGED"}
+    assert m.pending(["a", "b", "c"], fingerprint_fn=fps.get) == ["b", "c"]
+    # without a fingerprint_fn, name-only anti-join (old behavior)
+    assert m.pending(["a", "b", "c"]) == ["c"]
+
+
+def test_read_all_partitions_ignores_stale_files(tmp_path):
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.state.checkpoint import (
+        CheckpointManifest,
+        read_all_partitions,
+        write_partition_atomic,
+    )
+
+    root = str(tmp_path)
+    m = CheckpointManifest(root)
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    write_partition_atomic(t, root, "a")
+    m.record("a", rows=2)
+    # stale file from a previous plan: present on disk, absent from manifest
+    write_partition_atomic(pa.table({"x": pa.array([9], pa.int64())}), root, "zombie")
+    out = read_all_partitions(root)
+    assert out.num_rows == 2
+    out = read_all_partitions(root, partitions=["a", "other"])
+    assert out.num_rows == 2
