@@ -310,15 +310,19 @@ class LayoutDefinition:
         return Extent(xmin, ymax - self.tile_height, xmin + self.tile_width, ymax)
 
     def keys_for_extent(self, sub: Extent) -> list[tuple[int, int]]:
-        """All keys whose tile extent intersects ``sub``, row-major (O1)."""
+        """All keys whose tile extent intersects ``sub``, row-major (O1).
+        An extent wholly outside the layout returns [] — clamping the raw
+        indices into range FIRST would fabricate a spurious edge key."""
         cmin = int(math.floor((sub.xmin - self.extent.xmin) / self.tile_width + _EPS))
         cmax = int(math.ceil((sub.xmax - self.extent.xmin) / self.tile_width - _EPS)) - 1
         rmin = int(math.floor((self.extent.ymax - sub.ymax) / self.tile_height + _EPS))
         rmax = int(math.ceil((self.extent.ymax - sub.ymin) / self.tile_height - _EPS)) - 1
-        cmin = max(cmin, 0)
-        rmin = max(rmin, 0)
-        cmax = min(max(cmax, cmin), self.layout_cols - 1)
-        rmax = min(max(rmax, rmin), self.layout_rows - 1)
+        cmax = max(cmax, cmin)  # degenerate (point/line) extents cover 1 cell
+        rmax = max(rmax, rmin)
+        if cmax < 0 or rmax < 0 or cmin > self.layout_cols - 1 or rmin > self.layout_rows - 1:
+            return []
+        cmin, cmax = max(cmin, 0), min(cmax, self.layout_cols - 1)
+        rmin, rmax = max(rmin, 0), min(rmax, self.layout_rows - 1)
         return [(c, r) for r in range(rmin, rmax + 1) for c in range(cmin, cmax + 1)]
 
     def keys_for_geometry(self, ring: np.ndarray) -> list[tuple[int, int]]:

@@ -176,3 +176,41 @@ def _resample_average(arr: np.ndarray, dst_rows: int, dst_cols: int,
     else:
         res[cnt == 0] = 0.0
     return res
+
+
+def sample_at(pixels, sgrid, tx, ty, method: str = NEAREST, nodata=None):
+    """Sample a (bands, rows, cols) stack at world coordinates: the output
+    grid is the outer product ``ty x tx`` (row-major).  ``sgrid`` georefs
+    ``pixels``.  Cells outside the source footprint get ``nodata`` (0 when
+    None).  Exact kernels: nearest (cell membership) and bilinear
+    (center-anchored fractional weights, edge-clamped)."""
+    import numpy as np
+
+    if method not in (NEAREST, BILINEAR):
+        raise ValueError(f"sample_at supports nearest|bilinear, got {method!r}")
+    b, rows, cols = pixels.shape
+    fill = np.array(0 if nodata is None else nodata).astype(pixels.dtype)
+    fx = (np.asarray(tx, np.float64) - sgrid.extent.xmin) / sgrid.cellwidth
+    fy = (sgrid.extent.ymax - np.asarray(ty, np.float64)) / sgrid.cellheight
+    okx = (fx >= 0) & (fx < cols)
+    oky = (fy >= 0) & (fy < rows)
+    ok = oky[:, None] & okx[None, :]
+    if method == NEAREST:
+        cx = np.clip(np.floor(fx).astype(np.int64), 0, cols - 1)
+        cy = np.clip(np.floor(fy).astype(np.int64), 0, rows - 1)
+        out = pixels[:, cy[:, None], cx[None, :]]
+        return np.where(ok[None], out, fill)
+    # bilinear on cell CENTERS: fractional position relative to center grid
+    gx = np.clip(fx - 0.5, 0.0, cols - 1.0)
+    gy = np.clip(fy - 0.5, 0.0, rows - 1.0)
+    x0 = np.floor(gx).astype(np.int64)
+    y0 = np.floor(gy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, cols - 1)
+    y1 = np.minimum(y0 + 1, rows - 1)
+    wx = (gx - x0)[None, None, :]
+    wy = (gy - y0)[None, :, None]
+    p = pixels.astype(np.float64)
+    top = p[:, y0[:, None], x0[None, :]] * (1 - wx) + p[:, y0[:, None], x1[None, :]] * wx
+    bot = p[:, y1[:, None], x0[None, :]] * (1 - wx) + p[:, y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.where(ok[None], out, fill.astype(np.float64))

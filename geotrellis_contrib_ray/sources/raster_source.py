@@ -290,18 +290,23 @@ class SyntheticRasterSource(RasterSource):
             return self
         object.__setattr__(self, "overview_reads", getattr(self, "overview_reads", 0) + 1)
         full = self.read_bounds(self.grid_bounds)
-        px = full.pixels[:, ::f, ::f]
+        # dims must MATCH the advertised resolutions entry (n // f) — the
+        # raw stride gives ceil(n/f) rows, whose extent would extend past
+        # the base footprint and fabricate coverage outside the source
+        rows = max(1, self._grid.rows // f)
+        cols = max(1, self._grid.cols // f)
+        px = full.pixels[:, ::f, ::f][:, :rows, :cols]
         ov_grid = GridExtent(
             Extent(
                 self._grid.extent.xmin,
-                self._grid.extent.ymax - px.shape[1] * grid.cellheight,
-                self._grid.extent.xmin + px.shape[2] * grid.cellwidth,
+                self._grid.extent.ymax - rows * grid.cellheight,
+                self._grid.extent.xmin + cols * grid.cellwidth,
                 self._grid.extent.ymax,
             ),
             grid.cellwidth,
             grid.cellheight,
-            px.shape[2],
-            px.shape[1],
+            cols,
+            rows,
         )
         return InMemoryRasterSource(px, ov_grid, self._crs, self._cell_type)
 
@@ -384,7 +389,31 @@ class ResampleRasterSource(RasterSource):
         if src is None:
             return None
         nd = self.cell_type.nodata
-        out = rs.resample(src.pixels, inter.height, inter.width, self.method, nodata=nd)
+        e, se = target_extent, src.extent
+        tol = 1e-9 * max(1.0, abs(e.xmax - e.xmin), abs(e.ymax - e.ymin))
+        covers = (abs(se.xmin - e.xmin) <= tol and abs(se.xmax - e.xmax) <= tol
+                  and abs(se.ymin - e.ymin) <= tol and abs(se.ymax - e.ymax) <= tol)
+        if covers:
+            # aligned full-window read: array resize over the same extent
+            out = rs.resample(src.pixels, inter.height, inter.width, self.method, nodata=nd)
+            return Raster(out.astype(src.pixels.dtype, copy=False), target_extent)
+        # footprint-clipped / grid-snapped read: the returned raster covers
+        # only PART of the target window — stretching it with rs.resample
+        # would shift georeferencing and fabricate data outside the
+        # footprint.  Sample target cell centers against the src's ACTUAL
+        # grid instead, NoData outside.
+        if self.method not in (rs.NEAREST, rs.BILINEAR):
+            raise ValueError(
+                f"resample method {self.method!r} on a footprint-clipped "
+                f"window is not supported (center-sampling path does "
+                f"nearest | bilinear); read within the source footprint "
+                f"for cubic/average kernels")
+        sgrid = GridExtent.from_extent(se, src.pixels.shape[2], src.pixels.shape[1])
+        tc = np.arange(inter.col_min, inter.col_max + 1, dtype=np.float64)
+        tr = np.arange(inter.row_min, inter.row_max + 1, dtype=np.float64)
+        tx = self._target.extent.xmin + (tc + 0.5) * self._target.cellwidth
+        ty = self._target.extent.ymax - (tr + 0.5) * self._target.cellheight
+        out = rs.sample_at(src.pixels, sgrid, tx, ty, self.method, nodata=nd)
         return Raster(out.astype(src.pixels.dtype, copy=False), target_extent)
 
 
@@ -395,6 +424,14 @@ class ReprojectRasterSource(RasterSource):
 
     def __init__(self, base: RasterSource, target_crs, method: str, target_grid: GridExtent | None,
                  strategy: str = "auto-higher"):
+        if method not in ("nearest", "bilinear"):
+            # never silently degrade: the warp path samples at
+            # back-transformed cell centers, which supports nearest and
+            # bilinear exactly; other kernels would quietly fall back
+            raise ValueError(
+                f"reproject method {method!r} not supported by the warp "
+                f"path (nearest | bilinear); resample() separately for "
+                f"other kernels")
         self.base = base
         self._crs = target_crs
         self.method = method
@@ -593,8 +630,9 @@ class MosaicRasterSource(RasterSource):
             return None
         extent = self._grid.extent_for(inter)
         nd = self._ct.nodata
+        n_bands = self.band_count if bands is None else len(bands)
         acc = np.full(
-            (self.band_count, inter.height, inter.width),
+            (n_bands, inter.height, inter.width),
             nd if nd is not None else 0,
             dtype=self._ct.np_dtype,
         )

@@ -221,9 +221,18 @@ def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int =
                     right_value: pd.Series([], dtype=rv_dtype),
                 }
             )
+        # track matched-ness with an indicator, NOT value nullness: a
+        # matched right row whose value is legitimately NaN/null must
+        # survive (SQL ASOF JOIN keeps it with the NULL value)
+        rg = rg.assign(_matched=np.int8(1))
         out = pd.merge_asof(lg, rg, on=on, by=by)
-        out = out.dropna(subset=[right_value])
-        out[right_value] = out[right_value].astype(rv_dtype)
+        out = out[out["_matched"].notna()]
+        vals = out[right_value]
+        if vals.isna().any() and np.issubdtype(np.dtype(rv_dtype), np.integer):
+            # matched-but-NULL integer values: nullable Int64 -> Arrow null
+            out[right_value] = vals.astype("Int64")
+        else:
+            out[right_value] = vals.astype(rv_dtype)
         return out[[by, on, right_value]]
 
     return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
@@ -268,8 +277,17 @@ def interval_join(points, intervals, *, on: str, keep_cols=("event_id",),
     ``interval_join_bucketed``."""
     import ray
 
-    ref = ray.put([(int(i), float(lo), float(hi)) for i, lo, hi in intervals])
+    intervals = [(int(i), float(lo), float(hi)) for i, lo, hi in intervals]
     kc = list(keep_cols)
+    if not intervals:
+        # legal degenerate small side: zero hits, typed empty output
+        def empty(batch: pa.Table) -> pa.Table:
+            out = batch.select(kc).slice(0, 0)
+            return out.append_column(interval_id_col, pa.array([], pa.int64()))
+
+        return points.map_batches(empty, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+    ref = ray.put(intervals)
 
     def stab(batch: pa.Table) -> pa.Table:
         ids, tree = _cached_interval_tree(ref)

@@ -324,6 +324,34 @@ def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None,
             half_c, half_r = tcols // 2, trows // 2
             for row in rows:
                 child = tile_pixels(row)
+                if layout is not None:
+                    # place by the child's ACTUAL georeference, not key
+                    # parity alone: a footprint-clipped edge tile starts K
+                    # child-cells into its key extent, so its decimation
+                    # must sample even GLOBAL cell indices (stride offset
+                    # K%2) and land K//2-ish parent cells into the quadrant
+                    # — parity placement alone shifts clipped tiles west/up
+                    cw, ch = tw / tcols, th / trows
+                    key_xmin = layout.extent.xmin + int(row["tile_col"]) * tw
+                    key_ymax = layout.extent.ymax - int(row["tile_row"]) * th
+                    kc = int(round((row["xmin"] - key_xmin) / cw))
+                    kr = int(round((key_ymax - row["ymax"]) / ch))
+                    coff, roff = kc % 2, kr % 2
+                    if method == "average":
+                        from ..core.resample import AVERAGE, resample as rs_resample
+
+                        sub = child[:, roff:, coff:]
+                        px = rs_resample(
+                            sub, -(-sub.shape[1] // 2), -(-sub.shape[2] // 2),
+                            AVERAGE, nodata=ct.nodata,
+                        ).astype(ct.np_dtype, copy=False)
+                    else:  # nearest even-global-cell decimation
+                        px = child[:, roff::2, coff::2]
+                    qc = (int(row["tile_col"]) % 2) * half_c + (kc + coff) // 2
+                    qr = (int(row["tile_row"]) % 2) * half_r + (kr + roff) // 2
+                    px = px[:, : max(trows - qr, 0), : max(tcols - qc, 0)]
+                    acc[:, qr : qr + px.shape[1], qc : qc + px.shape[2]] = px
+                    continue
                 if method == "average":
                     from ..core.resample import AVERAGE, resample as rs_resample
 
@@ -470,6 +498,13 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
         for row in batch.to_pylist():
             px = tile_pixels(row)
             h, w = px.shape[1], px.shape[2]
+            if d > min(h, w):
+                # halos only reach ADJACENT tiles: windows wider than a tile
+                # would silently read zeros two tiles away (and thin strips
+                # mis-anchor) — refuse instead of returning wrong values
+                raise ValueError(
+                    f"focal radius {d} exceeds tile dims ({h}x{w}): halo "
+                    f"exchange is single-ring; retile with larger tiles")
             c, r = int(row["tile_col"]), int(row["tile_row"])
             for dc in (-1, 0, 1):
                 for dr in (-1, 0, 1):

@@ -263,3 +263,36 @@ def test_bloom_semi_join_tiny_filter_still_exact(ray_session):
     right = rd.from_arrow(pa.table({"k": pa.array(rkeys)}))
     out = bloom_semi_join(left, right, on="k", bits_log2=8, buckets=4).to_pandas()
     assert sorted(out["k"]) == sorted(rkeys.tolist())
+
+
+def test_asof_join_keeps_matched_null_value(ray_session):
+    """A left row that asof-matches a right row whose VALUE is null must
+    survive with the null (SQL ASOF JOIN semantics) — matched-ness is not
+    value non-nullness."""
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()), "t": pa.array([6, 6], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()), "t": pa.array([5, 5], pa.int64()),
+        "v": pa.array([None, 3.5], pa.float64()),
+    }))
+    out = asof_join(left, right, by="k", on="t", right_value="v").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert len(out) == 2
+    assert np.isnan(out["v"][0]) and out["v"][1] == 3.5
+
+
+def test_interval_join_empty_intervals(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import interval_join
+
+    pts = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()), "t": pa.array([1.0, 2.0]),
+    }))
+    out = interval_join(pts, [], on="t")
+    assert out.count() == 0

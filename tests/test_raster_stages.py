@@ -282,3 +282,59 @@ def test_focal_hillshade_matches_reference(ray_session):
     # sane range and real variation
     assert stitched.pixels[0].min() >= 0 and stitched.pixels[0].max() <= 255
     assert len(np.unique(stitched.pixels[0])) > 10
+
+
+def test_pyramid_clipped_edge_tiles_registered(ray_session):
+    """Footprint-clipped edge tiles (source starts mid-tile) must land at
+    their georeferenced position inside the parent — key parity alone
+    shifted them west/up (review repro, round 2)."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent, LayoutDefinition
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    layout = LayoutDefinition(Extent(0, 0, 40, 40), 10, 10, 4, 4)
+    src = SyntheticRasterSource(GridExtent(Extent(5, 0, 40, 40), 1.0, 1.0, 35, 40))
+    lvl1 = rst.pyramid_build(rst.tile_dataset([src], layout), levels=1,
+                             layout=layout)[1].to_pandas()
+    full = src.read(src.extent).pixels[0]
+    nd = src.cell_type.nodata
+    world = np.full((40, 40), nd, dtype=full.dtype)
+    world[0:40, 5:40] = full
+    assert len(lvl1) > 0
+    for _, r in lvl1.iterrows():
+        px = rst.tile_pixels(dict(r))[0]
+        pc, pr = int(r["tile_col"]), int(r["tile_row"])
+        truth = world[pr * 20:(pr + 1) * 20, pc * 20:(pc + 1) * 20][::2, ::2]
+        assert np.array_equal(px, truth), (pc, pr)
+
+
+def test_focal_radius_exceeding_tile_raises(ray_session):
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent, LayoutDefinition
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    layout = LayoutDefinition(Extent(0, 0, 20, 20), 8, 8, 3, 3)
+    src = SyntheticRasterSource(GridExtent(Extent(0, 0, 20, 20), 1.0, 1.0, 20, 20))
+    tiles = rst.tile_dataset([src], layout)
+    import pytest
+
+    with pytest.raises(Exception, match="focal radius"):
+        rst.summarize_tiles(rst.focal_tiles(tiles, op="sum", radius=9),
+                            nodata_aware=False).materialize()
+
+
+def test_mosaic_band_subset_read(ray_session):
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent
+    from geotrellis_contrib_ray.sources.raster_source import (
+        MosaicRasterSource,
+        SyntheticRasterSource,
+    )
+
+    g = GridExtent(Extent(0, 0, 10, 10), 1.0, 1.0, 10, 10)
+    a = SyntheticRasterSource(g, bands=2)
+    b = SyntheticRasterSource(g, bands=2)
+    m = MosaicRasterSource([a, b])
+    r = m.read(bands=[0])
+    assert r is not None and r.pixels.shape[0] == 1
