@@ -476,6 +476,12 @@ def parse_wkt(wkt: str):
     return _WktReader(s).read(srid)
 
 
+def _part(p):
+    """Multi-geometry parts are (kind, coords) or (kind, coords, srid) —
+    the WKB encoder accepts both shapes; the WKT encoder must too."""
+    return p[0], p[1]
+
+
 def _wkt_coords(kind: str, coords) -> str:
     def pt(xy):
         return f"{_fmt_coord(xy[0])} {_fmt_coord(xy[1])}"
@@ -484,24 +490,29 @@ def _wkt_coords(kind: str, coords) -> str:
         return "(" + ", ".join(pt(p) for p in np.asarray(arr)) + ")"
 
     if kind == "Point":
+        import math
+
+        if math.isnan(coords[0]) or math.isnan(coords[1]):
+            return "EMPTY"  # parse_wkt('POINT EMPTY') round-trips
         return f"({pt(coords)})"
     if kind == "LineString":
         return coord_list(coords)
     if kind == "Polygon":
         return "(" + ", ".join(coord_list(r) for r in coords) + ")"
     if kind == "MultiPoint":
-        return "(" + ", ".join(f"({pt(c)})" for _, c, _ in coords) + ")"
+        return "(" + ", ".join(f"({pt(_part(p)[1])})" for p in coords) + ")"
     if kind in ("MultiLineString", "MultiPolygon"):
-        return "(" + ", ".join(_wkt_coords(k, c) for k, c, _ in coords) + ")"
+        return "(" + ", ".join(_wkt_coords(*_part(p)) for p in coords) + ")"
     if kind == "GeometryCollection":
-        return "(" + ", ".join(geometry_to_wkt(k, c) for k, c, _ in coords) + ")"
+        return "(" + ", ".join(geometry_to_wkt(*_part(p)) for p in coords) + ")"
     raise ValueError(f"unsupported kind {kind}")
 
 
 def geometry_to_wkt(kind: str, coords, srid: int | None = None) -> str:
     """(kind, coords) -> WKT; with srid -> ``SRID=<n>;WKT`` EWKT literal
     (PostGisProjectionSupport.toLiteral form)."""
-    body = f"{kind.upper()} {_wkt_coords(kind, coords)}"
+    wc = _wkt_coords(kind, coords)
+    body = f"{kind.upper()} {wc}" if wc != "EMPTY" else f"{kind.upper()} EMPTY"
     return f"SRID={srid};{body}" if srid is not None else body
 
 

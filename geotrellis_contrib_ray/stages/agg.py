@@ -42,7 +42,12 @@ def _col_hash(arr: "pa.ChunkedArray | pa.Array") -> np.ndarray:
         return hash_utf8_array(arr).view(np.uint64)
     v = arr.to_numpy(zero_copy_only=False)
     if v.dtype.kind == "f":
+        # canonicalize before the bit view: -0.0 == 0.0 must hash equal,
+        # and every NaN payload must land in one group
+        v = v + 0.0
+        v = np.where(np.isnan(v), np.nan, v)
         v = v.view(np.uint64)
+        return v
     return v.astype(np.int64, copy=False).view(np.uint64)
 
 
@@ -58,9 +63,17 @@ def _add_salt(keys: list[str], salt: int):
 
 
 def _sort_codes(vals: np.ndarray) -> np.ndarray:
-    """int sort codes for one key column (strings -> factorized codes)."""
-    if vals.dtype == object or vals.dtype.kind in "US":
-        _, codes = np.unique(vals.astype(object), return_inverse=True)
+    """int sort codes for one key column.  Nulls group TOGETHER (one code),
+    matching Ray's groupby().aggregate(): pandas factorize handles None in
+    object columns and NaN in float columns as a single group — np.unique
+    would crash on None-vs-str comparison, and raw float codes would keep
+    every NaN row separate (NaN != NaN)."""
+    if vals.dtype == object or vals.dtype.kind in "US" or (
+        vals.dtype.kind == "f" and np.isnan(vals.astype(np.float64, copy=False)).any()
+    ):
+        import pandas as pd
+
+        codes, _ = pd.factorize(vals, use_na_sentinel=False)
         return codes
     return vals
 

@@ -164,9 +164,17 @@ def grouped_count_distinct_hll(ds, group_col: str, value_col: str, p: int = 12):
     (group, block).  Standard error ~1.04/sqrt(2^p) (~1.6% at p=12).
 
     Output: (group_col, n_approx:int64)."""
+    if p < 12:
+        # the float64-exponent clz trick is exact only while the sentinel
+        # bit (p-1) keeps the low 11 mantissa-dropped bits from rounding
+        # rest up to 2^64 (rank 0 no-op) — p >= 12 guarantees it
+        raise ValueError("grouped_count_distinct_hll requires p >= 12")
     m = 1 << p
 
     def sketch(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({group_col: pa.array([], b.schema.field(group_col).type),
+                             "regs": pa.array([], pa.binary())})
         gv = b[group_col].to_numpy(zero_copy_only=False)
         vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = _hll_mix(vals)

@@ -371,7 +371,12 @@ def vocab_coverage(ds, top_v: int = 32, id_col: str = "doc_id",
             toks = toks.combine_chunks()
         flat = toks.flatten()
         hits = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # null texts -> null list lengths -> NaN; a raw int64 cast would
+        # wrap them to INT64_MIN and corrupt the reduceat offsets
+        lens = np.nan_to_num(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        ).astype(np.int64)
         offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
         # reduceat needs strictly valid starts; empty segments yield the next
         # element — mask them to 0 afterwards

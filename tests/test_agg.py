@@ -83,3 +83,27 @@ def test_salted_reduce_single_group_and_negative_values(ray_session):
     assert got["mn"].tolist() == [-50]
     assert got["mx"].tolist() == [49]
     assert got["c"].tolist() == [100]
+
+
+def test_salted_reduce_null_and_negzero_keys(ray_session):
+    """Null keys group TOGETHER (matching Ray groupby), string nulls don't
+    crash, and -0.0 == 0.0 land in one group (review repros, round 2)."""
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.agg import salted_group_reduce
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, "a", None], pa.string()),
+        "s": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    out = salted_group_reduce(ds, ["k"], [("s", "sum", "s")]).to_pandas()
+    got = {(r["k"] if isinstance(r["k"], str) else None): r["s"] for _, r in out.iterrows()}
+    assert got == {"a": 4, None: 6}
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([0.0, -0.0, 1.0], pa.float64()),
+        "s": pa.array([1, 2, 4], pa.int64()),
+    }))
+    out = salted_group_reduce(ds, ["k"], [("s", "sum", "s")]).to_pandas()
+    got = dict(zip(out["k"], out["s"]))
+    assert got == {0.0: 3, 1.0: 4}
