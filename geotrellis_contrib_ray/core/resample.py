@@ -149,9 +149,12 @@ def _resample_average(arr: np.ndarray, dst_rows: int, dst_cols: int,
     kernel: each destination cell is the mean of the source cells whose
     centers fall in its footprint (NoData excluded)."""
     _, rows, cols = arr.shape
-    # destination bin of each source row/col center
-    rbin = np.minimum((np.arange(rows, dtype=np.int64) * dst_rows) // rows, dst_rows - 1)
-    cbin = np.minimum((np.arange(cols, dtype=np.int64) * dst_cols) // cols, dst_cols - 1)
+    # destination bin of each source row/col CENTER: center of source cell i
+    # is (i + 0.5)/src in unit space -> bin floor((2i+1)*dst / (2*src)) —
+    # binning by the LEFT EDGE (i*dst//src) shifts half-covered cells into
+    # the previous bin for non-integer ratios
+    rbin = np.minimum(((2 * np.arange(rows, dtype=np.int64) + 1) * dst_rows) // (2 * rows), dst_rows - 1)
+    cbin = np.minimum(((2 * np.arange(cols, dtype=np.int64) + 1) * dst_cols) // (2 * cols), dst_cols - 1)
     vals = arr.astype(np.float64)
     if nodata is not None:
         valid = ~np.isnan(vals) if np.isnan(nodata) else vals != nodata

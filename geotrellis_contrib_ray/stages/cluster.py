@@ -56,6 +56,10 @@ def kmeans_fit(ds, init: np.ndarray, n_iter: int = 2,
         ref = ray.put(cents)
 
         def partials(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:  # empty blocks contribute zero partials
+                z = pa.array([], pa.int64())
+                return pa.table({"cid": z, "dim": z,
+                                 "s": pa.array([], pa.float64()), "n": z})
             X = _embedding_matrix(batch[vec_col]).astype(np.float64)
             C = ray.get(ref)
             a = _assign(X, C)
@@ -99,6 +103,9 @@ def kmeans_assign(ds, cents: np.ndarray, vec_col: str = "embedding",
     ref = ray.put(np.ascontiguousarray(cents, dtype=np.float64))
 
     def label(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
         X = _embedding_matrix(batch[vec_col]).astype(np.float64)
         a = _assign(X, ray.get(ref))
         return pa.table({

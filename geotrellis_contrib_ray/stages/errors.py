@@ -22,9 +22,11 @@ def _apply_with_bisect(fn, batch: pa.Table, out_parts: list, err_parts: list):
         err_parts.append(pa.nulls(len(out), pa.string()))
         return
     except Exception as e:  # noqa: BLE001 — quarantine by design
-        if len(batch) == 1:
+        if len(batch) <= 1:
+            # base case covers 0-row batches too: bisecting an empty batch
+            # recurses on itself forever (slice(0,0) == slice(0))
             out_parts.append(batch)
-            err_parts.append(pa.array([repr(e)[:200]], pa.string()))
+            err_parts.append(pa.array([repr(e)[:200]] * len(batch), pa.string()))
             return
         mid = len(batch) // 2
         _apply_with_bisect(fn, batch.slice(0, mid), out_parts, err_parts)
@@ -55,7 +57,15 @@ def quarantine_map_batches(ds, fn, *, error_col: str = "error", **map_kwargs):
             cols = {}
             for name, typ in all_fields.items():
                 if name in part.column_names:
-                    cols[name] = part[name]
+                    col = part[name]
+                    if col.type != typ:
+                        # fn TRANSFORMED this column's type: poison slices
+                        # still carry the input type — null the value (the
+                        # original is unrecoverable into the output type)
+                        # so mixed-schema parts still concat
+                        cols[name] = pa.nulls(len(part), typ)
+                    else:
+                        cols[name] = col
                 else:
                     cols[name] = pa.nulls(len(part), typ)
             cols[error_col] = errs

@@ -129,16 +129,29 @@ class ImageFeatureExtractor:
         self.target = target
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
-        """Mean-pool resize to (target, target) — numpy-only kernel."""
+        """Mean-pool resize to (target, target) — numpy-only kernel.
+
+        GATHER per target cell (each target cell averages its source span),
+        not a source->target scatter: scattering leaves target cells with no
+        source pixel at 0 whenever the image is SMALLER than the target
+        (black stripes in the feature vector)."""
         t = self.target
         h, w, _ = img.shape
-        ri = (np.arange(h) * t // max(h, 1)).clip(0, t - 1)
-        ci = (np.arange(w) * t // max(w, 1)).clip(0, t - 1)
-        out = np.zeros((t, t, 3), dtype=np.float64)
-        cnt = np.zeros((t, t, 1), dtype=np.float64)
-        np.add.at(out, (ri[:, None], ci[None, :]), img.astype(np.float64))
-        np.add.at(cnt, (ri[:, None], ci[None, :]), 1.0)
-        return out / np.maximum(cnt, 1.0)
+        # target cell i covers source rows [i*h//t, max((i+1)*h//t, i*h//t+1))
+        rlo = (np.arange(t) * h) // t
+        rhi = np.maximum(((np.arange(t) + 1) * h) // t, rlo + 1).clip(max=h)
+        rlo = np.minimum(rlo, h - 1)
+        clo = (np.arange(t) * w) // t
+        chi = np.maximum(((np.arange(t) + 1) * w) // t, clo + 1).clip(max=w)
+        clo = np.minimum(clo, w - 1)
+        f = img.astype(np.float64)
+        # row-integral then column-integral prefix sums for O(1) span means
+        ps = np.zeros((h + 1, w + 1, 3), np.float64)
+        ps[1:, 1:] = f.cumsum(axis=0).cumsum(axis=1)
+        area = ((rhi - rlo)[:, None] * (chi - clo)[None, :]).astype(np.float64)
+        tot = (ps[rhi[:, None], chi[None, :]] - ps[rlo[:, None], chi[None, :]]
+               - ps[rhi[:, None], clo[None, :]] + ps[rlo[:, None], clo[None, :]])
+        return tot / area[:, :, None]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, widths, heights, sums = [], [], [], []

@@ -62,7 +62,14 @@ def salted_map_groups(
 
     Phase 1 groups on keys + ``_salt`` (hot keys split across buckets, cold
     keys all land in _salt=0); phase 2 re-reduces per key.  When ``hot_keys``
-    is None every key is salted (uniform protection)."""
+    is None every key is salted (uniform protection).
+
+    SCALE CONTRACT: both phases group on the RAW key, paying ~1 ms/group
+    python overhead per distinct key (CLAUDE.md) — this generic-reduce_fn
+    utility is for BOUNDED key counts (hundreds).  For many-key reductions
+    use the vectorized plans instead: agg.salted_group_reduce (sum/min/max/
+    count/first) or dedup.exact_dedup_keep_first / dedup_keep_first_salted
+    below (keep-first)."""
 
     def add_salt(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -87,19 +94,59 @@ def salted_map_groups(
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     partials = salted.groupby(keys + ["_salt"]).map_groups(phase1, batch_format=batch_format)
+    if batch_format == "pandas":
+        # pandas-format blocks feeding a groupby pay ~13x (CLAUDE.md) —
+        # force Arrow blocks between the phases
+        partials = partials.map_batches(lambda b: b, batch_format="pyarrow",
+                                        zero_copy_batch=True, batch_size=None)
     return partials.groupby(keys).map_groups(phase2, batch_format=batch_format)
 
 
 def dedup_keep_first_salted(ds, id_col: str = "doc_id", key_col: str = "fingerprint",
-                            salt_buckets: int = 16, hot_threshold: int | None = None):
-    """Skew-safe exact-dedup keep-first: a key with millions of duplicates
-    (the classic boilerplate-document hot key) reduces across salt_buckets
-    workers instead of one."""
+                            salt_buckets: int = 16, hot_threshold: int | None = None,
+                            buckets: int | None = None):
+    """Skew-safe exact-dedup keep-first over a precomputed key column.
 
-    def keep_first(g):
-        return g.sort_values(id_col, kind="mergesort").head(1)
+    Fully vectorized two-phase plan (no per-key python groups):
+    1. NARROW per-batch pre-collapse — keep the min-id row per key within
+       each block, so ANY hot key (the boilerplate-document case) is capped
+       at one row per block before the shuffle;
+    2. one bounded groupby(hash(key) % buckets) shuffle with an in-group
+       lexsort + run mask for the global min-id winner (the
+       exact_dedup_keep_first kernel; group count bounded by ``buckets``).
 
-    hot = (
-        detect_hot_keys(ds, [key_col], hot_threshold) if hot_threshold is not None else None
-    )
-    return salted_map_groups(ds, [key_col], keep_first, salt_buckets=salt_buckets, hot_keys=hot)
+    ``salt_buckets`` / ``hot_threshold`` are retained for API compatibility;
+    the pre-collapse makes explicit hot-key detection unnecessary."""
+    from .joins import default_join_partitions
+
+    n_buckets = buckets if buckets is not None else default_join_partitions()
+
+    def collapse(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        first = np.r_[True, k[order][1:] != k[order][:-1]]
+        return b.take(pa.array(np.sort(order[first])))
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        bucket = (k.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("_bucket", pa.array(bucket))
+
+    def winners(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        first = np.r_[True, k[order][1:] != k[order][:-1]]
+        return g.take(pa.array(np.sort(order[first]))).drop_columns(["_bucket"])
+
+    pre = ds.map_batches(collapse, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    tagged = pre.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None)
+    from .agg import _default_shuffle_partitions
+
+    tagged = tagged.repartition(_default_shuffle_partitions())
+    return tagged.groupby("_bucket").map_groups(winners, batch_format="pyarrow")

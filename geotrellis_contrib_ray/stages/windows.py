@@ -97,7 +97,11 @@ def sliding_window_agg(ds, size_sec: int = 3600, hop_sec: int = 1800):
     partial-agg -> tiny-groupby shape as the tumbling path.
 
     Output: event_type, window_start, n_events, sum_cents."""
-    k = size_sec // hop_sec
+    # ceil, not floor: with size % hop != 0 an event at t also belongs to
+    # the window starting at the (k-1)-th hop before it iff t < w + size —
+    # floor silently drops each window's oldest-hop contributions (and
+    # hop > size would make k == 0, an entirely empty result)
+    k = -(-size_sec // hop_sec)
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
@@ -108,11 +112,12 @@ def sliding_window_agg(ds, size_sec: int = 3600, hop_sec: int = 1800):
         offs = np.repeat(np.arange(k, dtype=np.int64), n)
         secs_r = np.tile(secs, k)
         ws = (secs_r // hop_sec - offs) * hop_sec
+        keep = secs_r < ws + size_sec  # exact membership: w <= t < w + size
         t = pa.table(
             {
-                "event_type": pa.array(np.tile(et, k).astype(object), pa.string()),
-                "window_start": ws,
-                "cents": np.tile(cents, k),
+                "event_type": pa.array(np.tile(et, k)[keep].astype(object), pa.string()),
+                "window_start": ws[keep],
+                "cents": np.tile(cents, k)[keep],
             }
         )
         g = t.group_by(["event_type", "window_start"], use_threads=False).aggregate(

@@ -249,3 +249,27 @@ def test_read_all_partitions_ignores_stale_files(tmp_path):
     assert out.num_rows == 2
     out = read_all_partitions(root, partitions=["a", "other"])
     assert out.num_rows == 2
+
+
+def test_sliding_windows_non_multiple_hop(ray_session):
+    """size % hop != 0: every window w with w <= t < w+size gets the event
+    (floor-k dropped each window's oldest hop); hop > size stays correct."""
+    import numpy as np
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import sliding_window_agg
+
+    t = pa.table({
+        "ts": pa.array(np.array([0, 2500], dtype="datetime64[us]")),
+        "value": pa.array([1.0, 1.0]),
+        "event_type": pa.array(["a", "a"], pa.string()),
+    })
+    out = sliding_window_agg(rd.from_arrow(t), size_sec=3600, hop_sec=1000).to_pandas()
+    got = dict(zip(out["window_start"], out["n_events"]))
+    # truth: event at t belongs to windows w ≡ 0 (mod 1000), t-3600 < w <= t
+    want = {}
+    for tv in (0, 2500):
+        for w in range(-3000, 3001, 1000):
+            if w <= tv < w + 3600:
+                want[w] = want.get(w, 0) + 1
+    assert got == want
