@@ -260,7 +260,7 @@ def test_sliding_windows_non_multiple_hop(ray_session):
     from geotrellis_contrib_ray.stages.windows import sliding_window_agg
 
     t = pa.table({
-        "ts": pa.array(np.array([0, 2500], dtype="datetime64[us]")),
+        "ts": pa.array(np.array([0, 2500], dtype="datetime64[s]").astype("datetime64[us]")),
         "value": pa.array([1.0, 1.0]),
         "event_type": pa.array(["a", "a"], pa.string()),
     })
