@@ -248,20 +248,21 @@ def q_interval_join_bucketed(sf_dir: str):
 
 
 def q_sliding_windows(sf_dir: str):
-    """Sliding (hopping) windows: size 3600s, hop 1800s — each event in 2
-    overlapping windows."""
+    """Sliding (hopping) windows (SLIDE_SIZE_SEC / SLIDE_HOP_SEC)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import SLIDE_HOP_SEC, SLIDE_SIZE_SEC
     from geotrellis_contrib_ray.stages import windows
 
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
-    return windows.sliding_window_agg(ds, size_sec=3600, hop_sec=1800)
+    return windows.sliding_window_agg(ds, size_sec=SLIDE_SIZE_SEC, hop_sec=SLIDE_HOP_SEC)
 
 
 def q_sessionize(sf_dir: str):
-    """Session windows per user (gap = 1800 s)."""
+    """Session windows per user (gap = SESSION_GAP_SEC)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import SESSION_GAP_SEC
     from geotrellis_contrib_ray.stages import windows
 
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    return windows.sessionize(ds, gap_sec=1800)
+    return windows.sessionize(ds, gap_sec=SESSION_GAP_SEC)
 
 
 def q_lineitem_pricing(sf_dir: str):
@@ -337,10 +338,13 @@ def q_orders_by_segment(sf_dir: str):
         ck = b["o_custkey"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keys, ck)
         pos = np.clip(pos, 0, len(keys) - 1)
-        seg = segs[pos]
-        cents = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
-            np.int64
-        )
+        # INNER-join semantics: a custkey absent from customer must be
+        # DROPPED, not attributed to the nearest neighbor's segment
+        hit = keys[pos] == ck
+        seg = segs[pos][hit]
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)[hit] * 100.0
+        ).astype(np.int64)
         t = pa.table({"c_mktsegment": pa.array(seg, pa.string()), "cents": cents})
         g = t.group_by("c_mktsegment", use_threads=False).aggregate(
             [("cents", "sum"), ("cents", "count")]
@@ -533,17 +537,20 @@ def q_stride_sample(sf_dir: str):
     GeotrellisRasterSourceBench.scala:37-42)."""
     import pyarrow as pa
 
+    from geotrellis_contrib_ray.pipelines.query_defs import STRIDE_LIMIT, STRIDE_N
+
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def stride(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % 5 == 0))
+        return b.filter(pa.array(ids % STRIDE_N == 0))
 
-    # doc_id is dense 0..N-1, so id%5==0 == "every 5th in id order"
+    # KEY-stride semantics (id % N == 0), shared with the SQL twin — a
+    # row_number-based oracle would agree only for dense 0-based ids
     return (
         ds.map_batches(stride, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .sort("doc_id")
-        .limit(100)
+        .limit(STRIDE_LIMIT)
     )
 
 
@@ -592,8 +599,13 @@ def q_ann_cosine(sf_dir: str):
     from geotrellis_contrib_ray.stages import ann
 
     head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qmask = np.isin(head["vec_id"].to_numpy(), [0, 1, 2, 3])
-    queries = ann._embedding_matrix(head["embedding"])[qmask]
+    ids = head["vec_id"].to_numpy()
+    # vec_id ORDER, not file order: CosineTopK labels query_id positionally,
+    # so an unsorted parquet would silently mislabel queries (rows-only
+    # check can't catch it) — same remap contract as q_ann_rank
+    order = np.argsort(ids)
+    qsel = order[np.isin(ids[order], [0, 1, 2, 3])]
+    queries = ann._embedding_matrix(head["embedding"])[qsel]
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann.ann_topk(ds, queries, k=10)
 
@@ -627,7 +639,8 @@ def q_ann_ivf(sf_dir: str):
 
     head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     emb = ann._embedding_matrix(head["embedding"])
-    queries = emb[:4]
+    order = np.argsort(head["vec_id"].to_numpy())  # vec_id order, not file order
+    queries = emb[order[:4]]
     sample = emb[:: max(1, len(emb) // 256)]
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann.ann_ivf_topk(ds, queries, k=10, sample=sample, n_lists=16, nprobe=4)
@@ -641,7 +654,8 @@ def q_ann_lsh(sf_dir: str):
 
     head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     emb = ann._embedding_matrix(head["embedding"])
-    queries = emb[:4]
+    order = np.argsort(head["vec_id"].to_numpy())  # vec_id order, not file order
+    queries = emb[order[:4]]
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann.ann_lsh_topk(ds, queries, k=10, dim=emb.shape[1], n_planes=6)
 
@@ -1031,10 +1045,15 @@ def q_train_split(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        SPLIT_TEST_BELOW,
+        SPLIT_VAL_BELOW,
+    )
     from geotrellis_contrib_ray.stages.pack import train_val_test_split
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    tagged = train_val_test_split(ds)
+    tagged = train_val_test_split(ds, test_pct=SPLIT_TEST_BELOW,
+                                  val_pct=SPLIT_VAL_BELOW - SPLIT_TEST_BELOW)
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.select(["split", "n_chars", "doc_id"]).group_by("split", use_threads=False).aggregate(
@@ -1748,11 +1767,15 @@ def oracle_sql() -> dict[str, str]:
     convex_name = ZONE_CONVEX[0]
 
     sql = {}
+    _ncols = int(round(360.0 / tw))
+    _nrows = int(round(180.0 / th))
+    # LEAST/GREATEST mirror the Ray side's np.clip (key_for_point): a point
+    # exactly on the domain max edge belongs to the LAST tile, not tile N
     sql["tile_assign"] = f"""
 WITH {geo_cte()}
 SELECT doc_id,
-       CAST(floor((lon - (-180.0)) / {tw!r}) AS BIGINT) AS tile_col,
-       CAST(floor((90.0 - lat) / {th!r}) AS BIGINT) AS tile_row
+       LEAST(GREATEST(CAST(floor((lon - (-180.0)) / {tw!r}) AS BIGINT), 0), {_ncols - 1}) AS tile_col,
+       LEAST(GREATEST(CAST(floor((90.0 - lat) / {th!r}) AS BIGINT), 0), {_nrows - 1}) AS tile_row
 FROM pts"""
 
     from geotrellis_contrib_ray.pipelines.query_defs import hilbert_sql_cte
@@ -1766,8 +1789,8 @@ SELECT doc_id, d AS hkey, (d >> 22) AS part FROM hfinal"""
 WITH {geo_cte()},
   xy AS (
     SELECT doc_id,
-           CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS BIGINT) AS x,
-           CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT) AS y
+           LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS BIGINT), 0), 8191) AS x,
+           LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT), 0), 4095) AS y
     FROM pts
   )
 SELECT doc_id,
@@ -1880,25 +1903,33 @@ SELECT e.event_id, CAST(i.interval_id AS BIGINT) AS interval_id
 FROM events e JOIN intervals i ON e.value >= i.lo AND e.value <= i.hi"""
     sql["interval_join_bucketed"] = sql["interval_join"]
 
-    sql["sliding_windows"] = """
+    from geotrellis_contrib_ray.pipelines.query_defs import SLIDE_HOP_SEC, SLIDE_SIZE_SEC
+
+    _k_hops = -(-SLIDE_SIZE_SEC // SLIDE_HOP_SEC)
+    _hop_rows = ", ".join(f"(CAST({j} AS BIGINT))" for j in range(_k_hops))
+    sql["sliding_windows"] = f"""
 WITH expanded AS (
   SELECT event_type,
-         (CAST(floor(epoch(ts) / 1800) AS BIGINT) - g.k) * 1800 AS window_start,
+         (CAST(floor(epoch(ts) / {SLIDE_HOP_SEC}) AS BIGINT) - g.k) * {SLIDE_HOP_SEC} AS window_start,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
          CAST(floor(value * 100.0) AS BIGINT) AS cents
-  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS g(k)
+  FROM events CROSS JOIN (VALUES {_hop_rows}) AS g(k)
 )
 SELECT event_type, window_start,
        CAST(sum(cents) AS BIGINT) AS sum_cents,
        count(*) AS n_events
-FROM expanded GROUP BY event_type, window_start"""
+FROM expanded WHERE s < window_start + {SLIDE_SIZE_SEC}
+GROUP BY event_type, window_start"""
 
-    sql["sessionize"] = """
+    from geotrellis_contrib_ray.pipelines.query_defs import SESSION_GAP_SEC
+
+    sql["sessionize"] = f"""
 WITH e AS (
   SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
 ),
 marked AS (
   SELECT user_id, s,
-         CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 1800
+         CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > {SESSION_GAP_SEC}
               OR lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
               THEN 1 ELSE 0 END AS is_new
   FROM e
@@ -2008,10 +2039,13 @@ ORDER BY n_chars DESC, doc_id LIMIT 10"""
     sql["distinct_lang_source"] = """
 SELECT DISTINCT lang, source FROM documents"""
 
-    sql["stride_sample"] = """
-SELECT doc_id FROM (
-  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents
-) WHERE rn % 5 = 1 ORDER BY doc_id LIMIT 100"""
+    from geotrellis_contrib_ray.pipelines.query_defs import STRIDE_LIMIT, STRIDE_N
+
+    # KEY-stride, identical to the Ray plan (row_number % N would agree
+    # only while doc_id is dense and 0-based)
+    sql["stride_sample"] = f"""
+SELECT doc_id FROM documents WHERE doc_id % {STRIDE_N} = 0
+ORDER BY doc_id LIMIT {STRIDE_LIMIT}"""
 
     # --- raster family: DuckDB reproduces the synthetic pixel formula with
     # generate_series CTEs and compares per-tile integer checksums ----------
@@ -2159,9 +2193,12 @@ SELECT doc_id, n_tokens,
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS seq_id
 FROM t"""
 
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        SPLIT_TEST_BELOW, SPLIT_VAL_BELOW)
+
     sql["train_split"] = f"""
-SELECT CASE WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < 10 THEN 'test'
-            WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < 20 THEN 'val'
+SELECT CASE WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < {SPLIT_TEST_BELOW} THEN 'test'
+            WHEN ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {SPLIT_MOD} < {SPLIT_VAL_BELOW} THEN 'val'
             ELSE 'train' END AS split,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        count(*) AS n_docs

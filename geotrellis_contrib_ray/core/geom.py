@@ -87,6 +87,24 @@ def points_in_ring(px, py, ring: np.ndarray) -> np.ndarray:
     return (crossings.sum(axis=1) % 2).astype(bool)
 
 
+def points_on_ring_boundary(px, py, ring: np.ndarray, eps: float = 0.0) -> np.ndarray:
+    """Vectorized point-ON-ring-edge test (exact for eps=0): |cross| <= eps
+    and the point within the segment's bbox.  OR-ed with the even-odd
+    interior test this gives CLOSED-boundary containment — the semantics of
+    SQL BETWEEN box joins and the brute tier's half-plane <= 0 (ray-casting
+    alone excludes top/right edges)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    pxc, pyc = px[:, None], py[:, None]
+    cross = (x1 - x0) * (pyc - y0) - (y1 - y0) * (pxc - x0)
+    inx = (pxc >= np.minimum(x0, x1) - eps) & (pxc <= np.maximum(x0, x1) + eps)
+    iny = (pyc >= np.minimum(y0, y1) - eps) & (pyc <= np.maximum(y0, y1) + eps)
+    return ((np.abs(cross) <= eps) & inx & iny).any(axis=1)
+
+
+
 def _segments_intersect(ax, ay, bx, by, cx, cy, dx, dy) -> bool:
     def ccw(px, py, qx, qy, rx, ry):
         return (qx - px) * (ry - py) - (qy - py) * (rx - px)

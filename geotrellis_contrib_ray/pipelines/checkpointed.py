@@ -26,8 +26,16 @@ def run_flagship_checkpointed(
     Partition fingerprint = the id range itself (deterministic input);
     span_hash = xor of the partition's corpus span signatures, proving the
     lift stage preserved span sequences for every partition that completed."""
-    step = (n_docs + n_partitions - 1) // n_partitions
-    parts = [f"{i * step}-{min((i + 1) * step, n_docs)}" for i in range(n_partitions)]
+    step = max(1, (n_docs + n_partitions - 1) // n_partitions)
+    # ceil-step can overrun n_docs before the last partition (e.g. 49 docs /
+    # 8 partitions -> step 7 covers everything by partition 6): clamp lo AND
+    # drop empty/inverted ranges instead of shipping rd.range(<=0) plans
+    parts = []
+    for i in range(n_partitions):
+        lo, hi = i * step, min((i + 1) * step, n_docs)
+        if lo >= hi:
+            break
+        parts.append(f"{lo}-{hi}")
 
     def make(p: str) -> pa.Table:
         lo, hi = map(int, p.split("-"))
@@ -44,7 +52,12 @@ def run_flagship_checkpointed(
             gen, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
         res = flagship_over(docs)
-        return pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+        # concat ARROW blocks: Dataset.to_pandas() on a 0-row dataset drops
+        # the columns, and a column-less parquet poisons read_all_partitions
+        import ray as _ray
+
+        blocks = _ray.get(res.materialize().to_arrow_refs())
+        return pa.concat_tables(blocks) if blocks else res.schema().empty_table()
 
     def span_hash(table: pa.Table) -> int:
         # the flagship output is the aggregate; hash its content for lineage

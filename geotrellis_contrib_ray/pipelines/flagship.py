@@ -112,6 +112,8 @@ def flagship_over(docs_ds: "rd.Dataset") -> "rd.Dataset":
     return rd.from_arrow(driver_group_rollup(
         joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,),
         ["zone_name", "parent_cell"], [("pcnt", "sum", "n_spans")],
+        schema=pa.schema([("zone_name", pa.string()), ("parent_cell", pa.int64()),
+                          ("pcnt", pa.int64())]),
     ))
 
 

@@ -93,6 +93,16 @@ DIST_THETA = 0.1
 
 # tumbling window size for the events query (seconds)
 WINDOW_SEC = 3600
+# shared by q_sessionize / q_sliding_windows / q_train_split / q_stride_sample
+# AND their generated SQL twins (the CLAUDE.md oracle rule: one constant,
+# both engines)
+SESSION_GAP_SEC = 1800
+SLIDE_SIZE_SEC = 3600
+SLIDE_HOP_SEC = 1800
+SPLIT_TEST_BELOW = 10
+SPLIT_VAL_BELOW = 20
+STRIDE_N = 5
+STRIDE_LIMIT = 100
 
 # interval join: closed [lo, hi] ranges over events.value.  Integer-valued
 # doubles (no literal drift between numpy and DuckDB), step 3 / width 4 so

@@ -132,7 +132,8 @@ def _reduce_columns(get, keys: list[str],
 def driver_group_rollup(ds, keys: list[str],
                         aggs: list[tuple[str | None, str, str]],
                         *, carry: tuple[str, ...] = (),
-                        max_partial_rows: int = 4_000_000) -> pa.Table:
+                        max_partial_rows: int = 4_000_000,
+                        schema: "pa.Schema | None" = None) -> pa.Table:
     """FINAL-rollup tier for bounded group counts: combine per-block partial
     rows on the driver, with NO all-to-all at all.
 
@@ -159,10 +160,13 @@ def driver_group_rollup(ds, keys: list[str],
     mat = ds.materialize()
     tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
     if not tables:
-        # typed empty result (schema() is safe: ds was just executed)
-        s = mat.schema()
+        # typed empty result; a BLOCK-LESS materialized dataset (rd.range(0)
+        # upstream) returns schema() None — callers with such upstreams pass
+        # ``schema`` (the PARTIAL's schema) so key dtypes survive; the final
+        # int64 fallback is for unknown agg aliases only
+        s = schema if schema is not None else mat.schema()
         names = list(keys) + list(carry) + [a for _, _, a in aggs]
-        t = dict(zip(s.names, s.types))
+        t = dict(zip(s.names, s.types)) if s is not None and getattr(s, "names", None) else {}
         return pa.schema([(n, t.get(n, pa.int64())) for n in names]).empty_table()
     part = pa.concat_tables(tables)
     if part.num_rows > max_partial_rows:

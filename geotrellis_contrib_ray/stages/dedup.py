@@ -1220,7 +1220,7 @@ def _substring_windows(b: pa.Table, *, win: int, stride: int,
 
 
 def substring_match_pairs(ds, win: int = 32, stride: int = 16,
-                          group_salt: int = 64,
+                          group_salt: int = 64, max_bucket: int | None = None,
                           id_col: str = "doc_id", text_col: str = "text"):
     """Doc pairs sharing >= 1 exact ``win``-char substring window (stride
     grid), with the shared-window count: (id1, id2, n_grams), id1 < id2.
@@ -1231,10 +1231,13 @@ def substring_match_pairs(ds, win: int = 32, stride: int = 16,
     emission with IN-GROUP partial pair counts -> bounded-salt total sum.
     Exactness: grouping/verification is on the window STRING (Arrow/numpy
     equality), never only its hash — no false pairs from hash collisions.
+    ``max_bucket=None`` (the default) emits EVERY pair so the operator
+    stays exact against its SQL oracle; pass an int to cap a window's
+    member count at scale (a window shared by n docs emits n^2/2 pairs) —
+    dropped windows are logged, and the output is then a recall-limited
+    candidate set, not the exact pair relation.
     Partitioning assumption: one salted group's window rows fit a worker
-    (scale ``group_salt`` with the corpus); a window shared by millions of
-    docs emits O(n^2) pairs — cap upstream with a hot-window drop if that
-    is a real corpus shape (cf. minhash max_bucket)."""
+    (scale ``group_salt`` with the corpus)."""
     from .agg import salted_group_reduce
     from .text import hash_utf8_array
 
@@ -1252,7 +1255,7 @@ def substring_match_pairs(ds, win: int = 32, stride: int = 16,
                            zero_copy_batch=True, batch_size=None)
     salted = salted.repartition(_shuffle_parts())
 
-    def pairs(gdf, max_bucket: int = 1000):
+    def pairs(gdf):
         ids = gdf[id_col].to_numpy().astype(np.int64)
         gs = gdf["g"].to_numpy()
         order = np.lexsort((ids, gs))
@@ -1266,7 +1269,7 @@ def substring_match_pairs(ds, win: int = 32, stride: int = 16,
         # CLAUDE.md warns about); cap pathological hot windows like minhash
         for ri in np.nonzero(counts >= 2)[0]:
             n = int(counts[ri])
-            if n > max_bucket:
+            if max_bucket is not None and n > max_bucket:
                 _log_bucket_drop("substring_match_pairs", n, max_bucket)
                 continue
             run = ido[starts[ri]:ends[ri]]

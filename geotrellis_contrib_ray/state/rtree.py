@@ -202,6 +202,8 @@ class HilbertPolygonIndex:
             sel = cand_pid == pid
             pts = pt_idx[sel]
             inside = geommod.points_in_ring(px[pts], py[pts], self.rings[pid])
+            # closed boundaries (BETWEEN semantics — see GridPolygonIndex)
+            inside |= geommod.points_on_ring_boundary(px[pts], py[pts], self.rings[pid])
             keep_pt.append(pts[inside])
             keep_pid.append(np.full(int(inside.sum()), pid, dtype=np.int64))
         return np.concatenate(keep_pt), np.concatenate(keep_pid)

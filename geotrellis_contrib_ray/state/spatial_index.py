@@ -49,10 +49,15 @@ class GridPolygonIndex:
         )
 
     def query_points(self, px: np.ndarray, py: np.ndarray):
-        """-> (point_idx array, polygon_id array) of exact containment hits."""
+        """-> (point_idx array, polygon_id array) of exact containment hits.
+        CLOSED boundaries: membership and refine both include points exactly
+        on the index bbox / polygon edges (BETWEEN semantics, matching the
+        brute tier and the SQL oracle)."""
         bx = np.floor((px - self.xmin) / self.dx).astype(np.int64)
         by = np.floor((py - self.ymin) / self.dy).astype(np.int64)
-        in_grid = (bx >= 0) & (bx < self.nx) & (by >= 0) & (by < self.ny)
+        # closed bbox: a point exactly ON the max edge belongs to the last
+        # cell (floor puts it at index nx, which strict `< nx` would drop)
+        in_grid = (px >= self.xmin) & (px <= self.xmax) & (py >= self.ymin) & (py <= self.ymax)
         bx = np.clip(bx, 0, self.nx - 1)
         by = np.clip(by, 0, self.ny - 1)
         bucket = by * self.nx + bx
@@ -76,6 +81,7 @@ class GridPolygonIndex:
             sel = cand_pid == pid
             pts = pt_idx[sel]
             inside = geommod.points_in_ring(px[pts], py[pts], self.rings[pid])
+            inside |= geommod.points_on_ring_boundary(px[pts], py[pts], self.rings[pid])
             keep_pt.append(pts[inside])
             keep_pid.append(np.full(int(inside.sum()), pid, dtype=np.int64))
         return np.concatenate(keep_pt), np.concatenate(keep_pid)

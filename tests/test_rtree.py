@@ -226,3 +226,18 @@ def test_grid_point_index_bulk_ties_and_k_exceeds_n():
     qpos, bids, bd = idx.nearest_k_bulk(np.array([1.0]), np.array([0.0]), 10)
     assert qpos.tolist() == [0] * 5
     assert bids.tolist() == [40, 10, 20, 30, 5]
+
+
+def test_polygon_index_closed_boundaries():
+    """Points exactly ON a zone edge (incl. the index's global max edge) are
+    contained in BOTH index tiers — BETWEEN/half-plane closed semantics, the
+    same as the brute tier and the SQL oracle (review repro, round 2)."""
+    ring = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], float)
+    px = np.array([10.0, 10.0, 5.0, 0.0, 10.0, 11.0])
+    py = np.array([5.0, 10.0, 10.0, 0.0, 0.0, 5.0])
+    g = GridPolygonIndex([("z", ring)])
+    pt, _ = g.query_points(px, py)
+    assert sorted(pt.tolist()) == [0, 1, 2, 3, 4]
+    h = HilbertPolygonIndex([("z", ring)])
+    pt, _ = h.query_points(px, py)
+    assert sorted(pt.tolist()) == [0, 1, 2, 3, 4]
