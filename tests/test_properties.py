@@ -195,3 +195,44 @@ def test_substring_windows_match_python(texts, win, stride):
         for o in range(0, len(s) - win + 1, stride):
             want.add((i, s[o:o + win]))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""])),
+            st.integers(min_value=-5, max_value=5),
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+        ),
+        min_size=0, max_size=60,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_reduce_columns_matches_pandas_groupby(rows):
+    """_reduce_columns (the kernel under salted_group_reduce AND
+    driver_group_rollup) == pandas groupby(dropna=False) for sum/min/max/
+    count over string keys with nulls and empty strings."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.agg import _reduce_columns
+
+    if not rows:
+        return
+    k = np.array([r[0] for r in rows], dtype=object)
+    s = np.array([r[1] for r in rows], dtype=np.int64)
+    f = np.array([r[2] for r in rows], dtype=np.float64)
+    data = {"k": k, "s": s, "f": f}
+    out = _reduce_columns(lambda c: data[c], ["k"],
+                          [("s", "sum", "s_sum"), ("f", "min", "f_min"),
+                           (None, "count", "n")]).to_pandas()
+    got = {(row["k"] if isinstance(row["k"], str) else None):
+           (row["s_sum"], round(row["f_min"], 9), row["n"])
+           for _, row in out.iterrows()}
+    df = pd.DataFrame({"k": k, "s": s, "f": f})
+    exp_df = df.groupby("k", dropna=False).agg(
+        s_sum=("s", "sum"), f_min=("f", "min"), n=("s", "size"))
+    exp = {(idx if isinstance(idx, str) else None):
+           (row["s_sum"], round(row["f_min"], 9), row["n"])
+           for idx, row in exp_df.iterrows()}
+    assert got == exp
