@@ -143,10 +143,16 @@ STOP_WORDS = (
 JACCARD_K = 5
 
 # exact substring-duplication windows (dedup.substring_match_pairs and its
-# SQL twin share these; SUBSTR_MAX_OFF must cover max text length)
+# SQL twin share these; SUBSTR_MAX_OFF must cover max text length — the Ray
+# query guards max(length(text)) <= SUBSTR_MAX_OFF + SUBSTR_WIN - 1 loudly)
 SUBSTR_WIN = 32
 SUBSTR_STRIDE = 16
 SUBSTR_MAX_OFF = 8192
+
+# chunk_docs SQL twin enumerates chunk offsets 0..CHUNK_SQL_SERIES (DuckDB
+# generate_series takes constants only); the Ray query guards
+# max(length(text)) <= (CHUNK_SQL_SERIES + 1) * stride loudly
+CHUNK_SQL_SERIES = 255
 JACCARD_THRESHOLD = 0.5
 JACCARD_SAMPLE_LIMIT = 250  # doc_id < 250
 

@@ -21,7 +21,10 @@ when the reduction collapses rows (same rule as everywhere else).
 
 Ops: sum / min / max / count / first; ``carry`` columns must be pure
 functions of the key (constant within each group; first value is taken).
-Key columns may be int/uint/float64 or utf8.
+Key columns may be int/uint/float64 or utf8.  Integer key columns must be
+NON-NULL (a nullable int degrades to float64 through numpy, changing the
+output dtype — driver_group_rollup refuses such keys loudly); null keys in
+string/float columns group together, matching groupby(dropna=False).
 """
 from __future__ import annotations
 
@@ -52,7 +55,13 @@ def _col_hash(arr: "pa.ChunkedArray | pa.Array") -> np.ndarray:
 
 
 def _add_salt(keys: list[str], salt: int):
+    from ..util import strip_schema_metadata
+
     def add(b: pa.Table) -> pa.Table:
+        # metadata-bearing schemas (the parquet b'pandas' blob) are
+        # unhashable and defeat Ray's shuffle schema-dedup cache — strip
+        # here, the chokepoint every salted wide op passes through
+        b = strip_schema_metadata(b)
         h = np.zeros(len(b), dtype=np.uint64)
         for k in keys:
             h = (h * _MIX) ^ _col_hash(b[k])
@@ -100,14 +109,20 @@ def _reduce_columns(get, keys: list[str],
     kvals = [get(k) for k in keys]
     codes = [_sort_codes(v) for v in kvals]
     order = np.lexsort(tuple(reversed(codes)))
-    sorted_codes = [c[order] for c in codes]
     n = len(order)
-    change = np.zeros(n, dtype=bool)
-    change[0] = True
-    for c in sorted_codes:
-        change[1:] |= c[1:] != c[:-1]
-    st = np.nonzero(change)[0]
-    lens = np.diff(np.r_[st, n])
+    if n == 0:
+        # typed empty result (change[0] below would IndexError); output
+        # dtypes come from the same out_col path as the non-empty case
+        st = np.zeros(0, dtype=np.int64)
+        lens = np.zeros(0, dtype=np.int64)
+    else:
+        sorted_codes = [c[order] for c in codes]
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in sorted_codes:
+            change[1:] |= c[1:] != c[:-1]
+        st = np.nonzero(change)[0]
+        lens = np.diff(np.r_[st, n])
 
     def out_col(vals):
         picked = vals[order][st]
@@ -125,7 +140,11 @@ def _reduce_columns(get, keys: list[str],
             cols[alias] = out_col(get(src))
         else:
             v = get(src)[order]
-            cols[alias] = pa.array(_OPS[op].reduceat(v, st))
+            if n == 0:
+                # reduceat on an empty index array raises; keep the dtype
+                cols[alias] = pa.array(v[:0])
+            else:
+                cols[alias] = pa.array(_OPS[op].reduceat(v, st))
     return pa.table(cols)
 
 
@@ -177,6 +196,15 @@ def driver_group_rollup(ds, keys: list[str],
     def get(c):
         col = part[c]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if c in keys and pa.types.is_integer(arr.type) and arr.null_count:
+            # to_numpy on a nullable int column degrades to float64+NaN and
+            # the output key dtype silently changes — refuse loudly instead
+            # (the "dtypes preserved" contract; string/float keys group
+            # nulls fine via the factorize path in _sort_codes)
+            raise ValueError(
+                f"driver_group_rollup key column {c!r} is integer with "
+                "nulls — fill or cast it before the rollup (int keys must "
+                "be non-null to preserve the output dtype)")
         return arr.to_numpy(zero_copy_only=False)
 
     return _reduce_columns(get, keys, aggs, carry)

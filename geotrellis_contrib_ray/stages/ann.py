@@ -166,27 +166,25 @@ def ann_topk_ranks(ds, queries: np.ndarray, k: int, query_ids, id_col: str = "ve
 
     from .stats import top_k_per_group
 
+    # rank computed INSIDE the merge (rank_col=...), the only stage where a
+    # query's rows are guaranteed whole — Ray's dynamic block splitting can
+    # split a map_groups output block, so a later per-block rank pass could
+    # restart at 1 mid-query (ADVICE r2)
     top = top_k_per_group(partial, group_col="query_id", order_col="cosine",
-                          k=k, tie_col="vec_id", ascending=False)
+                          k=k, tie_col="vec_id", ascending=False,
+                          rank_col="rnk")
 
-    def rank(b: pa.Table) -> pa.Table:
-        # groups arrive WHOLE per block (the salted merge emits one table per
-        # salted group); re-derive the in-group rank order vectorized
+    def remap(b: pa.Table) -> pa.Table:
+        # row-wise only (safe under any block layout): positional query
+        # index -> the caller's stable id; drop the float column
         q = b["query_id"].to_numpy(zero_copy_only=False)
-        c = b["cosine"].to_numpy(zero_copy_only=False)
-        v = b["vec_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, -c, q))
-        qs, n = q[order], len(q)
-        start = np.maximum.accumulate(
-            np.where(np.r_[True, qs[1:] != qs[:-1]], np.arange(n), 0))
-        rnk = np.arange(n) - start + 1
         return pa.table({
-            "query_id": pa.array(qid[qs]),
-            "vec_id": pa.array(v[order]),
-            "rnk": pa.array(rnk.astype(np.int64)),
+            "query_id": pa.array(qid[q]),
+            "vec_id": b["vec_id"],
+            "rnk": b["rnk"],
         })
 
-    return top.map_batches(rank, batch_format="pyarrow", zero_copy_batch=True,
+    return top.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True,
                            batch_size=None)
 
 

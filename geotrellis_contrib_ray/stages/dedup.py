@@ -126,7 +126,9 @@ def exact_dedup_keep_first(ds, id_col: str = "doc_id", text_col: str = "text",
     n_buckets = buckets if buckets is not None else default_join_partitions()
 
     def tag(b: pa.Table) -> pa.Table:
-        b = add_fingerprint(b)
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(add_fingerprint(b))  # unhashable-schema rule
         fp = b["fingerprint"].to_numpy(zero_copy_only=False)
         bucket = (fp.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
         return b.append_column("_bucket", pa.array(bucket))

@@ -46,10 +46,18 @@ def quarantine_map_batches(ds, fn, *, error_col: str = "error", **map_kwargs):
         err_parts: list[pa.Array] = []
         _apply_with_bisect(fn, batch, out_parts, err_parts)
         # unify schemas: failed slices keep input columns; fill fn-added
-        # columns with nulls so all parts concat
-        schemas = [p.schema for p in out_parts]
+        # columns with nulls so all parts concat.  Type union is seeded from
+        # SUCCESS parts first (err entry all-null): when fn transforms a
+        # column's dtype and a poison slice (input-typed) happens to be
+        # emitted first, bisect order must not let the input type win — that
+        # would null out every successful part's transformed values.  Poison
+        # part types only fill columns no success part carries.
+        success_schemas = [p.schema for p, e in zip(out_parts, err_parts)
+                           if e.null_count == len(e)]
+        poison_schemas = [p.schema for p, e in zip(out_parts, err_parts)
+                          if e.null_count != len(e)]
         all_fields: dict[str, pa.DataType] = {}
-        for s in schemas:
+        for s in success_schemas + poison_schemas:
             for f in s:
                 all_fields.setdefault(f.name, f.type)
         norm = []

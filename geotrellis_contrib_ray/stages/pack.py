@@ -40,15 +40,39 @@ def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "text",
-                   chunk_size: int = 4096):
+                   chunk_size: int = 4096, super_size: int | None = None):
     """-> (doc_id, n_tokens, seq_id): seq_id = floor(presum / budget) where
     presum is the total token count of all lower-id docs.
 
     A document whose tokens straddle a budget boundary belongs to the
     sequence its FIRST token lands in (documents are not split — the
-    convention that keeps the op a pure assignment).  Partitioning
-    assumption: one chunk (chunk_size docs) fits a worker."""
+    convention that keeps the op a pure assignment).
+
+    Distributed shape — a THREE-level prefix sum (the global cumsum is the
+    one inherently sequential step; hierarchy makes every level bounded):
+
+      1. per-chunk token totals (chunk = doc_id // chunk_size): partial
+         per-batch aggregation + one bounded-salt reduce — a DATASET of
+         n/chunk_size rows, never collected;
+      2. per-SUPER-chunk totals (sc = chunk // super_size): second partial
+         reduce; only n/(chunk_size*super_size) rows reach the driver for
+         the exclusive cumsum (10^12 docs at the 4096/4096 defaults ->
+         ~60k driver rows), broadcast via ray.put;
+      3. chunk offsets: groupby(sc) over the level-1 dataset — within-sc
+         exclusive cumsum + the broadcast sc prefix (<= super_size rows per
+         group) -> a (chunk, _chunk_off) dataset;
+      4. final assignment: the chunk-offset rows are UNIONED with the doc
+         rows (tagged-union join — shares the one groupby(chunk) shuffle
+         instead of a second join stage); within each chunk group the
+         offset row seeds the doc-level cumsum.
+
+    Only (doc_id, n_tokens, chunk) cross the wide step — the text column
+    never shuffles.  Partitioning assumptions: one chunk (chunk_size docs)
+    and one super-chunk's CHUNK TOTALS (super_size rows) fit a worker."""
     import ray
+
+    if super_size is None:
+        super_size = chunk_size
 
     with_tok = ds.map_batches(
         lambda b: add_token_count(b, text_col),
@@ -59,11 +83,16 @@ def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "tex
 
     def add_chunk(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column("chunk", pa.array(ids // chunk_size))
+        # narrow projection: the shuffle never carries text
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": b["n_tokens"],
+            "chunk": pa.array(ids // chunk_size),
+        })
 
     chunked = with_tok.map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
-    # level 1: per-chunk totals (partial per batch, tiny final groupby)
+    # level 1: per-chunk totals (partial per batch, bounded-salt reduce)
     def chunk_partial(b: pa.Table) -> pa.Table:
         g = b.select(["chunk", "n_tokens"]).group_by("chunk", use_threads=False).aggregate(
             [("n_tokens", "sum")]
@@ -77,34 +106,95 @@ def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "tex
     chunk_tot = salted_group_reduce(
         chunked.map_batches(chunk_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         ["chunk"], [("ptok", "sum", "chunk_tokens")],
-    ).to_pandas()
-    chunk_tot = chunk_tot.sort_values("chunk").reset_index(drop=True)
-    prefix = np.concatenate([[0], np.cumsum(chunk_tot["chunk_tokens"].to_numpy())[:-1]])
-    offsets_ref = ray.put(
-        dict(zip(chunk_tot["chunk"].astype(np.int64).tolist(), prefix.astype(np.int64).tolist()))
     )
 
-    # level 2: within-chunk cumsum + broadcast chunk offset
-    def assign(g):
-        import pandas as pd
+    # level 2: super-chunk totals -> driver cumsum (n/(chunk*super) rows)
+    def sc_partial(b: pa.Table) -> pa.Table:
+        sc = b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) // super_size
+        t = pa.table({"sc": pa.array(sc), "chunk_tokens": b["chunk_tokens"]})
+        g = t.group_by("sc", use_threads=False).aggregate([("chunk_tokens", "sum")])
+        return g.rename_columns(["sc", "ptok"])
+
+    sc_tot = salted_group_reduce(
+        chunk_tot.map_batches(sc_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None),
+        ["sc"], [("ptok", "sum", "sc_tokens")],
+    ).to_pandas().sort_values("sc").reset_index(drop=True)
+    sc_prefix = np.concatenate([[0], np.cumsum(sc_tot["sc_tokens"].to_numpy())[:-1]])
+    sc_ref = ray.put(dict(zip(sc_tot["sc"].astype(np.int64).tolist(),
+                              sc_prefix.astype(np.int64).tolist())))
+
+    # level 3: chunk offsets = sc prefix + within-sc exclusive cumsum
+    def add_sc(b: pa.Table) -> pa.Table:
+        sc = b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) // super_size
+        return b.append_column("_sc", pa.array(sc))
+
+    def chunk_offsets(g):
         import ray as _ray
 
-        offs = _ray.get(offsets_ref)
-        g = g.sort_values(id_col, kind="mergesort")
-        tok = g["n_tokens"].to_numpy(dtype=np.int64)
-        presum = int(offs[int(g["chunk"].iloc[0])]) + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        base = int(_ray.get(sc_ref)[int(g["_sc"].iloc[0])])
+        g = g.sort_values("chunk", kind="mergesort")
+        tok = g["chunk_tokens"].to_numpy(dtype=np.int64)
+        off = base + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        return pa.table({
+            "chunk": pa.array(g["chunk"].to_numpy(dtype=np.int64)),
+            "_chunk_off": pa.array(off.astype(np.int64)),
+        })
+
+    from .agg import _default_shuffle_partitions
+
+    offsets = (chunk_tot.map_batches(add_sc, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
+               .repartition(_default_shuffle_partitions())
+               .groupby("_sc").map_groups(chunk_offsets, batch_format="pandas"))
+
+    # level 4: tagged union (offset rows ride the same chunk shuffle as the
+    # doc rows — no separate join stage), then per-chunk cumsum + assignment
+    null_i64 = pa.int64()
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": b["n_tokens"],
+            "chunk": b["chunk"],
+            "_chunk_off": pa.nulls(len(b), null_i64),
+        })
+
+    def tag_offs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pa.nulls(len(b), null_i64),
+            "n_tokens": pa.nulls(len(b), null_i64),
+            "chunk": b["chunk"],
+            "_chunk_off": b["_chunk_off"],
+        })
+
+    unioned = (chunked.map_batches(tag_docs, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
+               .union(offsets.map_batches(tag_offs, batch_format="pyarrow",
+                                          zero_copy_batch=True, batch_size=None))
+               .repartition(_default_shuffle_partitions()))
+
+    def assign(g):
+        import pandas as pd
+
+        off_rows = g[g["_chunk_off"].notna()]
+        docs = g[g[id_col].notna()].sort_values(id_col, kind="mergesort")
+        if len(docs) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64),
+                                 "seq_id": pd.Series([], dtype=np.int64)})
+        chunk_off = int(off_rows["_chunk_off"].iloc[0])
+        tok = docs["n_tokens"].to_numpy(dtype=np.int64)
+        presum = chunk_off + np.concatenate([[0], np.cumsum(tok)[:-1]])
         return pd.DataFrame(
             {
-                id_col: g[id_col].to_numpy(),
+                id_col: docs[id_col].to_numpy(dtype=np.int64),
                 "n_tokens": tok,
                 "seq_id": (presum // budget).astype(np.int64),
             }
         )
 
-    from .agg import _default_shuffle_partitions
-
-    return (chunked.repartition(_default_shuffle_partitions())
-            .groupby("chunk").map_groups(assign, batch_format="pandas"))
+    return unioned.groupby("chunk").map_groups(assign, batch_format="pandas")
 
 
 def train_val_test_split(ds, id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10):
@@ -280,6 +370,9 @@ def global_shuffle(ds, epoch: int = 0, id_col: str = "doc_id"):
     (shuffle_key, id)."""
 
     def add_h(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)  # sort-shuffle schema-dedup rule
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         h = (((ids + np.int64(epoch) * np.int64(EPOCH_C)) % SPLIT_P) * np.int64(SHUF_A)) % np.int64(SHUF_M)
         return b.append_column("shuffle_key", pa.array(h))

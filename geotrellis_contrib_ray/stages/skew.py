@@ -28,7 +28,14 @@ import pyarrow as pa
 
 def detect_hot_keys(ds, keys: list[str], threshold: int) -> set:
     """Cheap skew census: partial per-batch counts, tiny final groupby,
-    return the key tuples whose total count exceeds ``threshold``."""
+    return the key tuples whose total count exceeds ``threshold``.
+
+    The ``n > threshold`` filter runs DISTRIBUTED (a map_batches on the
+    reduced stream) before anything reaches the driver: a census over
+    corpus-scale keys has billions of distinct rows, but the hot set is
+    tiny by definition — the driver only ever receives keys above
+    threshold."""
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select(keys).group_by(keys, use_threads=False).aggregate(
@@ -38,11 +45,14 @@ def detect_hot_keys(ds, keys: list[str], threshold: int) -> set:
 
     from .agg import salted_group_reduce
 
-    counts = salted_group_reduce(
+    reduced = salted_group_reduce(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         keys, [("pcnt", "sum", "n")],
+    )
+    hot = reduced.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], threshold)),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     ).to_pandas()
-    hot = counts[counts["n"] > threshold]
     if len(keys) == 1:
         return set(hot[keys[0]].tolist())
     return set(map(tuple, hot[keys].to_numpy()))
@@ -83,7 +93,9 @@ def salted_map_groups(
                 kvs = list(zip(*[batch[k].to_numpy(zero_copy_only=False) for k in keys]))
                 is_hot = np.array([kv in hot_keys for kv in kvs])
             salt = np.where(is_hot, np.arange(n, dtype=np.int64) % salt_buckets, 0)
-        return batch.append_column("_salt", pa.array(salt))
+        from ..util import strip_schema_metadata
+
+        return strip_schema_metadata(batch).append_column("_salt", pa.array(salt))
 
     def phase1(g):
         out = reduce_fn(g.drop(columns=["_salt"]))
@@ -131,6 +143,9 @@ def dedup_keep_first_salted(ds, id_col: str = "doc_id", key_col: str = "fingerpr
         return b.take(pa.array(np.sort(order[first])))
 
     def tag(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)  # unhashable-schema rule (see util.py)
         k = b[key_col].to_numpy(zero_copy_only=False)
         bucket = (k.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
         return b.append_column("_bucket", pa.array(bucket))

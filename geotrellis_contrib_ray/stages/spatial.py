@@ -84,9 +84,10 @@ def add_hilbert_key(batch: pa.Table, order: int = HILBERT_ORDER,
     qy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
     hkey = hilbert_d(order, qx, qy)
     part = hkey >> np.int64(2 * order - parts_bits)
-    return batch.append_column("hkey", pa.array(hkey)).append_column(
-        "part", pa.array(part)
-    )
+    from ..util import strip_schema_metadata
+
+    return strip_schema_metadata(batch).append_column(
+        "hkey", pa.array(hkey)).append_column("part", pa.array(part))
 
 
 def spatial_sort(ds, order: int = HILBERT_ORDER, parts_bits: int = 10):

@@ -22,19 +22,25 @@ import pyarrow as pa
 
 def top_k_per_group(ds, group_col: str, order_col: str, k: int,
                     tie_col: str, ascending: bool = False,
-                    carry_cols: tuple = ()):
+                    carry_cols: tuple = (), rank_col: str | None = None):
     """Top-k rows per group by (order_col, tie_col): per-batch partial top-k
     PER GROUP (the shuffle moves <= k rows per group per block, never the
     corpus), then a per-group merge.  Ties at the kth value are broken by
     ascending tie_col — the same total order as the SQL
     ``row_number() OVER (PARTITION BY g ORDER BY v [DESC], t)`` oracle.
 
-    Output: (group_col, order_col, tie_col, *carry_cols) of the winners —
-    ``carry_cols`` ride along untouched (any dtype; selected via Arrow
-    take, so they never pass through numpy)."""
+    ``rank_col``: when set, the winners carry their 1-based in-group rank
+    under this name.  The rank is computed INSIDE the per-group merge —
+    the only place group wholeness is guaranteed (a later map_batches
+    could see a group split across blocks by Ray's dynamic block
+    splitting, restarting the rank mid-group).
+
+    Output: (group_col, order_col, tie_col, *carry_cols[, rank_col]) of the
+    winners — ``carry_cols`` ride along untouched (any dtype; selected via
+    Arrow take, so they never pass through numpy)."""
     cols = [group_col, order_col, tie_col, *carry_cols]
 
-    def partial(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table, with_rank: bool = False) -> pa.Table:
         b = b.select(cols)
         gv = b[group_col].to_numpy(zero_copy_only=False)
         ov = b[order_col].to_numpy(zero_copy_only=False)
@@ -46,7 +52,11 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
         idx = np.arange(len(g))
         start = np.maximum.accumulate(np.where(grp_start, idx, 0))
         keep = (idx - start) < k
-        return b.take(pa.array(order[keep]))
+        out = b.take(pa.array(order[keep]))
+        if with_rank:
+            rnk = (idx - start)[keep] + 1
+            out = out.append_column(rank_col, pa.array(rnk.astype(np.int64)))
+        return out
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -57,7 +67,7 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int,
     from .agg import _add_salt, _default_shuffle_partitions
 
     def merge_block(t: pa.Table) -> pa.Table:
-        return partial(t.drop_columns(["_gsalt"]))
+        return partial(t.drop_columns(["_gsalt"]), with_rank=rank_col is not None)
 
     return (
         part.map_batches(_add_salt([group_col], 64), batch_format="pyarrow",

@@ -32,39 +32,65 @@ def add_token_stats(batch: pa.Table) -> pa.Table:
 
 
 class QualityScorer:
-    """Compiled-regex quality heuristics (stopword ratio, alpha ratio, mean
-    word length), batches scored vectorized via pandas str ops.  State is
-    built once per EXECUTOR: run it as an actor pool (``map_batches(
-    QualityScorer, concurrency=N)``) for long-lived services, or through
-    :func:`quality_score` for the default task tier (instance memoized in
-    worker module state — same compile-once semantics, no pool spin-up)."""
+    """Quality heuristics (stopword ratio, alpha ratio, BPE-ish token count),
+    fully vectorized in Arrow compute — no per-row Python anywhere:
+
+    * counts (words / alpha chars / BPE tokens) via ``count_substring_regex``
+      (RE2, the same engine as the DuckDB oracle's ``regexp_extract_all``);
+    * the stopword count flattens the word tokens of the whole batch into
+      ONE Arrow array, marks stopwords with a single ``pc.is_in`` against
+      the broadcast stoplist, and segment-sums back per document with
+      ``np.add.reduceat`` over the list offsets (the same pattern as
+      vocab_coverage).  WORD_REGEX is a plain character class, so the token
+      list equals splitting on its complement (empty split fragments are
+      never stopwords and cost nothing).
+
+    Kept as a class for the actor-pool API (``map_batches(QualityScorer,
+    concurrency=N)``); state is just the shared pattern constants."""
 
     def __init__(self):
-        import re
-
         # patterns/stoplist shared with the DuckDB oracle (pipelines/query_defs)
         from ..pipelines.query_defs import BPE_REGEX, STOP_WORDS, WORD_REGEX
 
-        self.word_re = re.compile(WORD_REGEX)
+        assert WORD_REGEX == r"[A-Za-z]+", (
+            "the split-on-complement stopword kernel below assumes the word "
+            "pattern is a single character class")
+        self.word_regex = WORD_REGEX
+        self.split_regex = r"[^A-Za-z]+"
         # BPE-ish pre-tokenizer (GPT-2-style contractions/words/numbers/punct)
-        self.bpe_re = re.compile(BPE_REGEX)
-        self.stop = set(STOP_WORDS)
+        self.bpe_regex = BPE_REGEX
+        self.stop = pa.array(list(STOP_WORDS), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pandas()
-        toks = texts.str.findall(self.word_re)
-        n_words = toks.map(len).to_numpy(dtype=np.float64)
-        n_stop = toks.map(lambda ws: sum(1 for w in ws if w in self.stop)).to_numpy(
-            dtype=np.float64
-        )
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_words = pc.count_substring_regex(texts, self.word_regex).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # stopword count: split on the complement class, flatten the whole
+        # batch's tokens, one is_in, segment-sum back per doc
+        toks = pc.split_pattern_regex(texts, self.split_regex)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        hits = pc.is_in(flat, value_set=self.stop).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        if len(hits):
+            n_stop = np.add.reduceat(hits, np.minimum(offs, len(hits) - 1))
+            n_stop[lens == 0] = 0
+        else:
+            n_stop = np.zeros(len(batch), np.int64)
+        n_alpha = pc.count_substring_regex(texts, r"[A-Za-z]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_bpe = pc.count_substring_regex(texts, self.bpe_regex).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         with np.errstate(invalid="ignore", divide="ignore"):
             stop_ratio = np.where(n_words > 0, n_stop / n_words, 0.0)
-        n_alpha = texts.str.count(r"[A-Za-z]").to_numpy(dtype=np.float64)
-        n_chars = texts.str.len().to_numpy(dtype=np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
             alpha_ratio = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
         score = 0.5 * stop_ratio + 0.5 * alpha_ratio
-        n_bpe = texts.str.findall(self.bpe_re).map(len).to_numpy(dtype=np.int64)
         return (
             batch.append_column("stop_ratio", pa.array(stop_ratio))
             .append_column("alpha_ratio", pa.array(alpha_ratio))
@@ -72,9 +98,9 @@ class QualityScorer:
             .append_column("n_bpe_tokens", pa.array(n_bpe))
             # integer building blocks of the ratios, emitted so an oracle can
             # hash-compare exact counts (SQL twin: regexp_extract_all lengths)
-            .append_column("n_words", pa.array(n_words.astype(np.int64)))
-            .append_column("n_stop_words", pa.array(n_stop.astype(np.int64)))
-            .append_column("n_alpha_chars", pa.array(n_alpha.astype(np.int64)))
+            .append_column("n_words", pa.array(n_words))
+            .append_column("n_stop_words", pa.array(n_stop))
+            .append_column("n_alpha_chars", pa.array(n_alpha))
         )
 
 

@@ -60,6 +60,9 @@ def sessionize(ds, gap_sec: int = 1800, group_salt: int = 64):
     import pyarrow as pa
 
     def add_salt(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)  # unhashable-schema rule (see util.py)
         uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         salt = (uid * np.int64(2654435761)) % group_salt
         return b.append_column("gsalt", pa.array(salt))

@@ -32,3 +32,20 @@ def default_pool_size(cap: int = 8, floor: int = 2) -> int:
     extra parallelism at bench data sizes; raise ``cap`` for stages that are
     genuinely compute-bound on big inputs)."""
     return max(floor, min(cap, cluster_cpus() // 2))
+
+
+def strip_schema_metadata(b):
+    """Drop schema-level/field-level metadata from an Arrow table (zero-copy).
+
+    Parquet written via pandas carries a ``b'pandas'`` schema-metadata blob;
+    ``pa.Schema.__hash__`` raises ``unhashable type: 'dict'`` on ANY schema
+    metadata, which defeats Ray's schema-dedup cache in shuffle reduce tasks
+    (per-block "Failed to hash the schemas" warnings + re-unification cost).
+    Called at the stages that feed wide ops, where blocks still carry the
+    read-time schema."""
+    import pyarrow as pa
+
+    s = b.schema
+    if s.metadata is None and all(f.metadata is None for f in s):
+        return b
+    return b.cast(pa.schema([pa.field(f.name, f.type) for f in s]))

@@ -107,3 +107,33 @@ def test_salted_reduce_null_and_negzero_keys(ray_session):
     out = salted_group_reduce(ds, ["k"], [("s", "sum", "s")]).to_pandas()
     got = dict(zip(out["k"], out["s"]))
     assert got == {0.0: 3, 1.0: 4}
+
+
+def test_reduce_columns_empty_table(ray_session):
+    """Regression (ADVICE r2): a 0-row input must return a typed empty
+    table, not IndexError."""
+    from geotrellis_contrib_ray.stages.agg import _reduce_columns
+
+    data = {"k": np.zeros(0, np.int64), "v": np.zeros(0, np.float64),
+            "s": np.array([], object)}
+    out = _reduce_columns(lambda c: data[c], ["k"],
+                          [("v", "sum", "total"), (None, "count", "n"),
+                           ("s", "first", "first_s")])
+    assert out.num_rows == 0
+    assert out.schema.field("k").type == pa.int64()
+    assert out.schema.field("total").type == pa.float64()
+    assert out.schema.field("n").type == pa.int64()
+
+
+def test_driver_rollup_refuses_nullable_int_keys(ray_session):
+    """Regression (ADVICE r2): nullable int keys silently degraded to
+    float64 through numpy — now refused loudly."""
+    import pytest
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
+    t = pa.table({"k": pa.array([1, None, 2], pa.int64()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    with pytest.raises(ValueError, match="integer with"):
+        driver_group_rollup(rd.from_arrow(t), ["k"], [("v", "sum", "s")])

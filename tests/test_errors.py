@@ -42,3 +42,47 @@ def test_quarantine_clean_batch_single_call(ray_session):
     out = quarantine_map_batches(ds, counting)
     df = out.to_pandas()
     assert len(df) == 100 and df["error"].isna().all()
+
+
+def test_quarantine_poison_first_keeps_transformed_types(ray_session):
+    """Regression (ADVICE r2): when fn TRANSFORMS a column's dtype and the
+    first emitted part is a poison slice (input-typed), the type union must
+    still come from the SUCCESS parts — good rows' transformed values were
+    being nulled out when bisect order put a poison part first."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.errors import (
+        quarantine_map_batches,
+        split_quarantine,
+    )
+
+    # poison rows FIRST so the first bisected part that survives is poison
+    t = pa.table({"v": pa.array(["boom", "boom", "1", "2", "3", "4"], pa.string())})
+
+    def to_int(b: pa.Table) -> pa.Table:
+        vals = [int(x) for x in b["v"].to_pylist()]  # raises on "boom"
+        return pa.table({"v": pa.array(vals, pa.int64())})
+
+    ds = rd.from_arrow(t).repartition(1)
+    out = quarantine_map_batches(ds, to_int)
+    clean, poison = split_quarantine(out)
+    got = clean.to_pandas().sort_values("v").reset_index(drop=True)
+    # the union type must be the SUCCESS type (int64) and values intact
+    assert got["v"].tolist() == [1, 2, 3, 4]
+    assert poison.count() == 2
+
+
+def test_quarantine_all_poison_keeps_input(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.errors import quarantine_map_batches
+
+    t = pa.table({"v": pa.array(["a", "b"], pa.string())})
+
+    def boom(b: pa.Table) -> pa.Table:
+        raise RuntimeError("nope")
+
+    out = quarantine_map_batches(rd.from_arrow(t), boom).to_pandas()
+    assert out["v"].tolist() == ["a", "b"]
+    assert out["error"].notna().all()

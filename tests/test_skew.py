@@ -81,3 +81,21 @@ def test_salted_sum_reduction(ray_session):
         .reset_index(drop=True)
     )
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+
+def test_detect_hot_keys_many_distinct(ray_session):
+    """Regression (ADVICE r2 / VERDICT #1): the census must filter
+    n > threshold DISTRIBUTED — with a huge distinct-key space the driver
+    only ever receives the (tiny) hot set.  The contract check here: the
+    returned set is exactly the planted hot keys, never the census."""
+    import ray.data as rd
+
+    n = 200_000
+    rng = np.random.default_rng(3)
+    # ~100k distinct cold keys + 2 planted hot keys holding ~30% of rows
+    cold = rng.integers(1_000, 101_000, n)
+    keys = np.where(rng.random(n) < 0.15, 1, np.where(rng.random(n) < 0.15, 2, cold))
+    ds = rd.from_arrow(pa.table({"fingerprint": keys.astype(np.int64),
+                                 "doc_id": np.arange(n, dtype=np.int64)}))
+    hot = detect_hot_keys(ds, ["fingerprint"], threshold=5_000)
+    assert hot == {1, 2}
