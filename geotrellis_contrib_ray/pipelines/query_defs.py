@@ -273,6 +273,134 @@ def knn_values_sql() -> str:
     return f"(VALUES\n      {rows}) AS q(query_id, qx, qy)"
 
 
+_U64 = str(1 << 64)
+_I64_HALF = str(1 << 63)
+
+
+def _sql_u(expr: str) -> str:
+    """signed-BIGINT bit-view -> unsigned HUGEINT (uint64 semantics)."""
+    return (f"(CASE WHEN {expr} < 0 THEN CAST({expr} AS HUGEINT) + {_U64} "
+            f"ELSE CAST({expr} AS HUGEINT) END)")
+
+
+def _sql_i64(expr: str) -> str:
+    """unsigned HUGEINT in [0, 2^64) -> signed BIGINT bit-view (the int64
+    view every hash column uses — raw uint64 > 2^63 breaks Ray shuffles)."""
+    return (f"CAST(CASE WHEN {expr} >= {_I64_HALF} THEN {expr} - {_U64} "
+            f"ELSE {expr} END AS BIGINT)")
+
+
+def shingle_hash_sql(shingle_k: int, text: str = "text", pos: str = "i") -> str:
+    """The dedup._shingle_hashes rolling polynomial replayed in SQL: over
+    ASCII text, byte j of the window is ascii(substr(text, i+j, 1)); the
+    uint64 wraparound equals one final mod 2^64 because the exact polynomial
+    value (<= 255 * B^(k-1) * k ~ 2^88 for k=5, B=1000003) fits HUGEINT and
+    mod is a ring homomorphism.  Yields an unsigned HUGEINT in [0, 2^64)."""
+    poly = "CAST(0 AS HUGEINT)"
+    for j in range(shingle_k):
+        poly = (f"({poly}) * 1000003 + "
+                f"ascii(substr({text}, CAST({pos} + {j} AS INT), 1))")
+    return f"(({poly}) % {_U64})"
+
+
+def minhash_bands_cte(num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                      table: str = "documents") -> str:
+    """Generated CTE chain replaying stages/dedup.MinHashLSH exactly:
+    rolling shingle hashes (mod-2^64 polynomial), the (a*x + b) universal
+    family with uint64 wraparound BEFORE the Mersenne mod (numpy wraps at
+    each step), per-band signature pivot, and the FNV-1a band fold unrolled
+    one CTE per row-in-band (the hilbert_sql_cte precedent).  Permutation
+    constants come from the SAME seed-fixed constructor the Ray side uses.
+    Yields ``mh_bands(doc_id, band_id, band_hash)`` with band_hash as the
+    int64 bit-view Ray emits."""
+    from ..stages.dedup import MinHashLSH
+
+    sk = MinHashLSH(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    r = sk.rows_per_band
+    mers = str((1 << 61) - 1)
+    perm_rows = ",\n      ".join(
+        f"({p}, {int(sk.a[p])}, {int(sk.b[p])})" for p in range(num_perm))
+    sig_cols = ",\n           ".join(
+        f"MAX(CASE WHEN p % {r} = {j} THEN sig END) AS s{j}" for j in range(r))
+    fnv_init_signed = (0xCBF29CE484222325) - (1 << 64)
+    prime = 0x100000001B3
+    parts = [f"""mh_pos AS (
+    SELECT doc_id, text, unnest(range(1, length(text) - {shingle_k} + 2)) AS i
+    FROM {table} WHERE length(text) >= {shingle_k}
+  ),
+  mh_sh AS (
+    SELECT DISTINCT doc_id, {shingle_hash_sql(shingle_k)} AS x
+    FROM mh_pos
+  ),
+  mh_perms(p, pa, pb) AS (VALUES
+      {perm_rows}),
+  mh_sigs AS (
+    SELECT doc_id, p,
+           MIN((((((CAST(pa AS HUGEINT) * x) % {_U64}) + pb) % {_U64})) % {mers}) AS sig
+    FROM mh_sh CROSS JOIN mh_perms
+    GROUP BY doc_id, p
+  ),
+  mh_f AS (
+    SELECT doc_id, p // {r} AS band_id,
+           {sig_cols},
+           CAST({fnv_init_signed} AS BIGINT) AS acc
+    FROM mh_sigs GROUP BY doc_id, p // {r}
+  )"""]
+    prev = "mh_f"
+    for j in range(r):
+        cur = f"mh_f{j}" if j < r - 1 else "mh_bands_pre"
+        x = f"xor(acc, CAST(s{j} AS BIGINT))"
+        m = f"(({_sql_u(x)} * {prime}) % {_U64})"
+        parts.append(f"""{cur} AS (
+    SELECT doc_id, band_id, {', '.join(f's{i}' for i in range(j + 1, r))}{',' if j < r - 1 else ''}
+           {_sql_i64(m)} AS acc
+    FROM {prev}
+  )""")
+        prev = cur
+    parts.append("""mh_bands AS (
+    SELECT doc_id, band_id, acc AS band_hash FROM mh_bands_pre
+  )""")
+    return ",\n  ".join(parts)
+
+
+def simhash_cte(shingle_k: int = 4, bands: int = 9,
+                table: str = "documents") -> str:
+    """Generated CTE chain replaying stages/dedup.SimHash + its banding:
+    per-doc 64-bit signature from majority votes over ALL shingle hashes
+    (duplicates count — votes are per occurrence, so no DISTINCT), band
+    chunks of 64//bands bits.  Yields ``sh_sig(doc_id, h)`` (int64 bit-view)
+    and ``sh_bands(doc_id, band_id, chunk)``."""
+    width = 64 // bands
+    pow2 = [str(1 << j) for j in range(64)]
+    bit_sum = " + ".join(
+        f"(CASE WHEN 2 * SUM((x // {pow2[j]}) % 2) > count(*) THEN CAST({pow2[j]} AS HUGEINT) ELSE 0 END)"
+        for j in range(64))
+    # per-band divisor as an exact integer literal — POWER() would route the
+    # division through DOUBLE and lose bits above 2^53
+    band_rows = ", ".join(f"({b}, CAST({1 << (b * width)} AS HUGEINT))"
+                          for b in range(bands))
+    return f"""ss_pos AS (
+    SELECT doc_id, text, unnest(range(1, length(text) - {shingle_k} + 2)) AS i
+    FROM {table} WHERE length(text) >= {shingle_k}
+  ),
+  ss_sh AS (
+    SELECT doc_id, {shingle_hash_sql(shingle_k)} AS x FROM ss_pos
+  ),
+  ss_u AS (
+    SELECT doc_id, {bit_sum} AS hu
+    FROM ss_sh GROUP BY doc_id
+  ),
+  sh_sig AS (
+    SELECT doc_id, {_sql_i64('hu')} AS h, hu FROM ss_u
+  ),
+  sh_bandids(band_id, dvsr) AS (VALUES {band_rows}),
+  sh_bands AS (
+    SELECT doc_id, band_id,
+           CAST((hu // dvsr) % {1 << width} AS BIGINT) AS chunk
+    FROM sh_sig CROSS JOIN sh_bandids
+  )"""
+
+
 def hilbert_sql_cte(order: int = 16) -> str:
     """Generated DuckDB CTE chain computing the Hilbert index of the
     quantized (lon, lat) lattice — the same fixed ``order``-iteration bit
