@@ -627,23 +627,34 @@ def q_order_lineitem_join(sf_dir: str):
                                 ("pc", "sum", "n_items")])
 
 
-def q_ann_cosine(sf_dir: str):
-    """Brute-force cosine top-k over the embeddings table (rows-only check;
-    float summation order differs across engines so no SQL hash oracle)."""
+def _ann_query_matrix(sf_dir: str, vec_ids):
+    """(queries, query_ids) selected in vec_id ORDER, not file order — the
+    scorer labels query_id positionally (the q_ann_rank remap contract)."""
     import pyarrow.parquet as pq
 
     from geotrellis_contrib_ray.stages import ann
 
     head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = head["vec_id"].to_numpy()
-    # vec_id ORDER, not file order: CosineTopK labels query_id positionally,
-    # so an unsorted parquet would silently mislabel queries (rows-only
-    # check can't catch it) — same remap contract as q_ann_rank
     order = np.argsort(ids)
-    qsel = order[np.isin(ids[order], [0, 1, 2, 3])]
-    queries = ann._embedding_matrix(head["embedding"])[qsel]
+    qsel = order[np.isin(ids[order], list(vec_ids))]
+    return ann._embedding_matrix(head["embedding"])[qsel], ids[qsel]
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-k over the embeddings table — the EXACT
+    integer variant (quantized embeddings, score = sign * floor(1e6 *
+    dot^2 / (d_q * d_v))): every output column is an integer derived by
+    exact arithmetic, so rows+schema+hash all check against the generated
+    SQL twin with no float-margin assumption.  The float ann_topk remains
+    the general operator (and its ORDER is separately oracle-checked by
+    ann_rank)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import ANN_K, ANN_QUERY_IDS
+    from geotrellis_contrib_ray.stages import ann
+
+    queries, qids = _ann_query_matrix(sf_dir, ANN_QUERY_IDS)
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann.ann_topk(ds, queries, k=10)
+    return ann.ann_topk_exact(ds, queries, k=ANN_K, query_ids=qids)
 
 
 def q_ann_rank(sf_dir: str):
@@ -666,34 +677,42 @@ def q_ann_rank(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN (coarse quantizer + nprobe rerank) — the 100TB scale path;
-    rows-only (approximate by design; recall vs brute force asserted in
-    tests/test_ann_ivf.py)."""
-    import pyarrow.parquet as pq
-
+    """IVF ANN — exact seeded-Voronoi coarse quantizer (seeds = the first
+    ANN_IVF_SEEDS vectors by vec_id; routing by exact integer ||q - s||^2,
+    ties to the lowest seed) + nprobe probed-list union filter + the exact
+    quantized-cosine top-k.  Fully integer end-to-end, oracle-checked; the
+    Lloyd-refined float IVFIndex remains the general operator (recall vs
+    brute force asserted in tests/test_ann_ivf.py)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        ANN_IVF_NPROBE,
+        ANN_IVF_SEEDS,
+        ANN_K,
+        ANN_QUERY_IDS,
+    )
     from geotrellis_contrib_ray.stages import ann
 
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    emb = ann._embedding_matrix(head["embedding"])
-    order = np.argsort(head["vec_id"].to_numpy())  # vec_id order, not file order
-    queries = emb[order[:4]]
-    sample = emb[:: max(1, len(emb) // 256)]
+    queries, qids = _ann_query_matrix(sf_dir, ANN_QUERY_IDS)
+    seeds, _ = _ann_query_matrix(sf_dir, range(ANN_IVF_SEEDS))
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann.ann_ivf_topk(ds, queries, k=10, sample=sample, n_lists=16, nprobe=4)
+    filt = ann.quantized_ivf_filter(ds, queries, seeds, nprobe=ANN_IVF_NPROBE)
+    return ann.ann_topk_exact(filt, queries, k=ANN_K, query_ids=qids)
 
 
 def q_ann_lsh(sf_dir: str):
-    """Hyperplane-LSH bucketed ANN (rows-only; approximate by design)."""
-    import pyarrow.parquet as pq
-
+    """Hyperplane-LSH bucketed ANN — exact integer-plane bucket filter over
+    quantized embeddings + the exact quantized-cosine top-k (the float
+    HyperplaneLSH/ann_lsh_topk stay as the general operators)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        ANN_K,
+        ANN_LSH_PLANES,
+        ANN_QUERY_IDS,
+    )
     from geotrellis_contrib_ray.stages import ann
 
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    emb = ann._embedding_matrix(head["embedding"])
-    order = np.argsort(head["vec_id"].to_numpy())  # vec_id order, not file order
-    queries = emb[order[:4]]
+    queries, qids = _ann_query_matrix(sf_dir, ANN_QUERY_IDS)
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann.ann_lsh_topk(ds, queries, k=10, dim=emb.shape[1], n_planes=6)
+    filt = ann.quantized_lsh_filter(ds, queries, n_planes=ANN_LSH_PLANES)
+    return ann.ann_topk_exact(filt, queries, k=ANN_K, query_ids=qids)
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -792,14 +811,17 @@ def q_jaccard_prefix_pairs(sf_dir: str):
 
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via multi-band LSH buckets + exact
-    rerank (rows-only; the synthetic embeddings are near-orthogonal, so the
-    'near-dup' threshold is set at the top of their cosine distribution and
-    the banded-LSH recall at that loose threshold is partial by design —
-    planted-duplicate recall is asserted in tests/test_dedup.py)."""
+    rerank — the EXACT-integer variant (quantized embeddings + integer
+    planes, threshold^2 = 9/100 i.e. cosine >= 0.3 decided in exact
+    integer arithmetic), so the generated DuckDB twin hash-matches the
+    bucket assignment AND the threshold decision bit-for-bit.  The float
+    operator (dedup.embedding_neardup_pairs) remains the general API;
+    planted-duplicate recall is asserted in tests/test_dedup.py."""
     from geotrellis_contrib_ray.stages import dedup
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return dedup.embedding_neardup_pairs(ds, threshold=0.3, n_planes=6, n_bands=6)
+    return dedup.embedding_neardup_pairs_exact(
+        ds, threshold_num=9, threshold_den=100, n_planes=6, n_bands=6)
 
 
 def q_quality_scores(sf_dir: str):
@@ -2591,6 +2613,106 @@ SELECT id1, id2,
        CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) AS jaccard
 FROM nj_shared JOIN nj_sz s1 ON s1.doc_id = id1 JOIN nj_sz s2 ON s2.doc_id = id2
 WHERE CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) >= 0.5"""
+
+    # embedding_neardup: the quantized multi-band LSH + exact integer cosine
+    # threshold (cos >= 0.3  <=>  dot > 0 AND dot^2*100 >= 9*d1*d2, HUGEINT)
+    from geotrellis_contrib_ray.pipelines.query_defs import embedding_lsh_cte
+
+    sql["embedding_neardup"] = f"""
+WITH {embedding_lsh_cte(dim=64, n_planes=6, n_bands=6)},
+el_cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM el_buckets a JOIN el_buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+el_norms AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS d FROM el_q GROUP BY vec_id),
+el_dotp AS (
+  SELECT c.id1, c.id2, CAST(SUM(a.q * b.q) AS BIGINT) AS dot_q
+  FROM el_cand c
+  JOIN el_q a ON a.vec_id = c.id1
+  JOIN el_q b ON b.vec_id = c.id2 AND b.i = a.i
+  GROUP BY c.id1, c.id2
+)
+SELECT p.id1, p.id2, p.dot_q, n1.d AS d1, n2.d AS d2
+FROM el_dotp p
+JOIN el_norms n1 ON n1.vec_id = p.id1
+JOIN el_norms n2 ON n2.vec_id = p.id2
+WHERE p.dot_q > 0
+  AND CAST(p.dot_q AS HUGEINT) * p.dot_q * 100 >= 9 * CAST(n1.d AS HUGEINT) * n2.d"""
+
+    # --- exact-integer ANN twins (quantized cosine; stages/ann.py) ---------
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        ANN_IVF_NPROBE,
+        ANN_IVF_SEEDS,
+        ANN_LSH_PLANES,
+        quantized_embed_cte,
+        quantized_score_sql,
+    )
+
+    _score = quantized_score_sql("d.dot", "nq.d", "nv.d")
+    _rank_tail = f"""sc AS (
+  SELECT d.query_id, d.vec_id, {_score} AS score
+  FROM ann_dots d
+  JOIN el_n nq ON nq.vec_id = d.query_id
+  JOIN el_n nv ON nv.vec_id = d.vec_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+FROM sc QUALIFY rnk <= {ANN_K}"""
+
+    sql["ann_cosine"] = f"""
+WITH {quantized_embed_cte()},
+el_n AS (SELECT vec_id, SUM(q * q) AS d FROM el_q GROUP BY vec_id),
+ann_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, SUM(a.q * b.q) AS dot
+  FROM el_q a JOIN el_q b ON b.i = a.i
+  WHERE a.vec_id IN ({ann_ids}) GROUP BY 1, 2
+),
+{_rank_tail}"""
+
+    sql["ann_lsh"] = f"""
+WITH {embedding_lsh_cte(dim=64, n_planes=ANN_LSH_PLANES, n_bands=1)},
+qb AS (SELECT DISTINCT bucket FROM el_buckets WHERE vec_id IN ({ann_ids})),
+keepv AS (SELECT b.vec_id FROM el_buckets b JOIN qb ON qb.bucket = b.bucket),
+el_n AS (SELECT vec_id, SUM(q * q) AS d FROM el_q GROUP BY vec_id),
+ann_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, SUM(a.q * b.q) AS dot
+  FROM el_q a JOIN el_q b ON b.i = a.i
+  WHERE a.vec_id IN ({ann_ids})
+    AND b.vec_id IN (SELECT vec_id FROM keepv)
+  GROUP BY 1, 2
+),
+{_rank_tail}"""
+
+    sql["ann_ivf"] = f"""
+WITH {quantized_embed_cte()},
+el_n AS (SELECT vec_id, SUM(q * q) AS d FROM el_q GROUP BY vec_id),
+seed_d AS (
+  SELECT v.vec_id, s.vec_id AS sid, SUM((v.q - s.q) * (v.q - s.q)) AS dist
+  FROM el_q v JOIN el_q s ON s.i = v.i AND s.vec_id < {ANN_IVF_SEEDS}
+  GROUP BY 1, 2
+),
+cl AS (
+  SELECT vec_id, sid FROM (
+    SELECT vec_id, sid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+    FROM seed_d) WHERE rn = 1
+),
+probe AS (
+  SELECT DISTINCT sid FROM (
+    SELECT vec_id, sid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+    FROM seed_d WHERE vec_id IN ({ann_ids})) WHERE rn <= {ANN_IVF_NPROBE}
+),
+keepv AS (SELECT cl.vec_id FROM cl JOIN probe ON probe.sid = cl.sid),
+ann_dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, SUM(a.q * b.q) AS dot
+  FROM el_q a JOIN el_q b ON b.i = a.i
+  WHERE a.vec_id IN ({ann_ids})
+    AND b.vec_id IN (SELECT vec_id FROM keepv)
+  GROUP BY 1, 2
+),
+{_rank_tail}"""
 
     from geotrellis_contrib_ray.pipelines.query_defs import (
         CLUSTER_KEY_LEN,

@@ -174,6 +174,12 @@ CLUSTER_KEY_LEN = 10
 ANN_QUERY_IDS = (0, 1, 2, 3)
 ANN_K = 10
 
+# exact-integer ANN variants (quantized cosine, stages/ann.py): shared by
+# q_ann_cosine/q_ann_lsh/q_ann_ivf and their generated SQL twins
+ANN_LSH_PLANES = 6
+ANN_IVF_SEEDS = 16   # seed-Voronoi coarse quantizer = first N vectors
+ANN_IVF_NPROBE = 4
+
 # --- raster-family oracle constants ----------------------------------------
 # synthetic raster: value(col, row) = (row * RASTER_COLS + col) % 2^15 as
 # int16 with nodata -32768 (never produced by the formula), anchored grid —
@@ -398,6 +404,66 @@ def simhash_cte(shingle_k: int = 4, bands: int = 9,
     SELECT doc_id, band_id,
            CAST((hu // dvsr) % {1 << width} AS BIGINT) AS chunk
     FROM sh_sig CROSS JOIN sh_bandids
+  )"""
+
+
+def quantized_embed_cte(table: str = "embeddings") -> str:
+    """``el_q(vec_id, i, q)``: quantized integer embedding components
+    (floor(e * 2^20), 1-based component index) — the shared base of every
+    exact-integer ANN/neardup twin."""
+    from ..stages.dedup import EMBED_Q_SCALE
+
+    return f"""el_q AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {float(EMBED_Q_SCALE)!r}) AS BIGINT) AS q
+    FROM {table}
+  )"""
+
+
+def quantized_score_sql(dot: str, dq: str, dv: str) -> str:
+    """The stages/ann.SCORE_SCALE quantized-cosine score as SQL: sign(dot) *
+    floor(SCALE * dot^2 / (dq * dv)) in HUGEINT (operands are nonnegative,
+    so DuckDB's // equals python's floor division)."""
+    from ..stages.ann import SCORE_SCALE
+
+    mag = (f"CAST((CAST({dot} AS HUGEINT) * ({dot}) * {SCORE_SCALE}) // "
+           f"(CAST({dq} AS HUGEINT) * ({dv})) AS BIGINT)")
+    return (f"CASE WHEN CAST({dq} AS HUGEINT) * ({dv}) = 0 THEN 0 "
+            f"WHEN ({dot}) >= 0 THEN {mag} ELSE -{mag} END")
+
+
+def embedding_lsh_cte(dim: int = 64, n_planes: int = 6, n_bands: int = 6,
+                      seed: int = 42, table: str = "embeddings") -> str:
+    """Generated CTE chain replaying stages/dedup.QuantizedMultiBandLSH:
+    quantized embeddings (floor(e * 2^20) — one exact float64 multiply +
+    floor on both engines), the seed-fixed integer plane lattice embedded
+    as a VALUES table, bucket bits from exact integer dot signs.  Yields
+    ``el_q(vec_id, i, q)`` (1-based component index) and
+    ``el_buckets(vec_id, band, bucket)``."""
+    from ..stages.dedup import EMBED_Q_SCALE, integer_planes
+
+    planes = integer_planes(dim, n_planes, n_bands, seed)
+    rows = []
+    for b, mat in enumerate(planes):
+        for i in range(dim):
+            for j in range(n_planes):
+                rows.append(f"({b},{j},{i + 1},{int(mat[i, j])})")
+    plane_rows = ",".join(rows)
+    return f"""el_planes(band, plane, i, pv) AS (VALUES {plane_rows}),
+  el_q AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {float(EMBED_Q_SCALE)!r}) AS BIGINT) AS q
+    FROM {table}
+  ),
+  el_dots AS (
+    SELECT p.band, p.plane, e.vec_id, SUM(e.q * p.pv) AS dp
+    FROM el_q e JOIN el_planes p ON p.i = e.i
+    GROUP BY p.band, p.plane, e.vec_id
+  ),
+  el_buckets AS (
+    SELECT vec_id, band,
+           SUM(CASE WHEN dp > 0 THEN (1 << plane) ELSE 0 END) AS bucket
+    FROM el_dots GROUP BY vec_id, band
   )"""
 
 

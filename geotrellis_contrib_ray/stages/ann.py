@@ -283,3 +283,155 @@ def ann_ivf_topk(ds, queries: np.ndarray, k: int, *, sample: np.ndarray, n_lists
 
     filtered = ds.map_batches(in_probed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return ann_topk(filtered, queries, k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer ANN variants (oracle-checkable end-to-end)
+# ---------------------------------------------------------------------------
+# Cosine ORDER is decided on a monotone integer transform of the quantized
+# cosine: score = sign(dot) * floor(SCORE_SCALE * dot^2 // (d_q * d_v)) over
+# q = floor(e * 2^20) integer vectors — exact integer arithmetic on both
+# engines (dot^2 needs >64 bits: python ints here, HUGEINT in the SQL twin).
+# The float ann_topk above remains the general operator; these variants
+# trade the metric's last ~1e-6 for a bit-checkable contract.
+
+SCORE_SCALE = 1_000_000
+
+
+def _quantized_scores(dots: np.ndarray, dv: np.ndarray, dq: int) -> np.ndarray:
+    """sign(dot) * floor(SCALE * dot^2 / (dv * dq)) as int64 (python-int
+    inner loop: dot^2 overflows int64; row counts here are batch-sized)."""
+    out = np.empty(len(dots), dtype=np.int64)
+    for idx in range(len(dots)):
+        dot = int(dots[idx]); den = int(dv[idx]) * dq
+        if den == 0:
+            out[idx] = 0
+            continue
+        mag = (SCORE_SCALE * dot * dot) // den
+        out[idx] = mag if dot >= 0 else -mag
+    return out
+
+
+class QuantizedCosineTopK:
+    """Per-batch partial top-k by the exact quantized-cosine score."""
+
+    def __init__(self, queries: np.ndarray, k: int, id_col: str = "vec_id"):
+        from .dedup import quantize_embeddings
+
+        self.qq = quantize_embeddings(np.asarray(queries, dtype=np.float64))
+        self.dq = (self.qq * self.qq).sum(axis=1)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import quantize_embeddings
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        q = quantize_embeddings(_embedding_matrix(batch["embedding"]))
+        dots = q @ self.qq.T                      # (B, Q) int64, <= 2^45
+        dv = (q * q).sum(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.qq.shape[0]):
+            s = _quantized_scores(dots[:, qi], dv, int(self.dq[qi]))
+            k = min(self.k, len(s))
+            if len(s) > k:
+                kth = np.partition(-s, k - 1)[k - 1]
+                cand = np.nonzero(-s <= kth)[0]
+            else:
+                cand = np.arange(len(s))
+            order = np.lexsort((ids[cand], -s[cand]))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_s.append(s[sel])
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_id),
+            "score": np.concatenate(out_s),
+        })
+
+
+def ann_topk_exact(ds, queries: np.ndarray, k: int, query_ids, id_col: str = "vec_id",
+                   batch_size=65536):
+    """Brute-force exact-integer cosine top-k: (query_id, vec_id, score,
+    rnk) — every column integer, hash-comparable against the generated SQL
+    twin with NO float-margin assumption anywhere (unlike ann_topk_ranks,
+    which relies on rank gaps exceeding float noise)."""
+    import ray
+
+    from .stats import top_k_per_group
+
+    qid = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        key = ("exact", qref.hex(), k, id_col)
+        scorer = _WORKER_SCORER_CACHE.get(key)
+        if scorer is None:
+            scorer = QuantizedCosineTopK(ray.get(qref), k, id_col)
+            _WORKER_SCORER_CACHE.clear()
+            _WORKER_SCORER_CACHE[key] = scorer
+        return scorer(batch)
+
+    partial = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=batch_size)
+    top = top_k_per_group(partial, group_col="query_id", order_col="score",
+                          k=k, tie_col="vec_id", ascending=False, rank_col="rnk")
+
+    def remap(b: pa.Table) -> pa.Table:
+        qn = b["query_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"query_id": pa.array(qid[qn]), "vec_id": b["vec_id"],
+                         "score": b["score"], "rnk": b["rnk"]})
+
+    return top.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
+def quantized_lsh_filter(ds, queries: np.ndarray, n_planes: int = 6, seed: int = 42):
+    """Exact single-table LSH semi-join filter: integer planes over quantized
+    embeddings (the QuantizedMultiBandLSH math with n_bands=1); vectors kept
+    iff their bucket is one of the queries' buckets."""
+    from .dedup import integer_planes, quantize_embeddings
+
+    q = quantize_embeddings(np.asarray(queries, dtype=np.float64))
+    planes = integer_planes(q.shape[1], n_planes, 1, seed)[0]
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    qbuckets = np.unique(((q @ planes) > 0).astype(np.int64) @ weights)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        emb = quantize_embeddings(_embedding_matrix(batch["embedding"]))
+        b = ((emb @ planes) > 0).astype(np.int64) @ weights
+        return batch.filter(pa.array(np.isin(b, qbuckets)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def quantized_ivf_filter(ds, queries: np.ndarray, seeds: np.ndarray, nprobe: int = 4):
+    """Exact seeded-Voronoi IVF filter (coarse quantizer = the seed vectors
+    themselves, no Lloyd refinement — float means are not bit-replayable):
+    each vector routes to its nearest seed by exact integer ||q - s||^2
+    (ties -> lowest seed index); vectors kept iff their list is among the
+    union of the queries' nprobe closest lists."""
+    from .dedup import quantize_embeddings
+
+    s = quantize_embeddings(np.asarray(seeds, dtype=np.float64))
+    q = quantize_embeddings(np.asarray(queries, dtype=np.float64))
+
+    def assign(v: np.ndarray) -> np.ndarray:
+        # ||v - s||^2 = |v|^2 - 2 v.s + |s|^2, all int64 (<= 2^48)
+        d = ((v * v).sum(axis=1, keepdims=True)
+             - 2 * (v @ s.T) + (s * s).sum(axis=1)[None, :])
+        return d.argmin(axis=1)  # argmin takes the FIRST (lowest index) tie
+
+    dq = ((q * q).sum(axis=1, keepdims=True)
+          - 2 * (q @ s.T) + (s * s).sum(axis=1)[None, :])
+    order = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]
+    probe = np.unique(order.ravel())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = quantize_embeddings(_embedding_matrix(batch["embedding"]))
+        return batch.filter(pa.array(np.isin(assign(v), probe)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

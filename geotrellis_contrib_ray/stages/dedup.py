@@ -1091,6 +1091,146 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     )
 
 
+# --- exact-arithmetic embedding near-dup (oracle-checkable variant) --------
+# Embeddings are quantized to integers (floor(e * 2^20) — floor, not round:
+# numpy rounds half-even, DuckDB half-away) and the LSH planes are integer
+# lattice vectors, so bucket signs, dot products and the threshold decision
+# are EXACT integer math that generated SQL replays bit-for-bit.  The float
+# variant above remains the general operator; this one trades the metric's
+# last ~1e-6 of precision for a hash-checkable contract.
+EMBED_Q_SCALE = 1 << 20
+PLANE_LO, PLANE_HI = -1000, 1001  # rng.integers bounds (hi exclusive)
+
+
+def quantize_embeddings(emb: np.ndarray) -> np.ndarray:
+    """float (n, d) -> int64 floor(e * 2^20); float32 inputs promote to
+    float64 exactly, and one float64 multiply + floor is bit-identical in
+    numpy and DuckDB."""
+    return np.floor(emb.astype(np.float64) * float(EMBED_Q_SCALE)).astype(np.int64)
+
+
+def integer_planes(dim: int, n_planes: int, n_bands: int, seed: int = 42) -> list[np.ndarray]:
+    """Seed-fixed integer hyperplanes, band-ordered — the same list the SQL
+    generator embeds as a VALUES table."""
+    rng = np.random.default_rng(seed)
+    return [rng.integers(PLANE_LO, PLANE_HI, size=(dim, n_planes)).astype(np.int64)
+            for _ in range(n_bands)]
+
+
+class QuantizedMultiBandLSH:
+    """MultiBandHyperplaneLSH with integer planes over quantized embeddings:
+    bucket bit j of band b = sign(sum_i q_i * plane[b][i, j]) — exact."""
+
+    def __init__(self, n_planes: int = 6, n_bands: int = 6, seed: int = 42):
+        self.n_planes = n_planes
+        self.n_bands = n_bands
+        self.seed = seed
+        self._planes: list[np.ndarray] | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import _embedding_matrix
+
+        emb = _embedding_matrix(batch["embedding"])
+        if emb.shape[0] == 0:
+            return pa.table({
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+            })
+        if self._planes is None:
+            self._planes = integer_planes(emb.shape[1], self.n_planes,
+                                          self.n_bands, self.seed)
+        q = quantize_embeddings(emb)
+        weights = 1 << np.arange(self.n_planes, dtype=np.int64)
+        outs = []
+        for b, planes in enumerate(self._planes):
+            bucket = ((q @ planes) > 0).astype(np.int64) @ weights
+            outs.append(pa.table({
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "band": pa.array(np.full(len(batch), b, dtype=np.int32)),
+                "bucket": pa.array(bucket),
+            }))
+        return pa.concat_tables(outs)
+
+
+def embedding_neardup_pairs_exact(ds, threshold_num: int = 9, threshold_den: int = 100,
+                                  id_col: str = "vec_id", n_planes: int = 6,
+                                  n_bands: int = 6, max_bucket: int = 2000):
+    """Embedding-cosine near-dup with an EXACT integer contract: candidate
+    buckets from :class:`QuantizedMultiBandLSH`, per-bucket quantized dot
+    products, and the cosine threshold decided as
+    ``dot > 0 AND dot^2 * threshold_den >= threshold_num * d1 * d2``
+    (threshold^2 = num/den; dot^2 needs >64 bits, so the boundary test runs
+    in Python ints over the candidate pairs only — buckets are capped).
+
+    Output: id1 < id2, dot_q, d1, d2 — all int64, hash-comparable against
+    the generated DuckDB twin.  Over-cap buckets are logged drops, same
+    policy as the float variant."""
+    from ..util import default_pool_size
+
+    bucketed = ds.map_batches(
+        QuantizedMultiBandLSH,
+        fn_constructor_kwargs={"n_planes": n_planes, "n_bands": n_bands},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=default_pool_size(),
+    )
+
+    def pairs(g):
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        z = pa.array([], pa.int64())
+        empty = pa.table({"id1": z, "id2": z, "dot_q": z, "d1": z, "d2": z})
+        if len(ids) < 2 or len(ids) > max_bucket:
+            if len(ids) > max_bucket:
+                _log_bucket_drop("embedding_neardup_pairs_exact", len(ids), max_bucket)
+            return empty
+        emb = np.stack(g["embedding"].to_numpy())[order]
+        q = quantize_embeddings(np.asarray(emb, dtype=np.float64))
+        dots = q @ q.T                      # <= dim * (2^20 * |e|)^2 < 2^45
+        d = (q * q).sum(axis=1)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        dp = dots[ii, jj]
+        pos = dp > 0
+        ii, jj, dp = ii[pos], jj[pos], dp[pos]
+        if len(dp) == 0:
+            return empty
+        # exact boundary test in python ints (dot^2 overflows int64)
+        d1v, d2v = d[ii], d[jj]
+        keep = np.fromiter(
+            (int(a) * int(a) * threshold_den >= threshold_num * int(x) * int(y)
+             for a, x, y in zip(dp, d1v, d2v)),
+            dtype=bool, count=len(dp))
+        return pa.table({
+            "id1": pa.array(ids[ii][keep].astype(np.int64)),
+            "id2": pa.array(ids[jj][keep].astype(np.int64)),
+            "dot_q": pa.array(dp[keep].astype(np.int64)),
+            "d1": pa.array(d1v[keep].astype(np.int64)),
+            "d2": pa.array(d2v[keep].astype(np.int64)),
+        })
+
+    cand = (bucketed.repartition(_shuffle_parts())
+            .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas"))
+
+    # distinct across bands (values are identical wherever a pair collides)
+    def pre(b: pa.Table) -> pa.Table:
+        g = b.group_by(["id1", "id2"], use_threads=False).aggregate(
+            [("dot_q", "min"), ("d1", "min"), ("d2", "min")])
+        return g.rename_columns(["id1", "id2", "dot_q", "d1", "d2"])
+
+    from .agg import salted_group_reduce
+
+    return salted_group_reduce(
+        cand.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        ["id1", "id2"],
+        [("dot_q", "min", "dot_q"), ("d1", "min", "d1"), ("d2", "min", "d2")],
+    )
+
+
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 

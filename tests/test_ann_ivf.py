@@ -40,3 +40,38 @@ def test_ivf_assign_deterministic():
     a = IVFIndex(sample, n_lists=4).assign(sample)
     b = IVFIndex(sample, n_lists=4).assign(sample)
     assert np.array_equal(a, b)
+
+
+def test_ann_exact_variants_agree_with_float_brute(ray_session):
+    """ann_topk_exact (quantized-integer score) must return the same top-k
+    SETS as float brute force up to quantization ties, and the exact
+    LSH/IVF filters must keep every query vector (rank-1 self-retrieval)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages import ann
+
+    rng = np.random.default_rng(3)
+    emb = (rng.standard_normal((200, 32)) * 0.25).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+        "embedding": pa.array([row for row in emb]),
+    })
+    queries = emb[:3].astype(np.float64)
+    qids = np.arange(3, dtype=np.int64)
+
+    exact = ann.ann_topk_exact(rd.from_arrow(t), queries, k=10, query_ids=qids).to_pandas()
+    flt = ann.ann_topk(rd.from_arrow(t), queries, k=10).to_pandas()
+    for qi in range(3):
+        a = set(exact[exact["query_id"] == qi]["vec_id"])
+        b = set(flt[flt["query_id"] == qi]["vec_id"])
+        assert len(a) == 10 and len(a & b) >= 9  # quantization may flip a tie
+        # rank 1 is the query itself (score 10^6)
+        r1 = exact[(exact["query_id"] == qi) & (exact["rnk"] == 1)]
+        assert r1["vec_id"].iloc[0] == qi
+
+    lsh = ann.quantized_lsh_filter(rd.from_arrow(t), queries, n_planes=4).to_pandas()
+    assert set(qids) <= set(lsh["vec_id"])
+    ivf = ann.quantized_ivf_filter(rd.from_arrow(t), queries,
+                                   seeds=emb[:8].astype(np.float64), nprobe=2).to_pandas()
+    assert set(qids) <= set(ivf["vec_id"])

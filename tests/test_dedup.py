@@ -313,3 +313,38 @@ def test_substring_windows_null_and_empty_rows():
     })
     out = _substring_windows(t, win=32, stride=16)
     assert set(out["doc_id"].to_pylist()) == {1}
+
+
+def test_embedding_neardup_exact_planted(ray_session):
+    """The exact-integer near-dup variant must find planted duplicates and
+    agree with a brute-force quantized-cosine check."""
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.dedup import (
+        embedding_neardup_pairs_exact,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((60, 16)) * 0.3
+    # plant near-dups: rows 50..59 are tiny perturbations of rows 0..9
+    base[50:60] = base[0:10] + rng.standard_normal((10, 16)) * 1e-3
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32) for row in base]),
+    })
+    got = embedding_neardup_pairs_exact(
+        rd.from_arrow(t), threshold_num=81, threshold_den=100,  # cos >= 0.9
+        n_planes=4, n_bands=8,
+    ).to_pandas()
+    pairs = set(zip(got["id1"], got["id2"]))
+    planted = {(i, i + 50) for i in range(10)}
+    # multi-band LSH at 4 planes x 8 bands: planted near-identical pairs
+    # collide with overwhelming probability
+    assert planted <= pairs, planted - pairs
+    # verify every reported pair against the exact quantized criterion
+    q = quantize_embeddings(base.astype(np.float32).astype(np.float64))
+    for i1, i2, dq, d1, d2 in got.itertuples(index=False):
+        assert int(q[i1] @ q[i2]) == dq
+        assert int(q[i1] @ q[i1]) == d1 and int(q[i2] @ q[i2]) == d2
+        assert dq > 0 and int(dq) ** 2 * 100 >= 81 * int(d1) * int(d2)
