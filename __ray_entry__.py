@@ -1364,6 +1364,52 @@ def q_mercator_cells(sf_dir: str):
                           batch_size=None)
 
 
+def _conic_cells(sf_dir: str, crs, xcol: str, ycol: str):
+    """Shared body of q_lambert_cells / q_albers_cells: geocode -> conic
+    forward transform -> centimeter-integer floor (the q_mercator_cells
+    contract — derived projection constants are computed once in python and
+    embedded verbatim in the SQL twin, so per-point math is the same
+    elementary libm calls on both engines)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.core.crs import EPSG_4326, Transformer
+    from geotrellis_contrib_ray.sources.documents import geocode_ids
+
+    tr = Transformer(EPSG_4326, crs)
+
+    def fwd(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lon, lat = geocode_ids(ids)
+        x, y = tr.transform(lon, lat)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            xcol: pa.array(np.floor(x * 100.0).astype(np.int64)),
+            ycol: pa.array(np.floor(y * 100.0).astype(np.int64)),
+        })
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def q_lambert_cells(sf_dir: str):
+    """T1 reproject oracle #2: 4326 -> Lambert conformal conic (spherical
+    Snyder closed form, CONUS parallels) — widens the reproject family
+    toward the reference's any-CRS contract
+    (GeoTiffReprojectRasterSource.scala:63-69) within the no-pyproj
+    constraint."""
+    from geotrellis_contrib_ray.pipelines.query_defs import lambert_query_crs
+
+    return _conic_cells(sf_dir, lambert_query_crs(), "lx_cm", "ly_cm")
+
+
+def q_albers_cells(sf_dir: str):
+    """T1 reproject oracle #3: 4326 -> Albers equal-area conic."""
+    from geotrellis_contrib_ray.pipelines.query_defs import albers_query_crs
+
+    return _conic_cells(sf_dir, albers_query_crs(), "ax_cm", "ay_cm")
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition quality signal: per-doc total vs distinct
     5-grams (one narrow vectorized pass; lexsort run-detect per batch)."""
@@ -1758,6 +1804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_gradient": q_raster_gradient,
         "repetition": q_repetition,
         "mercator_cells": q_mercator_cells,
+        "lambert_cells": q_lambert_cells,
+        "albers_cells": q_albers_cells,
         "orders_left_join": q_orders_left_join,
         "span_media_join": q_span_media_join,
         "span_table": q_span_table,
@@ -2824,6 +2872,27 @@ WITH {geo_cte()}
 SELECT doc_id,
        CAST(floor(radians(lon) * 6378137.0 * 100) AS BIGINT) AS mx_cm,
        CAST(floor(ln(tan(pi()/4 + radians(lat)/2)) * 6378137.0 * 100) AS BIGINT) AS my_cm
+FROM pts"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        albers_sql_exprs,
+        lambert_sql_exprs,
+    )
+
+    _lx, _ly = lambert_sql_exprs()
+    sql["lambert_cells"] = f"""
+WITH {geo_cte()}
+SELECT doc_id,
+       CAST(floor(({_lx}) * 100) AS BIGINT) AS lx_cm,
+       CAST(floor(({_ly}) * 100) AS BIGINT) AS ly_cm
+FROM pts"""
+
+    _ax, _ay = albers_sql_exprs()
+    sql["albers_cells"] = f"""
+WITH {geo_cte()}
+SELECT doc_id,
+       CAST(floor(({_ax}) * 100) AS BIGINT) AS ax_cm,
+       CAST(floor(({_ay}) * 100) AS BIGINT) AS ay_cm
 FROM pts"""
 
     # repetition: SQL counts the substrings themselves; the Ray side counts

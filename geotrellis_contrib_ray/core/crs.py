@@ -147,6 +147,96 @@ def _merc_to_lonlat(x, y):
     return lon, lat
 
 
+# --- Lambert conformal conic + Albers equal-area (spherical, Snyder) -------
+# Closed-form conic projections (Snyder, "Map Projections: A Working Manual",
+# USGS PP 1395 — public formulas; the reference reaches these through proj4).
+# Derived constants (n, F/C, rho0) are computed ONCE in python and shared
+# verbatim with the generated SQL twins, so the per-point math on both
+# engines reduces to the same elementary libm calls.
+
+
+@dataclass(frozen=True)
+class LambertConformalCRS:
+    """Spherical LCC with two standard parallels (lat1, lat2), origin
+    (lat0, lon0); sphere radius R (EPSG:3857's 6378137 by default)."""
+
+    name: str
+    lat1: float
+    lat2: float
+    lat0: float
+    lon0: float
+    radius: float = R
+
+
+@dataclass(frozen=True)
+class AlbersEqualAreaCRS:
+    """Spherical Albers equal-area conic with two standard parallels."""
+
+    name: str
+    lat1: float
+    lat2: float
+    lat0: float
+    lon0: float
+    radius: float = R
+
+
+def lcc_constants(crs: LambertConformalCRS) -> tuple[float, float, float]:
+    """(n, F, rho0) — Snyder eqs. 15-3, 15-2, 15-1a (sphere)."""
+    p1, p2, p0 = (np.radians(v) for v in (crs.lat1, crs.lat2, crs.lat0))
+    n = float(np.log(np.cos(p1) / np.cos(p2))
+              / np.log(np.tan(np.pi / 4 + p2 / 2) / np.tan(np.pi / 4 + p1 / 2)))
+    f = float(np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** n / n)
+    rho0 = float(crs.radius * f / np.tan(np.pi / 4 + p0 / 2) ** n)
+    return n, f, rho0
+
+
+def aea_constants(crs: AlbersEqualAreaCRS) -> tuple[float, float, float]:
+    """(n, C, rho0) — Snyder eqs. 14-6, 14-5, 14-3 (sphere)."""
+    p1, p2, p0 = (np.radians(v) for v in (crs.lat1, crs.lat2, crs.lat0))
+    n = float((np.sin(p1) + np.sin(p2)) / 2.0)
+    c = float(np.cos(p1) ** 2 + 2.0 * n * np.sin(p1))
+    rho0 = float(crs.radius * np.sqrt(c - 2.0 * n * np.sin(p0)) / n)
+    return n, c, rho0
+
+
+def _lonlat_to_lcc(lon, lat, crs: LambertConformalCRS):
+    n, f, rho0 = lcc_constants(crs)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - crs.lon0)
+    rho = crs.radius * f / np.power(np.tan(np.pi / 4 + phi / 2), n)
+    theta = n * lam
+    return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+
+def _lcc_to_lonlat(x, y, crs: LambertConformalCRS):
+    n, f, rho0 = lcc_constants(crs)
+    x = np.asarray(x, dtype=np.float64)
+    dy = rho0 - np.asarray(y, dtype=np.float64)
+    rho = np.sign(n) * np.hypot(x, dy)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * dy)
+    phi = 2.0 * np.arctan(np.power(crs.radius * f / rho, 1.0 / n)) - np.pi / 2
+    return crs.lon0 + np.degrees(theta / n), np.degrees(phi)
+
+
+def _lonlat_to_aea(lon, lat, crs: AlbersEqualAreaCRS):
+    n, c, rho0 = aea_constants(crs)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - crs.lon0)
+    rho = crs.radius * np.sqrt(c - 2.0 * n * np.sin(phi)) / n
+    theta = n * lam
+    return rho * np.sin(theta), rho0 - rho * np.cos(theta)
+
+
+def _aea_to_lonlat(x, y, crs: AlbersEqualAreaCRS):
+    n, c, rho0 = aea_constants(crs)
+    x = np.asarray(x, dtype=np.float64)
+    dy = rho0 - np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, dy)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * dy)
+    phi = np.arcsin((c - (rho * n / crs.radius) ** 2) / (2.0 * n))
+    return crs.lon0 + np.degrees(theta / n), np.degrees(phi)
+
+
 class Transformer:
     """Vectorized forward transform src->dst; ``inverse()`` flips it.
 
@@ -180,6 +270,10 @@ def _to_lonlat(crs, x, y):
     utm = _parse_utm(crs) if isinstance(crs, str) else None
     if utm is not None:
         return _tm_to_lonlat(x, y, utm[0], utm[1])
+    if isinstance(crs, LambertConformalCRS):
+        return _lcc_to_lonlat(x, y, crs)
+    if isinstance(crs, AlbersEqualAreaCRS):
+        return _aea_to_lonlat(x, y, crs)
     if isinstance(crs, LocalAffineCRS):
         return (
             np.asarray(x, dtype=np.float64) / crs.sx + crs.lon0,
@@ -196,6 +290,10 @@ def _from_lonlat(crs, lon, lat):
     utm = _parse_utm(crs) if isinstance(crs, str) else None
     if utm is not None:
         return _lonlat_to_tm(lon, lat, utm[0], utm[1])
+    if isinstance(crs, LambertConformalCRS):
+        return _lonlat_to_lcc(lon, lat, crs)
+    if isinstance(crs, AlbersEqualAreaCRS):
+        return _lonlat_to_aea(lon, lat, crs)
     if isinstance(crs, LocalAffineCRS):
         return (lon - crs.lon0) * crs.sx, (lat - crs.lat0) * crs.sy
     raise ValueError(f"unsupported CRS {crs!r}")

@@ -279,6 +279,54 @@ def knn_values_sql() -> str:
     return f"(VALUES\n      {rows}) AS q(query_id, qx, qy)"
 
 
+# --- conic CRS oracle profiles (q_lambert_cells / q_albers_cells) ----------
+# CONUS-standard parallels (the classic LCC 102004 / Albers 5070 parameter
+# sets, on the 3857 sphere).  Derived constants are computed once in python
+# (core/crs.lcc_constants / aea_constants) and embedded VERBATIM into the SQL
+# twins, so both engines run the same per-point elementary math.
+def lambert_query_crs():
+    from ..core.crs import LambertConformalCRS
+
+    return LambertConformalCRS("lcc_conus", 33.0, 45.0, 39.0, -96.0)
+
+
+def albers_query_crs():
+    from ..core.crs import AlbersEqualAreaCRS
+
+    return AlbersEqualAreaCRS("albers_conus", 29.5, 45.5, 23.0, -96.0)
+
+
+def _dbl(v: float) -> str:
+    """A float constant as a DOUBLE literal: DuckDB parses bare decimal
+    literals as DECIMAL, whose fixed-point multiplication overflows on
+    projection-scale magnitudes."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def lambert_sql_exprs(lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """(x_expr, y_expr) for the LCC query profile — same constants, same
+    elementary ops (tan/power/sin/cos) as core/crs._lonlat_to_lcc."""
+    from ..core.crs import lcc_constants
+
+    crs = lambert_query_crs()
+    n, f, rho0 = lcc_constants(crs)
+    rho = (f"({_dbl(crs.radius)} * {_dbl(f)} / "
+           f"power(tan(pi()/4 + radians({lat})/2), {_dbl(n)}))")
+    theta = f"({_dbl(n)} * radians({lon} - ({_dbl(crs.lon0)})))"
+    return f"{rho} * sin({theta})", f"{_dbl(rho0)} - {rho} * cos({theta})"
+
+
+def albers_sql_exprs(lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    from ..core.crs import aea_constants
+
+    crs = albers_query_crs()
+    n, c, rho0 = aea_constants(crs)
+    rho = (f"({_dbl(crs.radius)} * sqrt({_dbl(c)} - 2.0 * {_dbl(n)} * "
+           f"sin(radians({lat}))) / {_dbl(n)})")
+    theta = f"({_dbl(n)} * radians({lon} - ({_dbl(crs.lon0)})))"
+    return f"{rho} * sin({theta})", f"{_dbl(rho0)} - {rho} * cos({theta})"
+
+
 _U64 = str(1 << 64)
 _I64_HALF = str(1 << 63)
 

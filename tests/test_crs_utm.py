@@ -122,3 +122,56 @@ def test_reproject_raster_source_to_utm(ray_session):
     w = min(inner_a.shape[-1], sub.shape[-1]) - 1
     frac = (inner_a[..., :h, :w] == sub[..., :h, :w]).mean()
     assert frac > 0.5, frac
+
+
+def test_lcc_albers_round_trip():
+    """Conic forward -> inverse must recover lon/lat to sub-micro-degree
+    over the CONUS box (Snyder closed forms are exact on the sphere)."""
+    from geotrellis_contrib_ray.core.crs import (
+        EPSG_4326,
+        Transformer,
+    )
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        albers_query_crs,
+        lambert_query_crs,
+    )
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-120, -70, 2000)
+    lat = rng.uniform(25, 49, 2000)
+    for crs in (lambert_query_crs(), albers_query_crs()):
+        t = Transformer(EPSG_4326, crs)
+        x, y = t.transform(lon, lat)
+        lon2, lat2 = t.inverse().transform(x, y)
+        assert np.max(np.abs(lon2 - lon)) < 1e-9
+        assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_lcc_albers_vs_duckdb_expressions():
+    """The generated SQL expressions must agree with the numpy kernels to
+    well under the cm-floor resolution over the geocode lattice."""
+    import duckdb
+
+    from geotrellis_contrib_ray.core.crs import EPSG_4326, Transformer
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        albers_query_crs,
+        albers_sql_exprs,
+        lambert_query_crs,
+        lambert_sql_exprs,
+    )
+    from geotrellis_contrib_ray.sources.documents import geocode_ids
+
+    ids = np.arange(5000, dtype=np.int64)
+    lon, lat = geocode_ids(ids)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts AS SELECT * FROM pts_df",
+                {"pts_df": None}) if False else None
+    import pandas as pd
+
+    con.register("pts", pd.DataFrame({"lon": lon, "lat": lat}))
+    for crs, exprs in ((lambert_query_crs(), lambert_sql_exprs()),
+                       (albers_query_crs(), albers_sql_exprs())):
+        xs, ys = Transformer(EPSG_4326, crs).transform(lon, lat)
+        q = con.execute(f"SELECT {exprs[0]} AS x, {exprs[1]} AS y FROM pts").df()
+        assert np.max(np.abs(q["x"].to_numpy() - xs)) < 1e-4  # << 1 cm
+        assert np.max(np.abs(q["y"].to_numpy() - ys)) < 1e-4
