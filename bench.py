@@ -89,13 +89,18 @@ def _timed(fn) -> float:
 def _flagship_stage_stats(n_docs: int) -> dict:
     """One materialized flagship pass -> {operator: wall_sec} parsed from
     Dataset.stats(), evidence that wall time sits in the narrow compute
-    stages (UDF-dominated) and the single shuffle is the only barrier."""
+    stages (UDF-dominated) and the final reduce is driver-combine.  The
+    flagship's last step is driver_group_rollup (it materializes the real
+    plan internally and hands back a tiny Table), so the stats text is
+    captured through its stats_sink — the returned Dataset's own stats are
+    just the FromArrow wrapper."""
     import re
 
     from geotrellis_contrib_ray.pipelines.flagship import flagship_synthetic
 
-    ds = flagship_synthetic(n_docs).materialize()
-    stats = ds.stats()
+    sink: dict = {}
+    flagship_synthetic(n_docs, stats_sink=sink).materialize()
+    stats = sink.get("stats", "")
     out = {}
     for m in re.finditer(r"Operator \d+ ([^:\n]+):.*?in ([\d.]+)s", stats):
         name = m.group(1)

@@ -79,8 +79,11 @@ def synthetic_corpus(n_docs: int, override_num_blocks: int | None = None) -> "rd
     return ds.map_batches(make, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
 
 
-def flagship_over(docs_ds: "rd.Dataset") -> "rd.Dataset":
-    """Flagship stages over an already-interleaved documents Dataset."""
+def flagship_over(docs_ds: "rd.Dataset", stats_sink: dict | None = None) -> "rd.Dataset":
+    """Flagship stages over an already-interleaved documents Dataset.
+    ``stats_sink`` (optional dict) receives the materialized upstream plan's
+    Dataset.stats() text under "stats" — the per-operator breakdown the
+    bench reports."""
     pts = docs_ds.map_batches(explode_media_spans, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,)
     pts = pts.map_batches(
         lambda b: spatial.add_cell(spatial.add_tile_key(b, QUERY_LAYOUT), CELL_RES, PARENT_RES),
@@ -114,6 +117,7 @@ def flagship_over(docs_ds: "rd.Dataset") -> "rd.Dataset":
         ["zone_name", "parent_cell"], [("pcnt", "sum", "n_spans")],
         schema=pa.schema([("zone_name", pa.string()), ("parent_cell", pa.int64()),
                           ("pcnt", pa.int64())]),
+        stats_sink=stats_sink,
     ))
 
 
@@ -143,10 +147,10 @@ def flagship(sf_dir: str) -> "rd.Dataset":
     return flagship_over(ds)
 
 
-def flagship_synthetic(n_docs: int) -> "rd.Dataset":
+def flagship_synthetic(n_docs: int, stats_sink: dict | None = None) -> "rd.Dataset":
     """Flagship over the generated corpus — the bench headline at scale.
 
     Kept as the composed multi-stage pipeline: measured ~2x faster than a
     hand-fused single-stage variant here, because the streaming executor
     overlaps the short narrow stages across blocks."""
-    return flagship_over(synthetic_corpus(n_docs))
+    return flagship_over(synthetic_corpus(n_docs), stats_sink=stats_sink)

@@ -152,7 +152,8 @@ def driver_group_rollup(ds, keys: list[str],
                         aggs: list[tuple[str | None, str, str]],
                         *, carry: tuple[str, ...] = (),
                         max_partial_rows: int = 4_000_000,
-                        schema: "pa.Schema | None" = None) -> pa.Table:
+                        schema: "pa.Schema | None" = None,
+                        stats_sink: dict | None = None) -> pa.Table:
     """FINAL-rollup tier for bounded group counts: combine per-block partial
     rows on the driver, with NO all-to-all at all.
 
@@ -177,6 +178,11 @@ def driver_group_rollup(ds, keys: list[str],
     # to_arrow_refs()/take_all() directly measures ~1-1.8 s SLOWER than
     # materialize() on the identical plan in this sandbox
     mat = ds.materialize()
+    if stats_sink is not None:
+        # the upstream plan's per-operator stats are only reachable here —
+        # the caller gets back a plain Table (benchmarks read this to report
+        # the real stage breakdown instead of the FromArrow wrapper's)
+        stats_sink["stats"] = mat.stats()
     tables = [t for t in ray.get(mat.to_arrow_refs()) if t.num_rows]
     if not tables:
         # typed empty result; a BLOCK-LESS materialized dataset (rd.range(0)
