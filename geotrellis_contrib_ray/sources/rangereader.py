@@ -1,0 +1,133 @@
+"""RangeReader abstraction: byte-range access behind a URI scheme.
+
+The reference's sources read file/S3/HTTP URIs lazily through a RangeReader
+(GeoTiffRasterSource.scala:37-41 — the streaming reader; its integration
+bench reads COGs over HTTP/S3 range GETs).  This sandbox has no network, so
+the remote tier is an IN-MEMORY http stub with the same contract: explicit
+ranged reads, observable request log — the plumbing (scheme resolution,
+block-aligned fetch, LRU of fetched blocks, lazy header parse) is real and
+byte-equal to the local-file path.
+
+Schemes:
+  file:///abs/path        -> FileRangeReader (seek+read, no mmap dependency)
+  mem+http://host/path    -> MemoryHTTPRangeReader over a registered payload
+                             (serve_mem_http) — each read_range is one
+                             simulated ranged GET, recorded in .requests
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from urllib.parse import urlparse
+
+
+class RangeReader:
+    """Contract: total_length() and read_range(offset, length) -> bytes
+    (short read allowed only at EOF)."""
+
+    def total_length(self) -> int:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def read_range(self, offset: int, length: int) -> bytes:  # pragma: no cover
+        raise NotImplementedError
+
+
+class FileRangeReader(RangeReader):
+    def __init__(self, path: str):
+        import os
+
+        self.path = path
+        self._size = os.stat(path).st_size
+        self._fh = open(path, "rb")
+
+    def total_length(self) -> int:
+        return self._size
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        self._fh.seek(offset)
+        return self._fh.read(length)
+
+
+# uri -> payload bytes, registered by tests/fixtures (the network stand-in)
+_MEM_HTTP_STORE: dict[str, bytes] = {}
+
+
+def serve_mem_http(uri: str, payload: bytes) -> None:
+    """Register a payload under a mem+http:// URI (fixture 'server')."""
+    _MEM_HTTP_STORE[uri] = bytes(payload)
+
+
+class MemoryHTTPRangeReader(RangeReader):
+    """HTTP range-GET stub over a registered in-memory payload.  Each
+    read_range appends (offset, length) to ``requests`` — tests assert a
+    windowed read touches a small fraction of the payload, the same
+    property a real COG-over-HTTP reader is built for."""
+
+    def __init__(self, uri: str):
+        if uri not in _MEM_HTTP_STORE:
+            raise FileNotFoundError(f"no mem+http payload registered for {uri}")
+        self.uri = uri
+        self._data = _MEM_HTTP_STORE[uri]
+        self.requests: list[tuple[int, int]] = []
+
+    def total_length(self) -> int:
+        return len(self._data)
+
+    def read_range(self, offset: int, length: int) -> bytes:
+        self.requests.append((offset, length))
+        return self._data[offset : offset + length]
+
+
+def open_range_reader(uri: str) -> RangeReader:
+    scheme = urlparse(uri).scheme
+    if scheme == "file":
+        return FileRangeReader(urlparse(uri).path)
+    if scheme == "mem+http":
+        return MemoryHTTPRangeReader(uri)
+    raise KeyError(f"no RangeReader for scheme {scheme!r}")
+
+
+class LazyRangeBytes:
+    """A lazily-fetched bytes view over a RangeReader: slicing fetches only
+    the touched BLOCK_SIZE-aligned blocks (LRU-cached), so header parsing
+    and windowed tile decodes never pull the whole object — the RangeReader
+    analogue of the local mmap path."""
+
+    def __init__(self, reader: RangeReader, block_size: int = 1 << 16,
+                 cache_blocks: int = 64):
+        self._r = reader
+        self._bs = block_size
+        self._cache: OrderedDict[int, bytes] = OrderedDict()
+        self._cap = cache_blocks
+        self._len = reader.total_length()
+
+    def __len__(self) -> int:
+        return self._len
+
+    def _block(self, bi: int) -> bytes:
+        blk = self._cache.get(bi)
+        if blk is None:
+            blk = self._r.read_range(bi * self._bs, self._bs)
+            self._cache[bi] = blk
+            if len(self._cache) > self._cap:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(bi)
+        return blk
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            if key < 0:
+                key += self._len
+            blk = self._block(key // self._bs)
+            return blk[key % self._bs]
+        start, stop, step = key.indices(self._len)
+        if step != 1:
+            raise ValueError("LazyRangeBytes supports contiguous slices only")
+        if start >= stop:
+            return b""
+        b0, b1 = start // self._bs, (stop - 1) // self._bs
+        parts = [self._block(bi) for bi in range(b0, b1 + 1)]
+        raw = parts[0] if len(parts) == 1 else b"".join(parts)
+        off = start - b0 * self._bs
+        return raw[off : off + (stop - start)]

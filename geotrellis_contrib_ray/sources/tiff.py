@@ -465,22 +465,30 @@ class _TiffLevel:
         return np.moveaxis(arr, -1, 0)
 
 
-def _parse_tiff(data: bytes) -> tuple[list[_TiffLevel], dict]:
-    """-> (levels, ifd0 tags)."""
+def _unpack_at(fmt: str, data, off: int):
+    """struct.unpack over a SLICE of ``data`` — unlike unpack_from this
+    works on any sliceable byte view (mmap AND rangereader.LazyRangeBytes),
+    which is what keeps header parsing lazy over ranged readers."""
+    return struct.unpack(fmt, data[off : off + struct.calcsize(fmt)])
+
+
+def _parse_tiff(data) -> tuple[list[_TiffLevel], dict]:
+    """-> (levels, ifd0 tags).  ``data``: bytes / mmap / LazyRangeBytes —
+    anything supporting contiguous slicing; only IFD pages are touched."""
     order = data[:2]
     endian = "<" if order == b"II" else ">" if order == b"MM" else None
     if endian is None:
         raise ValueError("not a TIFF (bad byte-order mark)")
-    (magic,) = struct.unpack_from(endian + "H", data, 2)
+    (magic,) = _unpack_at(endian + "H", data, 2)
     if magic != 42:
         raise ValueError("not a classic TIFF (magic != 42)")
-    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    (ifd_off,) = _unpack_at(endian + "I", data, 4)
     levels, tags0 = [], None
     while ifd_off:
-        (n,) = struct.unpack_from(endian + "H", data, ifd_off)
+        (n,) = _unpack_at(endian + "H", data, ifd_off)
         tags: dict[int, list] = {}
         for i in range(n):
-            tag, ft, cnt, raw = struct.unpack_from(endian + "HHI4s", data, ifd_off + 2 + 12 * i)
+            tag, ft, cnt, raw = _unpack_at(endian + "HHI4s", data, ifd_off + 2 + 12 * i)
             size = _FT_SIZE.get(ft)
             if size is None:
                 continue  # unknown field type: skip
@@ -489,14 +497,14 @@ def _parse_tiff(data: bytes) -> tuple[list[_TiffLevel], dict]:
                 vals = struct.unpack_from(endian + str(cnt) + _FT_FMT[ft], raw)
             else:
                 (voff,) = struct.unpack(endian + "I", raw)
-                vals = struct.unpack_from(endian + str(cnt) + _FT_FMT[ft], data, voff)
+                vals = _unpack_at(endian + str(cnt) + _FT_FMT[ft], data, voff)
             tags[tag] = list(vals)
         if T_TILE_OFFSETS not in tags and T_STRIP_OFFSETS not in tags:
             raise ValueError("TIFF has neither tile nor strip offsets")
         levels.append(_TiffLevel(tags, data, endian))
         if tags0 is None:
             tags0 = tags
-        (ifd_off,) = struct.unpack_from(endian + "I", data, ifd_off + 2 + 12 * n)
+        (ifd_off,) = _unpack_at(endian + "I", data, ifd_off + 2 + 12 * n)
     return levels, tags0
 
 
@@ -526,15 +534,22 @@ class TiffRasterSource(RasterSource):
     @property
     def _info(self):
         if self._parsed is None:
-            # mmap, not read(): the RangeReader semantics
-            # (GeoTiffRasterSource.scala:45 — streaming reader).  Header
-            # parsing touches only the IFD pages; decode_tile slices only
-            # each tile's byte range, so a multi-GB file never fully loads
-            # for a windowed read.
-            import mmap
+            # mmap for plain paths, a RangeReader-backed lazy view for
+            # scheme'd URIs — both give the RangeReader semantics
+            # (GeoTiffRasterSource.scala:37-45 — streaming reader over
+            # file/S3/HTTP).  Header parsing touches only the IFD pages;
+            # decode_tile slices only each tile's byte range, so a multi-GB
+            # object never fully loads for a windowed read.
+            if "://" in self.path:
+                from .rangereader import LazyRangeBytes, open_range_reader
 
-            self._fh = open(self.path, "rb")
-            data = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+                self._reader = open_range_reader(self.path)
+                data = LazyRangeBytes(self._reader)
+            else:
+                import mmap
+
+                self._fh = open(self.path, "rb")
+                data = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
             levels, tags0 = _parse_tiff(data)
             scale = tags0.get(T_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
             tp = tags0.get(T_MODEL_TIEPOINT, [0.0] * 6)
@@ -686,10 +701,19 @@ def _tiff_factory(uri: str):
     return TiffRasterSource(path)
 
 
+def _tiff_ranged_factory(uri: str):
+    """mem+http:// GeoTIFFs keep the full URI: TiffRasterSource routes byte
+    access through sources/rangereader (S1 parity — the reference's
+    GeoTiffRasterSource reads any RangeReader-backed URI lazily,
+    GeoTiffRasterSource.scala:37-41)."""
+    return TiffRasterSource(uri)
+
+
 def register_tiff_scheme():
     from .registry import register_scheme
 
     register_scheme("file", _tiff_factory)
+    register_scheme("mem+http", _tiff_ranged_factory)
 
 
 register_tiff_scheme()

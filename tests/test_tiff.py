@@ -258,3 +258,48 @@ def test_predictor_rejects_float(tmp_path):
     with pytest.raises(ValueError, match="integer"):
         write_tiff(str(tmp_path / "f.tif"), px, grid,
                    cell_type=CellType("float32", None), predictor=2)
+
+
+def test_rangereader_mem_http_byte_equal_and_lazy(tmp_path):
+    """S1 RangeReader parity (VERDICT r2 #9): a TIFF served through the
+    mem+http:// stub must give byte-identical windowed reads to the local
+    file path, with the ranged-GET log showing the read was PARTIAL (a
+    small window never pulls the whole object)."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.celltype import CellType
+    from geotrellis_contrib_ray.core.grid import Extent, GridBounds, GridExtent
+    from geotrellis_contrib_ray.sources.rangereader import (
+        _MEM_HTTP_STORE,
+        serve_mem_http,
+    )
+    from geotrellis_contrib_ray.sources.registry import source_for_uri
+    from geotrellis_contrib_ray.sources.tiff import TiffRasterSource, write_tiff
+
+    n = 1024
+    grid = GridExtent(Extent(0.0, 0.0, n * 10.0, n * 10.0), 10.0, 10.0, n, n)
+    path = str(tmp_path / "ranged.tif")
+    vals = (np.arange(n * n, dtype=np.int64).reshape(n, n) % 32768).astype(np.int16)
+    write_tiff(path, vals[None], grid, cell_type=CellType("int16", -32768.0),
+               compression="none")  # uncompressed: ~2 MB, so partial reads show
+
+    uri = "mem+http://fixtures/ranged.tif"
+    serve_mem_http(uri, open(path, "rb").read())
+    try:
+        local = TiffRasterSource(path)
+        remote = source_for_uri(uri)
+        w = GridBounds(100, 100, 400, 300)
+        a = local.read_bounds(w)
+        b = remote.read_bounds(w)
+        assert np.array_equal(a.pixels, b.pixels)
+        assert a.extent == b.extent
+        # laziness: the ranged reads must cover well under the whole object
+        reqs = remote._reader.requests
+        fetched = sum(ln for _, ln in reqs)
+        total = len(_MEM_HTTP_STORE[uri])
+        assert fetched < total * 0.35, (fetched, total)
+        # full-window equality too (whole read still works over ranges)
+        assert np.array_equal(
+            local.read().pixels, source_for_uri(uri).read().pixels)
+    finally:
+        _MEM_HTTP_STORE.pop(uri, None)
