@@ -25,59 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# per-operator benches beyond the headline (subset: one per operator family)
-BENCH_QUERIES = [
-    "tile_assign",
-    "cell_assign",
-    "pip_zones",
-    "knn",
-    "zonal_summary",
-    "rasterize",
-    "pyramid",
-    "dedup_exact",
-    "token_stats",
-    "event_windows",
-    "lineitem_pricing",
-    "ann_cosine",
-    "order_lineitem_join",
-    "pip_zones_indexed",
-    "knn_indexed",
-    "raster_tile_read",
-    "minhash_pairs",
-    "knn_many",
-    "sessionize",
-    "jaccard_exact_pairs",
-    "substring_pairs",
-    "media_video_frames",
-    "pip_zones_rtree",
-    "knn_rtree",
-    "interval_join",
-    "interval_join_bucketed",
-    "box_join",
-    "hilbert_key",
-    "stratified_sample",
-    "redact",
-    "contamination",
-    "dedup_clusters",
-    "kmeans_embed",
-    "raster_focal",
-    "tfidf_terms",
-    "semi_bloom",
-    "raster_gradient",
-    "repetition",
-    "mercator_cells",
-    "orders_left_join",
-    "span_media_join",
-    "window_distinct",
-    "chunk_docs",
-    "shuffle_head",
-    "vocab_coverage",
-    "audio_energy",
-    "quantile_filter",
-    "raster_hillshade",
-    "span_table",
-    "dedup_apply",
-]
+# per-operator benches beyond the headline: EVERY queries() entry, derived
+# at run time so new operators are always timed (the r2 static list silently
+# skipped 30 of them)
+def _bench_queries(qs: dict) -> list[str]:
+    return list(qs)
 
 
 def _timed(fn) -> float:
@@ -212,7 +164,7 @@ def run_bench() -> dict:
         # min of R passes per query, same steady-state rationale as the
         # headline (single passes swing 2-3x with this host's load regime)
         qreps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
-        for name in BENCH_QUERIES:
+        for name in _bench_queries(qs):
             qtimes[name] = round(
                 min(_timed(lambda: _consume(qs[name](SF_DIR))) for _ in range(qreps)), 3
             )

@@ -40,7 +40,8 @@ def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "text",
-                   chunk_size: int = 4096, super_size: int | None = None):
+                   chunk_size: int = 4096, super_size: int | None = None,
+                   driver_chunk_rows: int = 1_000_000):
     """-> (doc_id, n_tokens, seq_id): seq_id = floor(presum / budget) where
     presum is the total token count of all lower-id docs.
 
@@ -103,50 +104,70 @@ def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "tex
 
     # chunk count scales with the corpus (max_id/chunk_size) — many-group
     # total reduce via the bounded-salt plan (the ~40x rule, stages/agg.py)
+    # materialize: chunk_tot feeds BOTH the super-chunk reduce and the
+    # offsets stage — without this the whole corpus tokenize re-executes
+    # per consumer (a Dataset consumed by two plans re-runs its upstream).
+    # Size is bounded at n/chunk_size rows (the level-1 contract), so the
+    # object store holds it comfortably at any corpus scale.
     chunk_tot = salted_group_reduce(
         chunked.map_batches(chunk_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         ["chunk"], [("ptok", "sum", "chunk_tokens")],
-    )
-
-    # level 2: super-chunk totals -> driver cumsum (n/(chunk*super) rows)
-    def sc_partial(b: pa.Table) -> pa.Table:
-        sc = b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) // super_size
-        t = pa.table({"sc": pa.array(sc), "chunk_tokens": b["chunk_tokens"]})
-        g = t.group_by("sc", use_threads=False).aggregate([("chunk_tokens", "sum")])
-        return g.rename_columns(["sc", "ptok"])
-
-    sc_tot = salted_group_reduce(
-        chunk_tot.map_batches(sc_partial, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None),
-        ["sc"], [("ptok", "sum", "sc_tokens")],
-    ).to_pandas().sort_values("sc").reset_index(drop=True)
-    sc_prefix = np.concatenate([[0], np.cumsum(sc_tot["sc_tokens"].to_numpy())[:-1]])
-    sc_ref = ray.put(dict(zip(sc_tot["sc"].astype(np.int64).tolist(),
-                              sc_prefix.astype(np.int64).tolist())))
-
-    # level 3: chunk offsets = sc prefix + within-sc exclusive cumsum
-    def add_sc(b: pa.Table) -> pa.Table:
-        sc = b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) // super_size
-        return b.append_column("_sc", pa.array(sc))
-
-    def chunk_offsets(g):
-        import ray as _ray
-
-        base = int(_ray.get(sc_ref)[int(g["_sc"].iloc[0])])
-        g = g.sort_values("chunk", kind="mergesort")
-        tok = g["chunk_tokens"].to_numpy(dtype=np.int64)
-        off = base + np.concatenate([[0], np.cumsum(tok)[:-1]])
-        return pa.table({
-            "chunk": pa.array(g["chunk"].to_numpy(dtype=np.int64)),
-            "_chunk_off": pa.array(off.astype(np.int64)),
-        })
+    ).materialize()
 
     from .agg import _default_shuffle_partitions
 
-    offsets = (chunk_tot.map_batches(add_sc, batch_format="pyarrow",
-                                     zero_copy_batch=True, batch_size=None)
-               .repartition(_default_shuffle_partitions())
-               .groupby("_sc").map_groups(chunk_offsets, batch_format="pandas"))
+    # ADAPTIVE tier split (chunk_tot is materialized, so count() is free):
+    # when the chunk table itself is driver-sized, cumsum it directly and
+    # skip levels 2-3 — two whole wide steps of pure fixed cost at bench
+    # scale.  Past the bound, the super-chunk hierarchy keeps the driver at
+    # n/(chunk_size*super_size) rows.
+    if chunk_tot.count() <= driver_chunk_rows:
+        import ray.data as _rd
+
+        ct = chunk_tot.to_pandas().sort_values("chunk").reset_index(drop=True)
+        prefix = np.concatenate([[0], np.cumsum(ct["chunk_tokens"].to_numpy())[:-1]])
+        offsets = _rd.from_arrow(pa.table({
+            "chunk": pa.array(ct["chunk"].to_numpy(dtype=np.int64)),
+            "_chunk_off": pa.array(prefix.astype(np.int64)),
+        }))
+    else:
+        # level 2: super-chunk totals -> driver cumsum (n/(chunk*super) rows)
+        def sc_partial(b: pa.Table) -> pa.Table:
+            sc = b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) // super_size
+            t = pa.table({"sc": pa.array(sc), "chunk_tokens": b["chunk_tokens"]})
+            g = t.group_by("sc", use_threads=False).aggregate([("chunk_tokens", "sum")])
+            return g.rename_columns(["sc", "ptok"])
+
+        sc_tot = salted_group_reduce(
+            chunk_tot.map_batches(sc_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None),
+            ["sc"], [("ptok", "sum", "sc_tokens")],
+        ).to_pandas().sort_values("sc").reset_index(drop=True)
+        sc_prefix = np.concatenate([[0], np.cumsum(sc_tot["sc_tokens"].to_numpy())[:-1]])
+        sc_ref = ray.put(dict(zip(sc_tot["sc"].astype(np.int64).tolist(),
+                                  sc_prefix.astype(np.int64).tolist())))
+
+        # level 3: chunk offsets = sc prefix + within-sc exclusive cumsum
+        def add_sc(b: pa.Table) -> pa.Table:
+            sc = b["chunk"].to_numpy(zero_copy_only=False).astype(np.int64) // super_size
+            return b.append_column("_sc", pa.array(sc))
+
+        def chunk_offsets(g):
+            import ray as _ray
+
+            base = int(_ray.get(sc_ref)[int(g["_sc"].iloc[0])])
+            g = g.sort_values("chunk", kind="mergesort")
+            tok = g["chunk_tokens"].to_numpy(dtype=np.int64)
+            off = base + np.concatenate([[0], np.cumsum(tok)[:-1]])
+            return pa.table({
+                "chunk": pa.array(g["chunk"].to_numpy(dtype=np.int64)),
+                "_chunk_off": pa.array(off.astype(np.int64)),
+            })
+
+        offsets = (chunk_tot.map_batches(add_sc, batch_format="pyarrow",
+                                         zero_copy_batch=True, batch_size=None)
+                   .repartition(_default_shuffle_partitions())
+                   .groupby("_sc").map_groups(chunk_offsets, batch_format="pandas"))
 
     # level 4: tagged union (offset rows ride the same chunk shuffle as the
     # doc rows — no separate join stage), then per-chunk cumsum + assignment

@@ -161,7 +161,8 @@ def test_pack_sequences_hierarchical_levels(ray_session):
     t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
                   "text": pa.array(texts, pa.string())})
     got = (
-        pack_sequences(rd.from_arrow(t), budget=100, chunk_size=4, super_size=4)
+        pack_sequences(rd.from_arrow(t), budget=100, chunk_size=4, super_size=4,
+                       driver_chunk_rows=0)  # force the hierarchical tier
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     toks = np.array([len(x.split(" ")) for x in texts], np.int64)
