@@ -720,7 +720,11 @@ def q_minhash_pairs(sf_dir: str):
     from geotrellis_contrib_ray.stages import dedup
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.minhash_candidate_pairs(ds)
+    # ORACLE PROFILE: uncapped buckets — the operator's default drop cap
+    # (max_bucket=1000, logged) is a scale knob that would silently diverge
+    # from the exact SQL twin past the gate SF (seen at sf0.1: a hot 7-bit
+    # simhash chunk crossed 1000 members)
+    return dedup.minhash_candidate_pairs(ds, max_bucket=1_000_000)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -728,8 +732,11 @@ def q_simhash_pairs(sf_dir: str):
     from geotrellis_contrib_ray.stages import dedup
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # bands=9 (7-bit chunks) guarantees every pair with hamming <= 8 collides
-    return dedup.simhash_candidate_pairs(ds, max_hamming=8, bands=9)
+    # bands=9 (7-bit chunks) guarantees every pair with hamming <= 8 collides;
+    # uncapped buckets so the exact SQL twin matches at every SF (the
+    # operator's default cap dropped a hot chunk at sf0.1)
+    return dedup.simhash_candidate_pairs(ds, max_hamming=8, bands=9,
+                                         max_bucket=1_000_000)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
@@ -738,7 +745,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     from geotrellis_contrib_ray.stages import dedup
 
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.ngram_jaccard_pairs(ds, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(ds, threshold=0.5, max_bucket=1_000_000)
 
 
 def q_jaccard_exact_pairs(sf_dir: str):

@@ -538,7 +538,8 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
 
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
-                        num_perm: int = 64, bands: int = 16):
+                        num_perm: int = 64, bands: int = 16,
+                        max_bucket: int = 1000):
     """n-gram Jaccard near-dup: MinHash-LSH candidates -> texts re-attached
     via a hash-partitioned SHUFFLE JOIN on doc_id (no driver-side corpus
     materialization, no ray.put of the text column) -> exact Jaccard per
@@ -559,7 +560,8 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     # the candidate-distinct barrier (a full extra all-to-all) is skipped;
     # pairs arrive duplicated once per colliding band (small constant)
     cand = minhash_candidate_pairs(ds, num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, distinct=False)
+                                   shingle_k=shingle_k, distinct=False,
+                                   max_bucket=max_bucket)
 
     # explode each candidate pair into two (doc_id, id1, id2, slot) probe rows
     def explode(b: pa.Table) -> pa.Table:
