@@ -938,6 +938,32 @@ def q_raster_tile_read(sf_dir: str):
     return rst.summarize_tiles(tiles, nodata_aware=False)
 
 
+def q_raster_lambert(sf_dir: str):
+    """T1 warp ORACLE: the full reproject READ PATH (not just the CRS
+    kernel) — a synthetic 4326 raster over the PA bbox warped to the
+    Lambert conformal conic query CRS via windowed tile reads
+    (inverse-transform sampling of target cell centers, densified window
+    back-transforms, nodata outside the source footprint), rolled up as
+    per-tile nodata-aware checksums.  The SQL twin replays each tile's
+    sampling constants computed by the same library calls
+    (query_defs.lambert_raster_tile_params)."""
+    from geotrellis_contrib_ray.core.grid import LayoutDefinition
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        QUERY_GRID,
+        lambert_query_crs,
+        lambert_raster_target,
+    )
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    tg = lambert_raster_target()
+    src = SyntheticRasterSource(QUERY_GRID)
+    rep = src.reproject(lambert_query_crs(), target_grid=tg, method="nearest")
+    layout = LayoutDefinition.floating(tg, 256)
+    tiles = rst.tile_dataset([rep], layout)
+    return rst.summarize_tiles(tiles, nodata_aware=True)
+
+
 def q_raster_stride_windows(sf_dir: str):
     """The reference's benchmark workload as an oracle query
     (GeotrellisRasterSourceBench.scala:32-43: FloatingLayoutScheme(256) keys
@@ -1813,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mercator_cells": q_mercator_cells,
         "lambert_cells": q_lambert_cells,
         "albers_cells": q_albers_cells,
+        "raster_lambert": q_raster_lambert,
         "orders_left_join": q_orders_left_join,
         "span_media_join": q_span_media_join,
         "span_table": q_span_table,
@@ -2901,6 +2928,58 @@ SELECT doc_id,
        CAST(floor(({_ax}) * 100) AS BIGINT) AS ax_cm,
        CAST(floor(({_ay}) * 100) AS BIGINT) AS ay_cm
 FROM pts"""
+
+    # raster_lambert: the FULL warp read path replayed — per-tile sampling
+    # constants (window back-transforms, source sub-grid params) computed by
+    # the same library calls the Ray side makes, inverse-LCC of target cell
+    # centers, nearest-neighbor source lookup, nodata outside the footprint.
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        lambert_inverse_sql_exprs,
+        lambert_raster_target,
+        lambert_raster_tile_params,
+    )
+
+    _tg = lambert_raster_target()
+    _d = lambda v: f"CAST({float(v)!r} AS DOUBLE)"  # noqa: E731
+    _tp_rows = ",\n      ".join(
+        f"({p['tc']},{p['tr']},{p['gc0']},{p['gr0']},{p['gc1']},{p['gr1']},"
+        f"{_d(p['sxmin'])},{_d(p['symax'])},{_d(p['scw'])},{_d(p['sch'])},"
+        f"{p['scols']},{p['srows']},{p['wc0']},{p['wr0']})"
+        for p in lambert_raster_tile_params())
+    _rlon, _rlat = lambert_inverse_sql_exprs("tx", "ty")
+    _src_cols = QUERY_GRID.cols
+    sql["raster_lambert"] = f"""
+WITH rl_tiles(tc, tr, gc0, gr0, gc1, gr1, sxmin, symax, scw, sch, scols, srows, wc0, wr0) AS (VALUES
+      {_tp_rows}),
+rl_cells AS (
+  SELECT t.*, t.gc0 + c.c AS gc, t.gr0 + r.r AS gr
+  FROM rl_tiles t
+  JOIN generate_series(0, 255) c(c) ON t.gc0 + c.c <= t.gc1
+  JOIN generate_series(0, 255) r(r) ON t.gr0 + r.r <= t.gr1
+),
+rl_pt AS (
+  SELECT *, {_d(_tg.extent.xmin)} + (gc + 0.5) * {_d(_tg.cellwidth)} AS tx,
+            {_d(_tg.extent.ymax)} - (gr + 0.5) * {_d(_tg.cellheight)} AS ty
+  FROM rl_cells
+),
+rl_px AS (
+  SELECT tc, tr, gc1, gc0, gr1, gr0, scols, srows, wc0, wr0,
+         CAST(floor((({_rlon}) - sxmin) / scw) AS BIGINT) AS lc,
+         CAST(floor((symax - ({_rlat})) / sch) AS BIGINT) AS lr
+  FROM rl_pt
+),
+rl_v AS (
+  SELECT tc, tr, gc1 - gc0 + 1 AS cols, gr1 - gr0 + 1 AS rows,
+         CASE WHEN lc >= 0 AND lc < scols AND lr >= 0 AND lr < srows
+              THEN ((wr0 + lr) * {_src_cols} + (wc0 + lc)) % 32768
+              ELSE NULL END AS v
+  FROM rl_px
+)
+SELECT CAST(tc AS BIGINT) AS tile_col, CAST(tr AS BIGINT) AS tile_row,
+       CAST(cols AS BIGINT) AS cols, CAST(rows AS BIGINT) AS rows,
+       CAST(coalesce(sum(v), 0) AS BIGINT) AS pixel_sum,
+       CAST(count(v) AS BIGINT) AS n_valid
+FROM rl_v GROUP BY tc, tr, cols, rows"""
 
     # repetition: SQL counts the substrings themselves; the Ray side counts
     # 64-bit gram hashes (collision odds ~n^2/2^64 — zero on test corpora)

@@ -296,6 +296,81 @@ def albers_query_crs():
     return AlbersEqualAreaCRS("albers_conus", 29.5, 45.5, 23.0, -96.0)
 
 
+def lambert_raster_target():
+    """The raster-reprojection query profile (q_raster_lambert): a synthetic
+    4326 raster over the PA bbox warped to the LCC query CRS.  The target
+    grid is derived ONCE here (densified-edge forward envelope of the PA
+    extent, ~700 m cells — fine enough that overview routing stays on the
+    base source) and both engines consume the identical floats."""
+    from ..core.crs import EPSG_4326, Transformer, reproject_extent
+    from ..core.grid import Extent, GridExtent
+
+    fwd = Transformer(EPSG_4326, lambert_query_crs())
+    x0, y0, x1, y1 = reproject_extent(fwd, PA_EXTENT.xmin, PA_EXTENT.ymin,
+                                      PA_EXTENT.xmax, PA_EXTENT.ymax)
+    cols = int((x1 - x0) // 700.0)
+    rows = int((y1 - y0) // 700.0)
+    return GridExtent.from_extent(Extent(x0, y0, x1, y1), cols, rows)
+
+
+def lambert_raster_tile_params(tile: int = 256) -> list[dict]:
+    """Per-tile warp-sampling constants for the q_raster_lambert SQL twin,
+    computed with the SAME library calls ReprojectRasterSource.read_bounds
+    makes (reproject_extent densified window back-transform, grid_bounds_for
+    unclamped, intersection, extent_for, GridExtent.from_extent), so every
+    embedded float is bit-identical to the Ray side by construction."""
+    from ..core.crs import EPSG_4326, Transformer, reproject_extent
+    from ..core.grid import Extent, GridBounds, GridExtent
+
+    tg = lambert_raster_target()
+    back = Transformer(lambert_query_crs(), EPSG_4326)
+    src_grid = QUERY_GRID
+    full = GridBounds(0, 0, src_grid.cols - 1, src_grid.rows - 1)
+    ntc = -(-tg.cols // tile)
+    ntr = -(-tg.rows // tile)
+    out = []
+    for tr in range(ntr):
+        for tc in range(ntc):
+            inter = GridBounds(tc * tile, tr * tile,
+                               min(tc * tile + tile - 1, tg.cols - 1),
+                               min(tr * tile + tile - 1, tg.rows - 1))
+            te = tg.extent_for(inter)
+            sx0, sy0, sx1, sy1 = reproject_extent(back, te.xmin, te.ymin,
+                                                  te.xmax, te.ymax)
+            gb = src_grid.grid_bounds_for(Extent(sx0, sy0, sx1, sy1), clamp=False)
+            sint = gb.intersection(full)
+            se = src_grid.extent_for(sint)
+            sgrid = GridExtent.from_extent(se, sint.width, sint.height)
+            out.append({
+                "tc": tc, "tr": tr,
+                "gc0": inter.col_min, "gr0": inter.row_min,
+                "gc1": inter.col_max, "gr1": inter.row_max,
+                "sxmin": sgrid.extent.xmin, "symax": sgrid.extent.ymax,
+                "scw": sgrid.cellwidth, "sch": sgrid.cellheight,
+                "scols": sint.width, "srows": sint.height,
+                "wc0": sint.col_min, "wr0": sint.row_min,
+            })
+    return out
+
+
+def lambert_inverse_sql_exprs(x: str = "tx", y: str = "ty") -> tuple[str, str]:
+    """(lon_expr, lat_expr): the core/crs._lcc_to_lonlat inverse closed form
+    over target-plane coordinates — same derived constants, same elementary
+    calls (sqrt/atan2/atan/power/degrees) as the numpy kernel."""
+    from ..core.crs import lcc_constants
+
+    crs = lambert_query_crs()
+    n, f, rho0 = lcc_constants(crs)
+    sgn = "1.0" if n >= 0 else "-1.0"
+    dy = f"({_dbl(rho0)} - ({y}))"
+    rho = f"({sgn} * sqrt(({x}) * ({x}) + {dy} * {dy}))"
+    theta = f"atan2({sgn} * ({x}), {sgn} * {dy})"
+    phi = (f"(2.0 * atan(power({_dbl(crs.radius)} * {_dbl(f)} / {rho}, "
+           f"{_dbl(1.0 / n)})) - pi() / 2.0)")
+    lon = f"({_dbl(crs.lon0)} + degrees({theta} / {_dbl(n)}))"
+    return lon, f"degrees({phi})"
+
+
 def _dbl(v: float) -> str:
     """A float constant as a DOUBLE literal: DuckDB parses bare decimal
     literals as DECIMAL, whose fixed-point multiplication overflows on
