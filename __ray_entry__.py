@@ -121,6 +121,24 @@ def q_hilbert_key(sf_dir: str):
     return ds.select_columns(["doc_id", "hkey", "part"])
 
 
+def q_geohash_cells(sf_dir: str):
+    """Geohash cell encoding per doc point — the string-keyed hierarchical
+    cell family (prefix = parent, lexicographic range = spatial range)
+    beside packed cells and the Hilbert key.  Oracle: the 40-bit lon-first
+    interleave unrolled as a generated CTE (query_defs.geohash_sql_cte);
+    both the base32 STRING and the interleaved integer cross the hash."""
+    from geotrellis_contrib_ray.stages import spatial
+
+    ds = _docs_points(sf_dir, columns=("doc_id",))
+    ds = ds.map_batches(
+        spatial.add_geohash,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    return ds.select_columns(["doc_id", "geohash", "gh_code"])
+
+
 def q_pip_zones(sf_dir: str):
     """J1: PIP semi-join of doc points vs broadcast zones (boxes + convex)."""
     from geotrellis_contrib_ray.pipelines.query_defs import ZONE_BOXES, ZONE_CONVEX
@@ -1840,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lambert_cells": q_lambert_cells,
         "albers_cells": q_albers_cells,
         "raster_lambert": q_raster_lambert,
+        "geohash_cells": q_geohash_cells,
         "orders_left_join": q_orders_left_join,
         "span_media_join": q_span_media_join,
         "span_table": q_span_table,
@@ -1944,6 +1963,13 @@ FROM pts"""
 WITH {geo_cte()},
   {hilbert_sql_cte(16)}
 SELECT doc_id, d AS hkey, (d >> 22) AS part FROM hfinal"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import geohash_sql_cte
+
+    sql["geohash_cells"] = f"""
+WITH {geo_cte()},
+  {geohash_sql_cte(8)}
+SELECT doc_id, geohash, gh_code FROM gh"""
 
     sql["cell_assign"] = f"""
 WITH {geo_cte()},

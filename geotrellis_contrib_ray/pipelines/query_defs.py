@@ -590,6 +590,40 @@ def embedding_lsh_cte(dim: int = 64, n_planes: int = 6, n_bands: int = 6,
   )"""
 
 
+def geohash_sql_cte(precision: int = 8) -> str:
+    """Generated CTE replaying stages/spatial.add_geohash: lattice
+    quantization (identical float expressions), the lon-first bit
+    interleave unrolled as a 5*precision-term sum, base32 chars via
+    substr over the alphabet.  Expects a preceding ``pts`` CTE (geo_cte);
+    yields ``gh(doc_id, geohash, gh_code)``."""
+    from ..stages.spatial import GEOHASH_ALPHABET
+
+    nbits = 5 * precision
+    nlon = -(-nbits // 2)
+    nlat = nbits // 2
+    lon_off, lat_off = (1, 0) if nlon == nlat else (0, 1)
+    lq = (f"LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {float(1 << nlon)!r}) "
+          f"AS BIGINT), 0), {(1 << nlon) - 1})")
+    aq = (f"LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {float(1 << nlat)!r}) "
+          f"AS BIGINT), 0), {(1 << nlat) - 1})")
+    terms = [f"((lon_q // {1 << i}) % 2) * {1 << (2 * i + lon_off)}"
+             for i in range(nlon)]
+    terms += [f"((lat_q // {1 << i}) % 2) * {1 << (2 * i + lat_off)}"
+              for i in range(nlat)]
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', CAST((gh_code // {1 << (5 * (precision - 1 - k))}) % 32 AS INT) + 1, 1)"
+        for k in range(precision))
+    return f"""gh_q AS (
+    SELECT doc_id, {lq} AS lon_q, {aq} AS lat_q FROM pts
+  ),
+  gh_c AS (
+    SELECT doc_id, {' + '.join(terms)} AS gh_code FROM gh_q
+  ),
+  gh AS (
+    SELECT doc_id, {chars} AS geohash, gh_code FROM gh_c
+  )"""
+
+
 def hilbert_sql_cte(order: int = 16) -> str:
     """Generated DuckDB CTE chain computing the Hilbert index of the
     quantized (lon, lat) lattice — the same fixed ``order``-iteration bit

@@ -60,6 +60,56 @@ def add_cell(batch: pa.Table, res: int, parent_res: int | None = None) -> pa.Tab
     return batch
 
 
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 8  # 8 chars = 40 bits (20 lon + 20 lat)
+
+
+def add_geohash(batch: pa.Table, precision: int = GEOHASH_PRECISION) -> pa.Table:
+    """Geohash cell encoding from (lon, lat) columns — the string-keyed
+    hierarchical cell family beside the packed int cells (add_cell) and the
+    Hilbert curve key (add_hilbert_key): prefix truncation = parent cell,
+    lexicographic ranges = spatial ranges.
+
+    Standard geohash: 5 bits/char, bits interleaved lon-first; binary
+    subdivision over [-180,180]/[-90,90] equals direct quantization to
+    2^ceil(5p/2) / 2^floor(5p/2) lattices, so the whole encode is exact
+    integer math the SQL twin unrolls bit-for-bit.  Appends ``geohash``
+    (string) and ``gh_code`` (the 5p-bit interleaved integer, int64 —
+    5p <= 60).  Fully vectorized: one bit-interleave pass + one fixed-width
+    byte-gather for the string column (no per-row python)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in [1, 12]")
+    nbits = 5 * precision
+    nlon = -(-nbits // 2)  # lon gets the extra bit (even positions from MSB)
+    nlat = nbits // 2
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lon_q = np.clip(np.floor((lon + 180.0) / 360.0 * float(1 << nlon)),
+                    0, (1 << nlon) - 1).astype(np.int64)
+    lat_q = np.clip(np.floor((lat + 90.0) / 180.0 * float(1 << nlat)),
+                    0, (1 << nlat) - 1).astype(np.int64)
+    code = np.zeros(len(lon), dtype=np.int64)
+    # lon-first interleave from the MSB: even total bits puts lon bit i at
+    # position 2i+1 and lat bit i at 2i; odd totals (odd precision) end on a
+    # lon bit, shifting lon to 2i and lat to 2i+1
+    lon_off, lat_off = (1, 0) if nlon == nlat else (0, 1)
+    for i in range(nlon):
+        code |= ((lon_q >> np.int64(i)) & 1) << np.int64(2 * i + lon_off)
+    for i in range(nlat):
+        code |= ((lat_q >> np.int64(i)) & 1) << np.int64(2 * i + lat_off)
+    # 5-bit groups -> base32 chars, assembled as one fixed-width byte matrix
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+    chars = np.empty((len(lon), precision), dtype=np.uint8)
+    for k in range(precision):
+        idx = (code >> np.int64(5 * (precision - 1 - k))) & 31
+        chars[:, k] = alpha[idx]
+    offs = (np.arange(len(lon) + 1, dtype=np.int32) * precision)
+    gh = pa.StringArray.from_buffers(
+        len(lon), pa.py_buffer(offs.tobytes()), pa.py_buffer(chars.tobytes()))
+    return (batch.append_column("geohash", gh)
+                 .append_column("gh_code", pa.array(code)))
+
+
 HILBERT_ORDER = 16  # 2^16 x 2^16 lattice -> 32-bit keys; SQL-reproducible
 
 

@@ -61,3 +61,41 @@ def test_zxy_known_values():
 def test_zxy_parent():
     x, y = cells.zxy_to_parent([5], [7], 1)
     assert (x[0], y[0]) == (2, 3)
+
+
+def test_add_geohash_matches_classic_subdivision():
+    """add_geohash (lattice quantization + bit interleave) must equal the
+    classic binary-subdivision geohash for even AND odd precisions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.spatial import GEOHASH_ALPHABET, add_geohash
+
+    def ref(lat, lon, precision):
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        out, even, bit_count, ch = [], True, 0, 0
+        while len(out) < precision:
+            rng, v = (lon_r, lon) if even else (lat_r, lat)
+            mid = (rng[0] + rng[1]) / 2
+            if v >= mid:
+                ch = (ch << 1) | 1
+                rng[0] = mid
+            else:
+                ch = ch << 1
+                rng[1] = mid
+            even = not even
+            bit_count += 1
+            if bit_count == 5:
+                out.append(GEOHASH_ALPHABET[ch])
+                ch = 0
+                bit_count = 0
+        return "".join(out)
+
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-179.9, 179.9, 200)
+    lat = rng.uniform(-89.9, 89.9, 200)
+    for prec in (5, 7, 8):
+        t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        mine = add_geohash(t, precision=prec)["geohash"].to_pylist()
+        refs = [ref(la, lo, prec) for lo, la in zip(lon, lat)]
+        assert mine == refs, prec
