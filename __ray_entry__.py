@@ -1461,6 +1461,22 @@ def q_albers_cells(sf_dir: str):
     return _conic_cells(sf_dir, albers_query_crs(), "ax_cm", "ay_cm")
 
 
+def q_stereo_cells(sf_dir: str):
+    """T1 reproject oracle #4: 4326 -> north polar stereographic (the
+    EPSG:3413-style Arctic gridding family, spherical Snyder form)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import stereo_query_crs
+
+    return _conic_cells(sf_dir, stereo_query_crs(), "px_cm", "py_cm")
+
+
+def q_sinusoidal_cells(sf_dir: str):
+    """T1 reproject oracle #5: 4326 -> sinusoidal (the MODIS land-grid
+    equal-area family)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import sinu_query_crs
+
+    return _conic_cells(sf_dir, sinu_query_crs(), "sx_cm", "sy_cm")
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition quality signal: per-doc total vs distinct
     5-grams (one narrow vectorized pass; lexsort run-detect per batch)."""
@@ -1859,6 +1875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "albers_cells": q_albers_cells,
         "raster_lambert": q_raster_lambert,
         "geohash_cells": q_geohash_cells,
+        "stereo_cells": q_stereo_cells,
+        "sinusoidal_cells": q_sinusoidal_cells,
         "orders_left_join": q_orders_left_join,
         "span_media_join": q_span_media_join,
         "span_table": q_span_table,
@@ -2953,6 +2971,27 @@ WITH {geo_cte()}
 SELECT doc_id,
        CAST(floor(({_ax}) * 100) AS BIGINT) AS ax_cm,
        CAST(floor(({_ay}) * 100) AS BIGINT) AS ay_cm
+FROM pts"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        sinu_sql_exprs,
+        stereo_sql_exprs,
+    )
+
+    _px, _py = stereo_sql_exprs()
+    sql["stereo_cells"] = f"""
+WITH {geo_cte()}
+SELECT doc_id,
+       CAST(floor(({_px}) * 100) AS BIGINT) AS px_cm,
+       CAST(floor(({_py}) * 100) AS BIGINT) AS py_cm
+FROM pts"""
+
+    _sx, _sy = sinu_sql_exprs()
+    sql["sinusoidal_cells"] = f"""
+WITH {geo_cte()}
+SELECT doc_id,
+       CAST(floor(({_sx}) * 100) AS BIGINT) AS sx_cm,
+       CAST(floor(({_sy}) * 100) AS BIGINT) AS sy_cm
 FROM pts"""
 
     # raster_lambert: the FULL warp read path replayed — per-tile sampling

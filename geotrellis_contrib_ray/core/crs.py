@@ -237,6 +237,73 @@ def _aea_to_lonlat(x, y, crs: AlbersEqualAreaCRS):
     return crs.lon0 + np.degrees(theta / n), np.degrees(phi)
 
 
+@dataclass(frozen=True)
+class PolarStereographicCRS:
+    """Spherical polar stereographic (Snyder eq. 21-7..21-12): the Arctic/
+    Antarctic gridding CRS family (EPSG:3413/3976-like, on the sphere).
+    ``north`` selects the pole; ``lat_ts`` is the true-scale latitude."""
+
+    name: str
+    lon0: float
+    lat_ts: float
+    north: bool = True
+    radius: float = R
+
+
+@dataclass(frozen=True)
+class SinusoidalCRS:
+    """Spherical sinusoidal (Sanson-Flamsteed; Snyder ch. 30) — the MODIS
+    land-grid projection family: equal-area, x = R*lam*cos(phi), y = R*phi."""
+
+    name: str
+    lon0: float = 0.0
+    radius: float = R
+
+
+def ps_k0(crs: PolarStereographicCRS) -> float:
+    """Scale factor from the true-scale latitude (Snyder 21-7 reduced on the
+    sphere): k0 = (1 + sin|lat_ts|) / 2."""
+    return (1.0 + float(np.sin(np.radians(abs(crs.lat_ts))))) / 2.0
+
+
+def _lonlat_to_ps(lon, lat, crs: PolarStereographicCRS):
+    k0 = ps_k0(crs)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - crs.lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    if crs.north:
+        rho = 2.0 * crs.radius * k0 * np.tan(np.pi / 4 - phi / 2)
+        return rho * np.sin(lam), -rho * np.cos(lam)
+    rho = 2.0 * crs.radius * k0 * np.tan(np.pi / 4 + phi / 2)
+    return rho * np.sin(lam), rho * np.cos(lam)
+
+
+def _ps_to_lonlat(x, y, crs: PolarStereographicCRS):
+    k0 = ps_k0(crs)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, y)
+    c = 2.0 * np.arctan(rho / (2.0 * crs.radius * k0))
+    if crs.north:
+        phi = np.pi / 2 - c
+        lam = np.arctan2(x, -y)
+    else:
+        phi = c - np.pi / 2
+        lam = np.arctan2(x, y)
+    return crs.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def _lonlat_to_sinu(lon, lat, crs: SinusoidalCRS):
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - crs.lon0)
+    return crs.radius * lam * np.cos(phi), crs.radius * phi
+
+
+def _sinu_to_lonlat(x, y, crs: SinusoidalCRS):
+    phi = np.asarray(y, dtype=np.float64) / crs.radius
+    lam = np.asarray(x, dtype=np.float64) / (crs.radius * np.cos(phi))
+    return crs.lon0 + np.degrees(lam), np.degrees(phi)
+
+
 class Transformer:
     """Vectorized forward transform src->dst; ``inverse()`` flips it.
 
@@ -274,6 +341,10 @@ def _to_lonlat(crs, x, y):
         return _lcc_to_lonlat(x, y, crs)
     if isinstance(crs, AlbersEqualAreaCRS):
         return _aea_to_lonlat(x, y, crs)
+    if isinstance(crs, PolarStereographicCRS):
+        return _ps_to_lonlat(x, y, crs)
+    if isinstance(crs, SinusoidalCRS):
+        return _sinu_to_lonlat(x, y, crs)
     if isinstance(crs, LocalAffineCRS):
         return (
             np.asarray(x, dtype=np.float64) / crs.sx + crs.lon0,
@@ -294,6 +365,10 @@ def _from_lonlat(crs, lon, lat):
         return _lonlat_to_lcc(lon, lat, crs)
     if isinstance(crs, AlbersEqualAreaCRS):
         return _lonlat_to_aea(lon, lat, crs)
+    if isinstance(crs, PolarStereographicCRS):
+        return _lonlat_to_ps(lon, lat, crs)
+    if isinstance(crs, SinusoidalCRS):
+        return _lonlat_to_sinu(lon, lat, crs)
     if isinstance(crs, LocalAffineCRS):
         return (lon - crs.lon0) * crs.sx, (lat - crs.lat0) * crs.sy
     raise ValueError(f"unsupported CRS {crs!r}")

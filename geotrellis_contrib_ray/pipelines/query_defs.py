@@ -296,6 +296,40 @@ def albers_query_crs():
     return AlbersEqualAreaCRS("albers_conus", 29.5, 45.5, 23.0, -96.0)
 
 
+def stereo_query_crs():
+    """North polar stereographic, true-scale 70N, central meridian -45
+    (the EPSG:3413 parameter set on the 3857 sphere)."""
+    from ..core.crs import PolarStereographicCRS
+
+    return PolarStereographicCRS("ps_north", -45.0, 70.0, north=True)
+
+
+def sinu_query_crs():
+    """Sinusoidal at lon0=0 — the MODIS land-grid family (sphere)."""
+    from ..core.crs import SinusoidalCRS
+
+    return SinusoidalCRS("sinusoidal")
+
+
+def stereo_sql_exprs(lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """(x, y) exprs for the north polar stereographic query profile — the
+    2*R*k0 factor is precomputed in python and embedded, so the per-point
+    math is tan/sin/cos/radians on both engines."""
+    from ..core.crs import ps_k0
+
+    crs = stereo_query_crs()
+    f2rk = 2.0 * crs.radius * ps_k0(crs)
+    rho = f"({_dbl(f2rk)} * tan(pi()/4 - radians({lat})/2))"
+    lam = f"radians({lon} - ({_dbl(crs.lon0)}))"
+    return f"{rho} * sin({lam})", f"-({rho}) * cos({lam})"
+
+
+def sinu_sql_exprs(lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    crs = sinu_query_crs()
+    return (f"({_dbl(crs.radius)} * radians({lon} - ({_dbl(crs.lon0)})) * cos(radians({lat})))",
+            f"({_dbl(crs.radius)} * radians({lat}))")
+
+
 def lambert_raster_target():
     """The raster-reprojection query profile (q_raster_lambert): a synthetic
     4326 raster over the PA bbox warped to the LCC query CRS.  The target

@@ -175,3 +175,45 @@ def test_lcc_albers_vs_duckdb_expressions():
         q = con.execute(f"SELECT {exprs[0]} AS x, {exprs[1]} AS y FROM pts").df()
         assert np.max(np.abs(q["x"].to_numpy() - xs)) < 1e-4  # << 1 cm
         assert np.max(np.abs(q["y"].to_numpy() - ys)) < 1e-4
+
+
+def test_stereo_sinusoidal_round_trip_and_sql():
+    """Polar stereographic + sinusoidal: forward->inverse identity over
+    their valid domains, and the generated SQL expressions agree with the
+    numpy kernels to well under the cm floor."""
+    import duckdb
+    import pandas as pd
+
+    from geotrellis_contrib_ray.core.crs import EPSG_4326, Transformer
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        sinu_query_crs,
+        sinu_sql_exprs,
+        stereo_query_crs,
+        stereo_sql_exprs,
+    )
+    from geotrellis_contrib_ray.sources.documents import geocode_ids
+
+    rng = np.random.default_rng(21)
+    # stereographic: northern hemisphere; sinusoidal: anywhere non-polar
+    lon = rng.uniform(-179.0, 179.0, 2000)
+    lat_n = rng.uniform(5.0, 89.5, 2000)
+    lat_all = rng.uniform(-85.0, 85.0, 2000)
+    for crs, lats in ((stereo_query_crs(), lat_n), (sinu_query_crs(), lat_all)):
+        t = Transformer(EPSG_4326, crs)
+        x, y = t.transform(lon, lats)
+        lon2, lat2 = t.inverse().transform(x, y)
+        # wrap-safe lon compare (stereographic lam comes back in (-180,180])
+        dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+        assert np.max(np.abs(dlon)) < 1e-9
+        assert np.max(np.abs(lat2 - lats)) < 1e-9
+
+    ids = np.arange(5000, dtype=np.int64)
+    glon, glat = geocode_ids(ids)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": glon, "lat": glat}))
+    for crs, exprs in ((stereo_query_crs(), stereo_sql_exprs()),
+                       (sinu_query_crs(), sinu_sql_exprs())):
+        xs, ys = Transformer(EPSG_4326, crs).transform(glon, glat)
+        q = con.execute(f"SELECT {exprs[0]} AS x, {exprs[1]} AS y FROM pts").df()
+        assert np.max(np.abs(q["x"].to_numpy() - xs)) < 1e-4
+        assert np.max(np.abs(q["y"].to_numpy() - ys)) < 1e-4
