@@ -845,8 +845,12 @@ def q_embedding_neardup(sf_dir: str):
     from geotrellis_contrib_ray.stages import dedup
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # uncapped buckets: the oracle-profile rule (see q_minhash_pairs) — the
+    # operator's default max_bucket=2000 drop cap would silently diverge
+    # from the exact SQL twin once a bucket crosses it at bigger SFs
     return dedup.embedding_neardup_pairs_exact(
-        ds, threshold_num=9, threshold_den=100, n_planes=6, n_bands=6)
+        ds, threshold_num=9, threshold_den=100, n_planes=6, n_bands=6,
+        max_bucket=1_000_000)
 
 
 def q_quality_scores(sf_dir: str):
@@ -2597,13 +2601,15 @@ FROM s GROUP BY 1"""
         return s.replace("'", "''")
 
     stop_list = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    # COALESCE: a NULL text yields NULL from len(regexp_extract_all(...)),
+    # while the Ray scorer fills null counts to 0 — both engines say 0
     sql["quality_counts"] = f"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '{_sq(WORD_REGEX)}')) AS n_words,
-       len(list_filter(regexp_extract_all(text, '{_sq(WORD_REGEX)}'),
-                       w -> w IN ({stop_list}))) AS n_stop_words,
-       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha_chars,
-       len(regexp_extract_all(text, '{_sq(BPE_REGEX)}')) AS n_bpe_tokens
+       coalesce(len(regexp_extract_all(text, '{_sq(WORD_REGEX)}')), 0) AS n_words,
+       coalesce(len(list_filter(regexp_extract_all(text, '{_sq(WORD_REGEX)}'),
+                       w -> w IN ({stop_list}))), 0) AS n_stop_words,
+       coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0) AS n_alpha_chars,
+       coalesce(len(regexp_extract_all(text, '{_sq(BPE_REGEX)}')), 0) AS n_bpe_tokens
 FROM documents"""
 
     # quality_scores: the float ratios themselves hash-match because every
@@ -2613,12 +2619,12 @@ FROM documents"""
     sql["quality_scores"] = f"""
 WITH c AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '{_sq(WORD_REGEX)}')) AS nw,
-         len(list_filter(regexp_extract_all(text, '{_sq(WORD_REGEX)}'),
-                         w -> w IN ({stop_list}))) AS nst,
-         len(regexp_extract_all(text, '[A-Za-z]')) AS na,
-         length(text) AS nc,
-         len(regexp_extract_all(text, '{_sq(BPE_REGEX)}')) AS nb
+         coalesce(len(regexp_extract_all(text, '{_sq(WORD_REGEX)}')), 0) AS nw,
+         coalesce(len(list_filter(regexp_extract_all(text, '{_sq(WORD_REGEX)}'),
+                         w -> w IN ({stop_list}))), 0) AS nst,
+         coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0) AS na,
+         coalesce(length(text), 0) AS nc,
+         coalesce(len(regexp_extract_all(text, '{_sq(BPE_REGEX)}')), 0) AS nb
   FROM documents
 )
 SELECT doc_id,

@@ -47,13 +47,30 @@ class FileRangeReader(RangeReader):
         self._fh.seek(offset)
         return self._fh.read(length)
 
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
 
-# uri -> payload bytes, registered by tests/fixtures (the network stand-in)
+    def __del__(self):  # fd hygiene: long-lived workers open many sources
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# uri -> payload bytes, registered by tests/fixtures (the network stand-in).
+# PER-PROCESS: a real ranged-HTTP server is cluster-visible, this stub is
+# not — a mem+http source read from a Ray worker task must have the payload
+# registered IN THAT WORKER (e.g. re-register inside the map fn, or ship
+# the bytes via ray.put and register on first touch).  The resolver error
+# below spells this out.
 _MEM_HTTP_STORE: dict[str, bytes] = {}
 
 
 def serve_mem_http(uri: str, payload: bytes) -> None:
-    """Register a payload under a mem+http:// URI (fixture 'server')."""
+    """Register a payload under a mem+http:// URI (fixture 'server');
+    registration is per-process — see _MEM_HTTP_STORE."""
     _MEM_HTTP_STORE[uri] = bytes(payload)
 
 
@@ -65,7 +82,11 @@ class MemoryHTTPRangeReader(RangeReader):
 
     def __init__(self, uri: str):
         if uri not in _MEM_HTTP_STORE:
-            raise FileNotFoundError(f"no mem+http payload registered for {uri}")
+            raise FileNotFoundError(
+                f"no mem+http payload registered for {uri} IN THIS PROCESS — "
+                "the stub store is per-process (serve_mem_http on the driver "
+                "is invisible to Ray workers; register inside the worker or "
+                "ship the bytes via ray.put)")
         self.uri = uri
         self._data = _MEM_HTTP_STORE[uri]
         self.requests: list[tuple[int, int]] = []

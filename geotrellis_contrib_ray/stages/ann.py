@@ -326,6 +326,11 @@ class QuantizedCosineTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .dedup import quantize_embeddings
 
+        if len(batch) == 0:
+            # _embedding_matrix gives (0, 0) on empty batches — the matmul
+            # below would raise on the dimension mismatch
+            z = pa.array([], pa.int64())
+            return pa.table({"query_id": z, "vec_id": z, "score": z})
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         q = quantize_embeddings(_embedding_matrix(batch["embedding"]))
         dots = q @ self.qq.T                      # (B, Q) int64, <= 2^45
@@ -399,6 +404,8 @@ def quantized_lsh_filter(ds, queries: np.ndarray, n_planes: int = 6, seed: int =
     qbuckets = np.unique(((q @ planes) > 0).astype(np.int64) @ weights)
 
     def keep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch  # (0,0) embedding matrix would break the matmul
         emb = quantize_embeddings(_embedding_matrix(batch["embedding"]))
         b = ((emb @ planes) > 0).astype(np.int64) @ weights
         return batch.filter(pa.array(np.isin(b, qbuckets)))
@@ -430,6 +437,8 @@ def quantized_ivf_filter(ds, queries: np.ndarray, seeds: np.ndarray, nprobe: int
     probe = np.unique(order.ravel())
 
     def keep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch  # (0,0) embedding matrix would break the matmul
         v = quantize_embeddings(_embedding_matrix(batch["embedding"]))
         return batch.filter(pa.array(np.isin(assign(v), probe)))
 

@@ -1169,16 +1169,22 @@ def embedding_neardup_pairs_exact(ds, threshold_num: int = 9, threshold_den: int
 
     Output: id1 < id2, dot_q, d1, d2 — all int64, hash-comparable against
     the generated DuckDB twin.  Over-cap buckets are logged drops, same
-    policy as the float variant."""
-    from ..util import default_pool_size
+    policy as the float variant.  The sketcher's state is PURE DERIVED
+    (seed-fixed integer planes), so the default tier is plain tasks with
+    the instance memoized per worker (the CLAUDE.md task-tier rule —
+    actor pools cost ~1.3 s spin-up per query here)."""
+    key = ("qlsh", n_planes, n_bands)
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        sk = _WORKER_SKETCHER_CACHE.get(key)
+        if sk is None:
+            sk = QuantizedMultiBandLSH(n_planes=n_planes, n_bands=n_bands)
+            _WORKER_SKETCHER_CACHE[key] = sk
+        return sk(batch)
 
     bucketed = ds.map_batches(
-        QuantizedMultiBandLSH,
-        fn_constructor_kwargs={"n_planes": n_planes, "n_bands": n_bands},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        bucket_rows, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
-        concurrency=default_pool_size(),
     )
 
     def pairs(g):

@@ -65,8 +65,14 @@ class QualityScorer:
         texts = batch["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        n_words = pc.count_substring_regex(texts, self.word_regex).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+
+        def count(pattern: str) -> np.ndarray:
+            # null text -> null count -> NaN through numpy; treat as 0 (the
+            # SQL twins COALESCE the same way) instead of wrapping to junk
+            c = pc.fill_null(pc.count_substring_regex(texts, pattern), 0)
+            return c.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n_words = count(self.word_regex)
         # stopword count: split on the complement class, flatten the whole
         # batch's tokens, one is_in, segment-sum back per doc
         toks = pc.split_pattern_regex(texts, self.split_regex)
@@ -75,18 +81,19 @@ class QualityScorer:
         flat = toks.flatten()
         hits = pc.is_in(flat, value_set=self.stop).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        if len(hits):
-            n_stop = np.add.reduceat(hits, np.minimum(offs, len(hits) - 1))
-            n_stop[lens == 0] = 0
-        else:
-            n_stop = np.zeros(len(batch), np.int64)
-        n_alpha = pc.count_substring_regex(texts, r"[A-Za-z]").to_numpy(
+        # null texts -> null lists -> NaN lengths; exact segment sums via
+        # prefix-sum differences (reduceat's offset clamp corrupts the LAST
+        # non-null segment when a null/empty doc lands at the batch end)
+        lens = np.nan_to_num(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(hits)))
+        ends = np.cumsum(lens)
+        n_stop = cs[ends] - cs[ends - lens]
+        n_alpha = count(r"[A-Za-z]")
+        n_chars = pc.fill_null(pc.utf8_length(texts), 0).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_bpe = pc.count_substring_regex(texts, self.bpe_regex).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        n_bpe = count(self.bpe_regex)
         with np.errstate(invalid="ignore", divide="ignore"):
             stop_ratio = np.where(n_words > 0, n_stop / n_words, 0.0)
             alpha_ratio = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
@@ -398,19 +405,18 @@ def vocab_coverage(ds, top_v: int = 32, id_col: str = "doc_id",
         flat = toks.flatten()
         hits = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
         # null texts -> null list lengths -> NaN; a raw int64 cast would
-        # wrap them to INT64_MIN and corrupt the reduceat offsets
+        # wrap them to INT64_MIN and corrupt the segment offsets
         lens = np.nan_to_num(
             pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64),
             nan=0.0,
         ).astype(np.int64)
-        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        # reduceat needs strictly valid starts; empty segments yield the next
-        # element — mask them to 0 afterwards
-        if len(hits):
-            seg = np.add.reduceat(hits, np.minimum(offs, len(hits) - 1))
-            seg[lens == 0] = 0
-        else:
-            seg = np.zeros(len(b), np.int64)
+        # exact segment sums via prefix-sum differences: reduceat's
+        # clamped-offset trick undercounted the LAST non-null doc whenever a
+        # null/empty doc ended the batch (its clamped start swallowed the
+        # final token of the previous segment)
+        cs = np.concatenate(([0], np.cumsum(hits)))
+        ends = np.cumsum(lens)
+        seg = cs[ends] - cs[ends - lens]
         return pa.table({
             id_col: b[id_col],
             "n_tokens": pa.array(lens, pa.int64()),

@@ -75,3 +75,30 @@ def test_ann_exact_variants_agree_with_float_brute(ray_session):
     ivf = ann.quantized_ivf_filter(rd.from_arrow(t), queries,
                                    seeds=emb[:8].astype(np.float64), nprobe=2).to_pandas()
     assert set(qids) <= set(ivf["vec_id"])
+
+
+def test_ann_exact_empty_filter_result(ray_session):
+    """Regression (round-3 self-review): blocks filtered to 0 rows must
+    flow through the quantized scorer/filters (the (0,0) embedding matrix
+    crashed the matmul)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages import ann
+
+    rng = np.random.default_rng(8)
+    emb = (rng.standard_normal((40, 16)) * 0.3).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                  "embedding": pa.array([row for row in emb])})
+    queries = emb[:2].astype(np.float64)
+    # many tiny blocks -> some blocks lose every row in the LSH filter
+    ds = rd.from_arrow(t).repartition(16)
+    filt = ann.quantized_lsh_filter(ds, queries, n_planes=6)
+    out = ann.ann_topk_exact(filt, queries, k=5,
+                             query_ids=np.array([0, 1])).to_pandas()
+    assert set(out["query_id"]) == {0, 1}
+    assert (out[out["rnk"] == 1].sort_values("query_id")["vec_id"].tolist()
+            == [0, 1])
+    ivf = ann.quantized_ivf_filter(ds, queries, seeds=emb[:4].astype(np.float64),
+                                   nprobe=1)
+    assert ivf.count() > 0

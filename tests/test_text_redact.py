@@ -90,3 +90,39 @@ def test_vocab_coverage_planted(ray_session):
     exp_hits = [sum(tok in vocab for tok in row) for row in toks]
     assert out["n_tokens"].tolist() == exp_tokens
     assert out["n_hits"].tolist() == exp_hits
+
+
+def test_quality_scorer_null_and_trailing_null_texts(ray_session):
+    """Regression (round-3 self-review): null texts must score as zeros
+    (not crash via NaN-wrapped reduceat offsets), and a null/empty doc at
+    the END of a batch must not swallow the previous doc's last token."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.text import QualityScorer
+
+    t = pa.table({"text": pa.array(["the cat", None, "and the", None], pa.string()),
+                  "doc_id": pa.array([0, 1, 2, 3], pa.int64())})
+    out = QualityScorer()(t)
+    assert out["n_words"].to_pylist() == [2, 0, 2, 0]
+    # 'the' is a stopword; doc2's trailing 'the' must be counted even with
+    # a null doc after it
+    assert out["n_stop_words"].to_pylist() == [1, 0, 2, 0]
+    assert out["quality"].to_pylist()[1] == 0.0
+
+
+def test_vocab_coverage_trailing_null_doc(ray_session):
+    """Regression: the last non-null doc's final token was undercounted
+    when a null-text doc ended the batch (reduceat offset clamp)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.text import vocab_coverage
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["b b a", "a b", None], pa.string())})
+    out = (vocab_coverage(rd.from_arrow(t), top_v=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # vocab = {'b'} (3 occurrences); doc1's trailing 'b' must count
+    assert out["n_tokens"].tolist() == [3, 2, 0]
+    assert out["n_hits"].tolist() == [2, 1, 0]
