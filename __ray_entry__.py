@@ -863,6 +863,51 @@ def q_quality_scores(sf_dir: str):
     return ds.select_columns(["doc_id", "stop_ratio", "alpha_ratio", "quality", "n_bpe_tokens"])
 
 
+def q_corpus_clean(sf_dir: str):
+    """END-TO-END training-data cleaning composition — the operators a
+    pretraining pipeline chains, in one oracle-checked flow:
+      quality gate (alpha ratio >= 1/2, exact integer predicate)
+      -> exact dedup keep-first (fingerprint-keyed, min-id winner)
+      -> sequence packing over the survivors (global token prefix sum)
+      -> per-sequence rollup (n_docs, sum_tokens).
+    Every stage is an existing operator; the SQL twin composes their
+    generated twins (regexp counts, GROUP-BY-text keep-first, window
+    cumsum packing) over the same integer math."""
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.stages import text as textmod
+    from geotrellis_contrib_ray.stages.agg import salted_group_reduce
+    from geotrellis_contrib_ray.stages.dedup import exact_dedup_keep_first
+    from geotrellis_contrib_ray.stages.pack import pack_sequences
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = textmod.quality_score(ds)
+    def gate(b):
+        import pyarrow as pa
+
+        nc = pc.fill_null(pc.cast(pc.utf8_length(b["text"]), pa.int64()), 0)
+        return b.filter(pc.greater_equal(pc.multiply(b["n_alpha_chars"], 2), nc))
+
+    kept = scored.map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).select_columns(["doc_id", "text"])
+    deduped = exact_dedup_keep_first(kept)
+    packed = pack_sequences(deduped, budget=1000)
+
+    def partial(b):
+        import pyarrow as pa
+
+        g = b.select(["seq_id", "n_tokens"]).group_by("seq_id", use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("n_tokens", "count")])
+        return g.rename_columns(["seq_id", "ps", "pc"])
+
+    return salted_group_reduce(
+        packed.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["seq_id"], [("ps", "sum", "sum_tokens"), ("pc", "sum", "n_docs")],
+    )
+
+
 def q_quality_counts(sf_dir: str):
     """QualityScorer's integer building blocks (word/stopword/alpha/BPE-token
     counts) — hash-comparable against the DuckDB regexp_extract_all oracle;
@@ -1886,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_table": q_span_table,
         "window_distinct": q_window_distinct,
         # -- (b) oracle twins new this round (were no_oracle in r2)
+        "corpus_clean": q_corpus_clean,
         "quality_scores": q_quality_scores,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -2634,6 +2680,33 @@ SELECT doc_id,
      + 0.5 * (CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc ELSE 0.0 END) AS quality,
        nb AS n_bpe_tokens
 FROM c"""
+
+    # corpus_clean: the end-to-end cleaning composition — quality gate,
+    # GROUP-BY-text keep-first dedup, window-cumsum sequence packing,
+    # per-sequence rollup.  All integer math; composes the individual twins.
+    sql["corpus_clean"] = f"""
+WITH q AS (
+  SELECT doc_id, text,
+         coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0) AS na,
+         coalesce(length(text), 0) AS nc,
+         length(text) - length(replace(text, ' ', '')) + 1 AS ntok
+  FROM documents
+),
+kept AS (SELECT * FROM q WHERE na * 2 >= nc),
+ded AS (
+  SELECT min(doc_id) AS doc_id, min(ntok) AS n_tokens
+  FROM kept GROUP BY text
+),
+seqs AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS presum
+  FROM ded
+)
+SELECT CAST(presum // 1000 AS BIGINT) AS seq_id,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       count(*) AS n_docs
+FROM seqs GROUP BY 1"""
 
     # ann_rank: integer ranks only — both engines agree on the (cosine desc,
     # vec_id asc) ORDER (rank gaps >> float noise on these embeddings) even
