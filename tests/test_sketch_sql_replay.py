@@ -119,3 +119,55 @@ ORDER BY 1, 2""").df()
         mine = _quantized_scores(dots, d, int(d[qi]))
         got = o[o["query_id"] == qi].sort_values("vec_id")["score"].values.astype(np.int64)
         assert (mine == got).all()
+
+
+def test_minhash_sketcher_vs_naive_python_ints():
+    """Independent-reference check (defends against a bug shared by the
+    vectorized kernel AND its SQL twin through their common constants):
+    recompute shingle hashes and signatures with plain python ints."""
+    sk = MinHashLSH(num_perm=8, bands=4, shingle_k=5)
+    texts = ["hello world, hello", "abcdefgh", "xy", "aaaaa aaaaa"]
+    from geotrellis_contrib_ray.stages.dedup import _shingle_hashes
+
+    arrs = _shingle_hashes(pa.array(texts, pa.string()), 5)
+    M64 = 1 << 64
+    for t, got in zip(texts, arrs):
+        raw = t.encode()
+        naive = []
+        for i in range(max(0, len(raw) - 4)):
+            acc = 0
+            for b in raw[i:i + 5]:
+                acc = (acc * 1000003 + b) % M64
+            naive.append(acc)
+        assert [int(x) for x in got] == naive, t
+    MERS = (1 << 61) - 1
+    sigs = sk._signatures([a for a in arrs if len(a)])
+    k = 0
+    for a in arrs:
+        if not len(a):
+            continue
+        for p in range(8):
+            expect = min((((int(sk.a[p]) * int(x)) % M64 + int(sk.b[p])) % M64) % MERS
+                         for x in a)
+            assert int(sigs[k][p]) == expect
+        k += 1
+
+
+def test_simhash_vs_naive_python():
+    from geotrellis_contrib_ray.stages.dedup import SimHash, _shingle_hashes
+
+    texts = ["the quick brown fox", "zzzz", "a b a b a b"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = SimHash()(t)
+    arrs = _shingle_hashes(pa.array(texts, pa.string()), 4)
+    for i, sh in enumerate(arrs):
+        if not len(sh):
+            continue
+        votes = [0] * 64
+        for x in sh:
+            for j in range(64):
+                votes[j] += 1 if (int(x) >> j) & 1 else -1
+        expect = sum(1 << j for j in range(64) if votes[j] > 0)
+        got = int(out["simhash"][i].as_py()) & ((1 << 64) - 1)
+        assert got == expect, i
