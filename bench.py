@@ -162,11 +162,18 @@ def run_bench() -> dict:
     qtimes = {}
     if not int(os.environ.get("GRAFT_HEADLINE_ONLY", "0")):
         # min of R passes per query, same steady-state rationale as the
-        # headline (single passes swing 2-3x with this host's load regime)
+        # headline (single passes swing 2-3x with this host's load regime).
+        # TIME BUDGET: the per-operator section now covers all ~87 queries;
+        # if a harness enforces a wall limit, losing the whole JSON line is
+        # worse than noisier late entries — once the soft budget is spent,
+        # remaining queries run a single pass (still ALL timed).
         qreps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
+        budget = float(os.environ.get("GRAFT_BENCH_BUDGET_SEC", "420"))
+        t_start = time.perf_counter()
         for name in _bench_queries(qs):
+            reps = qreps if (time.perf_counter() - t_start) < budget else 1
             qtimes[name] = round(
-                min(_timed(lambda: _consume(qs[name](SF_DIR))) for _ in range(qreps)), 3
+                min(_timed(lambda: _consume(qs[name](SF_DIR))) for _ in range(reps)), 3
             )
         # reference JMH workload: 100 windowed GeoTIFF reads (warm file cache,
         # min-of-reps — JMH also reports steady state)
