@@ -1031,6 +1031,29 @@ def q_raster_lambert(sf_dir: str):
     return rst.summarize_tiles(tiles, nodata_aware=True)
 
 
+def q_raster_albers(sf_dir: str):
+    """T1 warp oracle #2: the same end-to-end warp read path at the Albers
+    equal-area target — a structurally different projection inverse (asin
+    vs the LCC power/atan), so the twin proves the warp plumbing is not
+    fitted to one CRS family."""
+    from geotrellis_contrib_ray.core.grid import LayoutDefinition
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        QUERY_GRID,
+        albers_query_crs,
+        conic_raster_target,
+    )
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    crs = albers_query_crs()
+    tg = conic_raster_target(crs)
+    src = SyntheticRasterSource(QUERY_GRID)
+    rep = src.reproject(crs, target_grid=tg, method="nearest")
+    layout = LayoutDefinition.floating(tg, 256)
+    tiles = rst.tile_dataset([rep], layout)
+    return rst.summarize_tiles(tiles, nodata_aware=True)
+
+
 def q_raster_stride_windows(sf_dir: str):
     """The reference's benchmark workload as an oracle query
     (GeotrellisRasterSourceBench.scala:32-43: FloatingLayoutScheme(256) keys
@@ -1923,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lambert_cells": q_lambert_cells,
         "albers_cells": q_albers_cells,
         "raster_lambert": q_raster_lambert,
+        "raster_albers": q_raster_albers,
         "geohash_cells": q_geohash_cells,
         "stereo_cells": q_stereo_cells,
         "sinusoidal_cells": q_sinusoidal_cells,
@@ -3073,28 +3097,34 @@ SELECT doc_id,
        CAST(floor(({_sy}) * 100) AS BIGINT) AS sy_cm
 FROM pts"""
 
-    # raster_lambert: the FULL warp read path replayed — per-tile sampling
+    # raster warp twins: the FULL warp read path replayed — per-tile sampling
     # constants (window back-transforms, source sub-grid params) computed by
-    # the same library calls the Ray side makes, inverse-LCC of target cell
-    # centers, nearest-neighbor source lookup, nodata outside the footprint.
+    # the same library calls the Ray side makes, projection inverse of
+    # target cell centers, nearest-neighbor source lookup, nodata outside
+    # the footprint.  Two target families (LCC conformal, Albers equal-area)
+    # exercise both inverse structures (power/atan vs asin).
     from geotrellis_contrib_ray.pipelines.query_defs import (
+        albers_inverse_sql_exprs,
+        albers_query_crs,
+        conic_raster_target,
+        conic_raster_tile_params,
         lambert_inverse_sql_exprs,
-        lambert_raster_target,
-        lambert_raster_tile_params,
+        lambert_query_crs,
     )
 
-    _tg = lambert_raster_target()
     _d = lambda v: f"CAST({float(v)!r} AS DOUBLE)"  # noqa: E731
-    _tp_rows = ",\n      ".join(
-        f"({p['tc']},{p['tr']},{p['gc0']},{p['gr0']},{p['gc1']},{p['gr1']},"
-        f"{_d(p['sxmin'])},{_d(p['symax'])},{_d(p['scw'])},{_d(p['sch'])},"
-        f"{p['scols']},{p['srows']},{p['wc0']},{p['wr0']})"
-        for p in lambert_raster_tile_params())
-    _rlon, _rlat = lambert_inverse_sql_exprs("tx", "ty")
-    _src_cols = QUERY_GRID.cols
-    sql["raster_lambert"] = f"""
+
+    def _warp_sql(crs, inv_exprs) -> str:
+        tg = conic_raster_target(crs)
+        tp_rows = ",\n      ".join(
+            f"({p['tc']},{p['tr']},{p['gc0']},{p['gr0']},{p['gc1']},{p['gr1']},"
+            f"{_d(p['sxmin'])},{_d(p['symax'])},{_d(p['scw'])},{_d(p['sch'])},"
+            f"{p['scols']},{p['srows']},{p['wc0']},{p['wr0']})"
+            for p in conic_raster_tile_params(crs))
+        rlon, rlat = inv_exprs
+        return f"""
 WITH rl_tiles(tc, tr, gc0, gr0, gc1, gr1, sxmin, symax, scw, sch, scols, srows, wc0, wr0) AS (VALUES
-      {_tp_rows}),
+      {tp_rows}),
 rl_cells AS (
   SELECT t.*, t.gc0 + c.c AS gc, t.gr0 + r.r AS gr
   FROM rl_tiles t
@@ -3102,20 +3132,20 @@ rl_cells AS (
   JOIN generate_series(0, 255) r(r) ON t.gr0 + r.r <= t.gr1
 ),
 rl_pt AS (
-  SELECT *, {_d(_tg.extent.xmin)} + (gc + 0.5) * {_d(_tg.cellwidth)} AS tx,
-            {_d(_tg.extent.ymax)} - (gr + 0.5) * {_d(_tg.cellheight)} AS ty
+  SELECT *, {_d(tg.extent.xmin)} + (gc + 0.5) * {_d(tg.cellwidth)} AS tx,
+            {_d(tg.extent.ymax)} - (gr + 0.5) * {_d(tg.cellheight)} AS ty
   FROM rl_cells
 ),
 rl_px AS (
   SELECT tc, tr, gc1, gc0, gr1, gr0, scols, srows, wc0, wr0,
-         CAST(floor((({_rlon}) - sxmin) / scw) AS BIGINT) AS lc,
-         CAST(floor((symax - ({_rlat})) / sch) AS BIGINT) AS lr
+         CAST(floor((({rlon}) - sxmin) / scw) AS BIGINT) AS lc,
+         CAST(floor((symax - ({rlat})) / sch) AS BIGINT) AS lr
   FROM rl_pt
 ),
 rl_v AS (
   SELECT tc, tr, gc1 - gc0 + 1 AS cols, gr1 - gr0 + 1 AS rows,
          CASE WHEN lc >= 0 AND lc < scols AND lr >= 0 AND lr < srows
-              THEN ((wr0 + lr) * {_src_cols} + (wc0 + lc)) % 32768
+              THEN ((wr0 + lr) * {QUERY_GRID.cols} + (wc0 + lc)) % 32768
               ELSE NULL END AS v
   FROM rl_px
 )
@@ -3124,6 +3154,11 @@ SELECT CAST(tc AS BIGINT) AS tile_col, CAST(tr AS BIGINT) AS tile_row,
        CAST(coalesce(sum(v), 0) AS BIGINT) AS pixel_sum,
        CAST(count(v) AS BIGINT) AS n_valid
 FROM rl_v GROUP BY tc, tr, cols, rows"""
+
+    sql["raster_lambert"] = _warp_sql(lambert_query_crs(),
+                                      lambert_inverse_sql_exprs("tx", "ty"))
+    sql["raster_albers"] = _warp_sql(albers_query_crs(),
+                                     albers_inverse_sql_exprs("tx", "ty"))
 
     # repetition: SQL counts the substrings themselves; the Ray side counts
     # 64-bit gram hashes (collision odds ~n^2/2^64 — zero on test corpora)

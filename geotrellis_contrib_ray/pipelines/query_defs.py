@@ -330,16 +330,15 @@ def sinu_sql_exprs(lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
             f"({_dbl(crs.radius)} * radians({lat}))")
 
 
-def lambert_raster_target():
-    """The raster-reprojection query profile (q_raster_lambert): a synthetic
-    4326 raster over the PA bbox warped to the LCC query CRS.  The target
-    grid is derived ONCE here (densified-edge forward envelope of the PA
-    extent, ~700 m cells — fine enough that overview routing stays on the
-    base source) and both engines consume the identical floats."""
+def conic_raster_target(crs):
+    """Warp-oracle target grid for a projected ``crs``: densified-edge
+    forward envelope of the PA extent, ~700 m cells — fine enough that
+    overview routing stays on the base source; both engines consume the
+    identical derived floats."""
     from ..core.crs import EPSG_4326, Transformer, reproject_extent
     from ..core.grid import Extent, GridExtent
 
-    fwd = Transformer(EPSG_4326, lambert_query_crs())
+    fwd = Transformer(EPSG_4326, crs)
     x0, y0, x1, y1 = reproject_extent(fwd, PA_EXTENT.xmin, PA_EXTENT.ymin,
                                       PA_EXTENT.xmax, PA_EXTENT.ymax)
     cols = int((x1 - x0) // 700.0)
@@ -347,8 +346,13 @@ def lambert_raster_target():
     return GridExtent.from_extent(Extent(x0, y0, x1, y1), cols, rows)
 
 
-def lambert_raster_tile_params(tile: int = 256) -> list[dict]:
-    """Per-tile warp-sampling constants for the q_raster_lambert SQL twin,
+def lambert_raster_target():
+    """The q_raster_lambert target grid (see conic_raster_target)."""
+    return conic_raster_target(lambert_query_crs())
+
+
+def conic_raster_tile_params(crs, tile: int = 256) -> list[dict]:
+    """Per-tile warp-sampling constants for the raster warp SQL twins,
     computed with the SAME library calls ReprojectRasterSource.read_bounds
     makes (reproject_extent densified window back-transform, grid_bounds_for
     unclamped, intersection, extent_for, GridExtent.from_extent), so every
@@ -356,8 +360,8 @@ def lambert_raster_tile_params(tile: int = 256) -> list[dict]:
     from ..core.crs import EPSG_4326, Transformer, reproject_extent
     from ..core.grid import Extent, GridBounds, GridExtent
 
-    tg = lambert_raster_target()
-    back = Transformer(lambert_query_crs(), EPSG_4326)
+    tg = conic_raster_target(crs)
+    back = Transformer(crs, EPSG_4326)
     src_grid = QUERY_GRID
     full = GridBounds(0, 0, src_grid.cols - 1, src_grid.rows - 1)
     ntc = -(-tg.cols // tile)
@@ -385,6 +389,25 @@ def lambert_raster_tile_params(tile: int = 256) -> list[dict]:
                 "wc0": sint.col_min, "wr0": sint.row_min,
             })
     return out
+
+
+def albers_inverse_sql_exprs(x: str = "tx", y: str = "ty") -> tuple[str, str]:
+    """(lon_expr, lat_expr): the core/crs._aea_to_lonlat inverse closed form
+    (asin-based — structurally different from the LCC power/atan inverse,
+    so the warp SQL twin exercises a second inverse family)."""
+    from ..core.crs import aea_constants
+
+    crs = albers_query_crs()
+    n, c, rho0 = aea_constants(crs)
+    sgn = "1.0" if n >= 0 else "-1.0"
+    dy = f"({_dbl(rho0)} - ({y}))"
+    rho = f"sqrt(({x}) * ({x}) + {dy} * {dy})"
+    theta = f"atan2({sgn} * ({x}), {sgn} * {dy})"
+    # phi = asin((C - (rho*n/R)^2) / (2n)); numpy computes (rho*n/radius)**2
+    rnr = f"({rho} * {_dbl(n)} / {_dbl(crs.radius)})"
+    phi = f"asin(({_dbl(c)} - {rnr} * {rnr}) / (2.0 * {_dbl(n)}))"
+    lon = f"({_dbl(crs.lon0)} + degrees({theta} / {_dbl(n)}))"
+    return lon, f"degrees({phi})"
 
 
 def lambert_inverse_sql_exprs(x: str = "tx", y: str = "ty") -> tuple[str, str]:
