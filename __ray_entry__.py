@@ -1031,27 +1031,50 @@ def q_raster_lambert(sf_dir: str):
     return rst.summarize_tiles(tiles, nodata_aware=True)
 
 
-def q_raster_albers(sf_dir: str):
-    """T1 warp oracle #2: the same end-to-end warp read path at the Albers
-    equal-area target — a structurally different projection inverse (asin
-    vs the LCC power/atan), so the twin proves the warp plumbing is not
-    fitted to one CRS family."""
+def _warp_query(crs):
+    """Shared body of the warp-oracle queries: synthetic 4326 source over
+    the PA bbox warped to ``crs`` via windowed tile reads, nodata-aware
+    per-tile checksums."""
     from geotrellis_contrib_ray.core.grid import LayoutDefinition
     from geotrellis_contrib_ray.pipelines.query_defs import (
         QUERY_GRID,
-        albers_query_crs,
         conic_raster_target,
     )
     from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
     from geotrellis_contrib_ray.stages import raster as rst
 
-    crs = albers_query_crs()
     tg = conic_raster_target(crs)
     src = SyntheticRasterSource(QUERY_GRID)
     rep = src.reproject(crs, target_grid=tg, method="nearest")
     layout = LayoutDefinition.floating(tg, 256)
     tiles = rst.tile_dataset([rep], layout)
     return rst.summarize_tiles(tiles, nodata_aware=True)
+
+
+def q_raster_albers(sf_dir: str):
+    """T1 warp oracle #2: the same end-to-end warp read path at the Albers
+    equal-area target — a structurally different projection inverse (asin
+    vs the LCC power/atan), so the twin proves the warp plumbing is not
+    fitted to one CRS family."""
+    from geotrellis_contrib_ray.pipelines.query_defs import albers_query_crs
+
+    return _warp_query(albers_query_crs())
+
+
+def q_raster_stereo(sf_dir: str):
+    """T1 warp oracle #3: north polar stereographic target (atan-of-rho
+    inverse family)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import stereo_query_crs
+
+    return _warp_query(stereo_query_crs())
+
+
+def q_raster_sinusoidal(sf_dir: str):
+    """T1 warp oracle #4: sinusoidal target (the MODIS land grid; linear /
+    secant inverse family)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import sinu_query_crs
+
+    return _warp_query(sinu_query_crs())
 
 
 def q_raster_stride_windows(sf_dir: str):
@@ -1947,6 +1970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "albers_cells": q_albers_cells,
         "raster_lambert": q_raster_lambert,
         "raster_albers": q_raster_albers,
+        "raster_stereo": q_raster_stereo,
+        "raster_sinusoidal": q_raster_sinusoidal,
         "geohash_cells": q_geohash_cells,
         "stereo_cells": q_stereo_cells,
         "sinusoidal_cells": q_sinusoidal_cells,
@@ -3155,10 +3180,21 @@ SELECT CAST(tc AS BIGINT) AS tile_col, CAST(tr AS BIGINT) AS tile_row,
        CAST(count(v) AS BIGINT) AS n_valid
 FROM rl_v GROUP BY tc, tr, cols, rows"""
 
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        sinu_inverse_sql_exprs,
+        sinu_query_crs,
+        stereo_inverse_sql_exprs,
+        stereo_query_crs,
+    )
+
     sql["raster_lambert"] = _warp_sql(lambert_query_crs(),
                                       lambert_inverse_sql_exprs("tx", "ty"))
     sql["raster_albers"] = _warp_sql(albers_query_crs(),
                                      albers_inverse_sql_exprs("tx", "ty"))
+    sql["raster_stereo"] = _warp_sql(stereo_query_crs(),
+                                     stereo_inverse_sql_exprs("tx", "ty"))
+    sql["raster_sinusoidal"] = _warp_sql(sinu_query_crs(),
+                                         sinu_inverse_sql_exprs("tx", "ty"))
 
     # repetition: SQL counts the substrings themselves; the Ray side counts
     # 64-bit gram hashes (collision odds ~n^2/2^64 — zero on test corpora)

@@ -377,6 +377,11 @@ def conic_raster_tile_params(crs, tile: int = 256) -> list[dict]:
                                                   te.xmax, te.ymax)
             gb = src_grid.grid_bounds_for(Extent(sx0, sy0, sx1, sy1), clamp=False)
             sint = gb.intersection(full)
+            if sint is None:
+                # tile's back-transformed window misses the source entirely
+                # (curved projection envelopes have empty corners): the Ray
+                # read path returns None -> no tile row, so the twin skips it
+                continue
             se = src_grid.extent_for(sint)
             sgrid = GridExtent.from_extent(se, sint.width, sint.height)
             out.append({
@@ -408,6 +413,29 @@ def albers_inverse_sql_exprs(x: str = "tx", y: str = "ty") -> tuple[str, str]:
     phi = f"asin(({_dbl(c)} - {rnr} * {rnr}) / (2.0 * {_dbl(n)}))"
     lon = f"({_dbl(crs.lon0)} + degrees({theta} / {_dbl(n)}))"
     return lon, f"degrees({phi})"
+
+
+def stereo_inverse_sql_exprs(x: str = "tx", y: str = "ty") -> tuple[str, str]:
+    """(lon_expr, lat_expr): core/crs._ps_to_lonlat (north pole) — the
+    atan-of-rho inverse family."""
+    from ..core.crs import ps_k0
+
+    crs = stereo_query_crs()
+    f2rk = 2.0 * crs.radius * ps_k0(crs)
+    rho = f"sqrt(({x}) * ({x}) + ({y}) * ({y}))"
+    c = f"(2.0 * atan({rho} / {_dbl(f2rk)}))"
+    lam = f"atan2(({x}), -({y}))"
+    return (f"({_dbl(crs.lon0)} + degrees({lam}))",
+            f"degrees(pi() / 2.0 - {c})")
+
+
+def sinu_inverse_sql_exprs(x: str = "tx", y: str = "ty") -> tuple[str, str]:
+    """(lon_expr, lat_expr): core/crs._sinu_to_lonlat — the linear/secant
+    inverse family."""
+    crs = sinu_query_crs()
+    phi = f"(({y}) / {_dbl(crs.radius)})"
+    lam = f"(({x}) / ({_dbl(crs.radius)} * cos({phi})))"
+    return f"({_dbl(crs.lon0)} + degrees({lam}))", f"degrees({phi})"
 
 
 def lambert_inverse_sql_exprs(x: str = "tx", y: str = "ty") -> tuple[str, str]:
