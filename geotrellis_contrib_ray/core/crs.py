@@ -212,7 +212,10 @@ def _lcc_to_lonlat(x, y, crs: LambertConformalCRS):
     n, f, rho0 = lcc_constants(crs)
     x = np.asarray(x, dtype=np.float64)
     dy = rho0 - np.asarray(y, dtype=np.float64)
-    rho = np.sign(n) * np.hypot(x, dy)
+    # sqrt(x*x + dy*dy), NOT np.hypot: the generated SQL twin evaluates this
+    # exact double expression and hypot differs in the last ulp on ~17% of
+    # inputs (ADVICE r3) — both engines must share the identical polynomial.
+    rho = np.sign(n) * np.sqrt(x * x + dy * dy)
     theta = np.arctan2(np.sign(n) * x, np.sign(n) * dy)
     phi = 2.0 * np.arctan(np.power(crs.radius * f / rho, 1.0 / n)) - np.pi / 2
     return crs.lon0 + np.degrees(theta / n), np.degrees(phi)
@@ -231,7 +234,7 @@ def _aea_to_lonlat(x, y, crs: AlbersEqualAreaCRS):
     n, c, rho0 = aea_constants(crs)
     x = np.asarray(x, dtype=np.float64)
     dy = rho0 - np.asarray(y, dtype=np.float64)
-    rho = np.hypot(x, dy)
+    rho = np.sqrt(x * x + dy * dy)  # matches SQL twin expression (not hypot)
     theta = np.arctan2(np.sign(n) * x, np.sign(n) * dy)
     phi = np.arcsin((c - (rho * n / crs.radius) ** 2) / (2.0 * n))
     return crs.lon0 + np.degrees(theta / n), np.degrees(phi)
@@ -281,7 +284,7 @@ def _ps_to_lonlat(x, y, crs: PolarStereographicCRS):
     k0 = ps_k0(crs)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    rho = np.hypot(x, y)
+    rho = np.sqrt(x * x + y * y)  # matches SQL twin expression (not hypot)
     c = 2.0 * np.arctan(rho / (2.0 * crs.radius * k0))
     if crs.north:
         phi = np.pi / 2 - c
