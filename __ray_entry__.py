@@ -749,12 +749,18 @@ def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup candidate pairs with exact hamming verify (rows-only)."""
     from geotrellis_contrib_ray.stages import dedup
 
+    from geotrellis_contrib_ray.stages.agg import _default_shuffle_partitions
+
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # bands=9 (7-bit chunks) guarantees every pair with hamming <= 8 collides;
     # uncapped buckets so the exact SQL twin matches at every SF (the
-    # operator's default cap dropped a hot chunk at sf0.1)
+    # operator's default cap dropped a hot chunk at sf0.1).  input_blocks
+    # splits the single small-SF read block so the bandwidth-bound signature
+    # stage parallelizes (the result set is banding-scheme-independent, so
+    # the SQL twin is untouched by the r4 two-level-sharding rework).
     return dedup.simhash_candidate_pairs(ds, max_hamming=8, bands=9,
-                                         max_bucket=1_000_000)
+                                         max_bucket=1_000_000, n_shards=8,
+                                         input_blocks=_default_shuffle_partitions())
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):

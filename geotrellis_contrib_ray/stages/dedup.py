@@ -412,12 +412,37 @@ def jaccard_verify(pairs_df, texts_by_id: dict, shingle_k: int = 5, threshold: f
 
 class SimHash:
     """64-bit SimHash over byte 4-gram hashes; near-dups differ in few bits.
-    Vectorized ACROSS the batch: all rows' shingle hashes are expanded to one
-    (S_total, 64) bit matrix and per-row bit votes come from a single
-    ``np.add.reduceat`` over row segments — no python loop over documents."""
+    Vectorized ACROSS the batch: shingle hashes are expanded to a
+    (S_slab, 64) uint8 bit matrix via ``np.unpackbits`` (8x smaller than the
+    old int64 matrix — 64 B/shingle vs 512 B) and per-doc bit votes come
+    from padded-prefix-sum differences over row segments (exact for any
+    empty-segment layout, the CLAUDE.md reduceat rule).  Docs are processed
+    in shingle-bounded slabs so a 128 MB text block never materializes a
+    multi-GB transient."""
+
+    # per-slab shingle cap: bits (4M, 64) u8 = 256 MB; the 16-col int64
+    # cumsum transient adds 512 MB peak — bounded regardless of block size
+    MAX_SLAB_SHINGLES = 4 << 20
 
     def __init__(self, shingle_k: int = 4):
         self.k = shingle_k
+
+    def _votes_slab(self, all_sh: np.ndarray, lens_nz: np.ndarray) -> np.ndarray:
+        """(n_docs, 64) signed votes (ones - zeros) for one shingle slab."""
+        S = len(all_sh)
+        # little-endian u8 view + LSB-first unpack == (sh >> j) & 1 per column
+        bits = np.unpackbits(all_sh.view(np.uint8).reshape(S, 8), axis=1,
+                             bitorder="little")
+        ends = np.cumsum(lens_nz)
+        starts = ends - lens_nz
+        ones = np.empty((len(lens_nz), 64), dtype=np.int64)
+        # int32 accumulator is exact (slab cap 4M < 2^31) and halves the
+        # cumsum's memory traffic vs int64 — the stage is bandwidth-bound
+        for j0 in range(0, 64, 16):
+            cs = np.zeros((S + 1, 16), dtype=np.int32)
+            np.cumsum(bits[:, j0 : j0 + 16], axis=0, dtype=np.int32, out=cs[1:])
+            ones[:, j0 : j0 + 16] = cs[ends] - cs[starts]
+        return 2 * ones - lens_nz[:, None]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         shingle_lists = _shingle_hashes(batch["text"], self.k)
@@ -426,24 +451,63 @@ class SimHash:
         lens = np.array([len(sh) for sh in shingle_lists], dtype=np.int64)
         nz = lens > 0
         if nz.any():
-            all_sh = np.concatenate([sh for sh in shingle_lists if len(sh)])
-            bits = (
-                (all_sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            ).astype(np.int64)
-            starts = np.zeros(int(nz.sum()), dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
-            ones = np.add.reduceat(bits, starts, axis=0)  # per-row count of 1-bits
-            votes = 2 * ones - lens[nz][:, None]          # ones - zeros
+            nz_idx = np.nonzero(nz)[0]
             weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-            out[nz] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            row_start = 0
+            while row_start < len(nz_idx):
+                row_end, tot = row_start, 0
+                while row_end < len(nz_idx) and (
+                    tot == 0 or tot + lens[nz_idx[row_end]] <= self.MAX_SLAB_SHINGLES
+                ):
+                    tot += lens[nz_idx[row_end]]
+                    row_end += 1
+                rows = nz_idx[row_start:row_end]
+                all_sh = np.concatenate([shingle_lists[i] for i in rows])
+                votes = self._votes_slab(all_sh, lens[rows])
+                out[rows] = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
+                    axis=1, dtype=np.uint64)
+                row_start = row_end
         # int64 bit-view (the shuffle rule, CLAUDE.md); consumers re-view
         return (batch.append_column("simhash", pa.array(out.view(np.int64), pa.int64()))
                      .append_column("sh_valid", pa.array(nz)))
 
 
+def _simhash_blocked_pairs(sigA, idsA, sigB, idsB, max_h: int, triangular: bool,
+                           slab: int = 128):
+    """All (i in A, j in B) with hamming(sigA[i], sigB[j]) <= max_h, blocked
+    so no triu index matrix is ever allocated (the old np.triu_indices path
+    built O(bucket^2) int64 scratch — 110 MB for one hot 3.7k bucket).
+    ``triangular=True`` means A is B and only j > i pairs are emitted.
+    Returns (id_lo, id_hi, hd) int64 arrays."""
+    lo_out, hi_out, hd_out = [], [], []
+    nB = len(sigB)
+    for s0 in range(0, len(sigA), slab):
+        s1 = min(s0 + slab, len(sigA))
+        x = sigA[s0:s1, None] ^ sigB[None, :]
+        hd = _POPCNT8[x.view(np.uint8).reshape(s1 - s0, nB, 8)].sum(
+            axis=-1, dtype=np.int64)
+        keep = hd <= max_h
+        if triangular:
+            # strictly-upper mask relative to global indices
+            keep &= np.arange(nB)[None, :] > (s0 + np.arange(s1 - s0))[:, None]
+        ii, jj = np.nonzero(keep)
+        if len(ii):
+            a, b = idsA[s0 + ii], idsB[jj]
+            lo_out.append(np.minimum(a, b))
+            hi_out.append(np.maximum(a, b))
+            hd_out.append(hd[ii, jj])
+    if not lo_out:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    return (np.concatenate(lo_out).astype(np.int64),
+            np.concatenate(hi_out).astype(np.int64),
+            np.concatenate(hd_out))
+
+
 def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
-                            group_salt: int = 64, max_bucket: int = 1000,
-                            allow_partial_recall: bool = False):
+                            group_salt: int | None = None, max_bucket: int = 1000,
+                            allow_partial_recall: bool = False,
+                            n_shards: int = 4, input_blocks: int | None = None):
     """SimHash near-dup: 64-bit signatures banded into ``64/bands``-bit
     chunks; docs sharing any chunk are candidates, verified by exact
     hamming distance.  BANDING COMPLETENESS: only pairs with hamming <
@@ -453,14 +517,42 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
     (then the output is a recall-limited candidate set, not a guarantee).
     Docs with zero shingles (shorter than shingle_k) are excluded — they
     all share the zero signature and would cross-collide meaninglessly.
-    Groups are salted to ``bands x group_salt`` partitions (see
-    minhash_candidate_pairs for why raw-hash groups don't scale down);
-    pair emission is vectorized run detection within each group.
+
+    SCALE SHAPE (two-level bucket sharding): narrow banding keys (7-bit
+    chunks at bands=9) make bucket occupancy structurally linear in corpus
+    size, so one hot bucket used to serialize an O(occ^2) triu in a single
+    task.  Each doc's band row is now replicated to ``n_shards`` shard-pair
+    groups keyed by a second signature-derived hash: bucket occupancy PER
+    TASK drops to occ/n_shards and the triangular work spreads over
+    n_shards*(n_shards+1)/2 balanced tasks (linear row cost: bands*n_shards
+    rows/doc).  Within a task the hamming verify is blocked (no triu index
+    allocation).  Each surviving pair is emitted ONLY in its FIRST
+    colliding band (recomputed from the two signatures in-task), so every
+    pair appears exactly once globally and the old cross-band
+    distinct/min-reduce shuffle (~7 rows/pair at max_hamming=8) is gone
+    entirely — the pair stage output IS the result.
+
+    ``max_bucket`` caps the per-task run length (shard-local occupancy,
+    ~2*occ/n_shards), logged on drop.  ``input_blocks`` narrow-repartitions
+    the doc stream before the signature stage — the signature map is
+    bandwidth-bound and a small-SF read often arrives as ONE block, which
+    serializes it; production streams with natural block parallelism leave
+    this None (a forced repartition there would COALESCE the stream).
     Output: id1 < id2, hamming."""
     if max_hamming >= bands and not allow_partial_recall:
         raise ValueError(
             f"bands={bands} only guarantees pairs with hamming < {bands}; "
             f"raise bands to >= {max_hamming + 1} or pass allow_partial_recall=True")
+    n_shards = max(1, int(n_shards))
+    n_shard_pairs = n_shards * (n_shards + 1) // 2
+    if group_salt is None:
+        # bound TOTAL group count (bands x salt x shard-pairs) near ~512:
+        # map_groups pays ~1 ms/group python overhead (CLAUDE.md)
+        group_salt = max(1, 512 // max(1, bands * n_shard_pairs))
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    if input_blocks:
+        ds = ds.repartition(input_blocks)
     signed = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -468,21 +560,37 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
         sh = batch["simhash"].to_numpy(zero_copy_only=False)[valid].view(np.uint64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)[valid]
         n = len(ids)
-        width = 64 // bands
-        out_band, out_key, out_id, out_sh = [], [], [], []
+        # shard from an independent mix of the signature (splitmix64 round)
+        z = (sh ^ (sh >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        shard = (z % np.uint64(n_shards)).astype(np.int64)
+        out_band, out_key, out_id, out_sh, out_shard, out_tgt = [], [], [], [], [], []
         for b in range(bands):
-            chunk = (sh >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
-            out_band.append(np.full(n, b, dtype=np.int32))
-            out_key.append(chunk)
-            out_id.append(ids)
-            out_sh.append(sh)
+            chunk = (sh >> np.uint64(b * width)) & mask
+            for t in range(n_shards):
+                out_band.append(np.full(n, b, dtype=np.int32))
+                out_key.append(chunk)
+                out_id.append(ids)
+                out_sh.append(sh)
+                out_shard.append(shard)
+                out_tgt.append(np.full(n, t, dtype=np.int64))
         key = np.concatenate(out_key)
+        shard_all = np.concatenate(out_shard)
+        tgt_all = np.concatenate(out_tgt)
+        lo = np.minimum(shard_all, tgt_all)
+        hi = np.maximum(shard_all, tgt_all)
+        # flatten (gsalt, shard-pair) into ONE group column: pair index in
+        # the (lo, hi) triangle = lo*n_shards - lo*(lo-1)/2 + (hi-lo)
+        sp = lo * n_shards - (lo * (lo - 1)) // 2 + (hi - lo)
+        gslot = (key % np.uint64(group_salt)).astype(np.int64) * n_shard_pairs + sp
         return pa.table(
             {
                 "band_id": np.concatenate(out_band),
                 # band_key chunks are < 2^width <= 2^16 — int64-safe as-is
                 "band_key": key.astype(np.int64),
-                "gsalt": (key % np.uint64(group_salt)).astype(np.int64),
+                "gslot": gslot,
+                "shard": shard_all,
+                "sp": sp,
                 "doc_id": np.concatenate(out_id),
                 "simhash": np.concatenate(out_sh).view(np.int64),
             }
@@ -490,13 +598,32 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
 
     banded = signed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
+    # inverse of the sp triangle index, precomputed once
+    sp_to_pair = {}
+    for lo_s in range(n_shards):
+        for hi_s in range(lo_s, n_shards):
+            sp_to_pair[lo_s * n_shards - (lo_s * (lo_s - 1)) // 2 + (hi_s - lo_s)] = (lo_s, hi_s)
+
+    def first_band_mask(sig_lo: np.ndarray, sig_hi: np.ndarray, band: int) -> np.ndarray:
+        """True where ``band`` is the FIRST band whose chunks are equal —
+        the global-dedup rule (each colliding pair has >=1 equal band)."""
+        x = sig_lo ^ sig_hi
+        first = np.full(len(x), bands, dtype=np.int64)
+        for b in range(bands - 1, -1, -1):
+            eq = ((x >> np.uint64(b * width)) & mask) == 0
+            first[eq] = b
+        return first == band
+
     def pairs(g):
-        ids = g["doc_id"].to_numpy()
-        keys = g["band_key"].to_numpy()
-        sh_all = g["simhash"].to_numpy().view(np.uint64)
+        band = int(g["band_id"].iloc[0]) if hasattr(g, "iloc") else int(g["band_id"][0])
+        keys = np.asarray(g["band_key"], dtype=np.int64)
+        ids = np.asarray(g["doc_id"], dtype=np.int64)
+        shards = np.asarray(g["shard"], dtype=np.int64)
+        sh_all = np.asarray(g["simhash"], dtype=np.int64).view(np.uint64)
+        si, sj = sp_to_pair[int(g["sp"].iloc[0] if hasattr(g, "iloc") else g["sp"][0])]
         order = np.lexsort((ids, keys))
         starts, ends = _bucket_runs(keys, order)
-        sids, ssh = ids[order], sh_all[order]
+        sids, ssh, ssh_shard = ids[order], sh_all[order], shards[order]
         id1s, id2s, hds = [], [], []
         counts = ends - starts
         for ri in np.nonzero(counts >= 2)[0]:
@@ -504,37 +631,44 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
             if n > max_bucket:
                 _log_bucket_drop("simhash_candidate_pairs", n, max_bucket)
                 continue
-            run_ids = sids[starts[ri] : ends[ri]]
-            run_sh = ssh[starts[ri] : ends[ri]]
-            ii, jj = np.triu_indices(n, k=1)
-            hd = hamming_distance(run_sh[ii], run_sh[jj])
-            keep = (hd <= max_hamming) & (run_ids[ii] != run_ids[jj])
-            id1s.append(run_ids[ii][keep])
-            id2s.append(run_ids[jj][keep])
-            hds.append(hd[keep])
+            sl = slice(starts[ri], ends[ri])
+            run_ids, run_sh, run_shard = sids[sl], ssh[sl], ssh_shard[sl]
+            if si == sj:
+                selA = run_shard == si
+                if selA.sum() < 2:
+                    continue
+                lo, hi, hd = _simhash_blocked_pairs(
+                    run_sh[selA], run_ids[selA], run_sh[selA], run_ids[selA],
+                    max_hamming, triangular=True)
+            else:
+                selA, selB = run_shard == si, run_shard == sj
+                if not (selA.any() and selB.any()):
+                    continue
+                lo, hi, hd = _simhash_blocked_pairs(
+                    run_sh[selA], run_ids[selA], run_sh[selB], run_ids[selB],
+                    max_hamming, triangular=False)
+            if len(lo):
+                id1s.append(lo)
+                id2s.append(hi)
+                hds.append(hd)
         if not id1s:
             z = pa.array([], pa.int64())
             return pa.table({"id1": z, "id2": z, "hamming": z})
-        lo = np.concatenate(id1s).astype(np.int64)
-        hi = np.concatenate(id2s).astype(np.int64)
-        return pa.table({"id1": pa.array(np.minimum(lo, hi)),
-                         "id2": pa.array(np.maximum(lo, hi)),
-                         "hamming": pa.array(np.concatenate(hds).astype(np.int64))})
+        lo = np.concatenate(id1s)
+        hi = np.concatenate(id2s)
+        hd = np.concatenate(hds)
+        # emit only in the first colliding band -> globally exactly-once
+        # (ids are unique within a group: one row per (doc, band, target))
+        sidx = np.argsort(ids)
+        sig_sorted, ids_sorted = sh_all[sidx], ids[sidx]
+        sig_lo = sig_sorted[np.searchsorted(ids_sorted, lo)]
+        sig_hi = sig_sorted[np.searchsorted(ids_sorted, hi)]
+        keep = first_band_mask(sig_lo, sig_hi, band)
+        return pa.table({"id1": pa.array(lo[keep]), "id2": pa.array(hi[keep]),
+                         "hamming": pa.array(hd[keep])})
 
-    cand = (banded.repartition(_shuffle_parts())
-            .groupby(["band_id", "gsalt"]).map_groups(pairs, batch_format="pandas"))
-
-    # distinct across bands, keeping the min hamming per pair (min-of-min is
-    # safe under any block layout, unlike the count in minhash)
-    def dedup_batch(b: pa.Table) -> pa.Table:
-        return b.group_by(["id1", "id2"], use_threads=False).aggregate([("hamming", "min")]).rename_columns(["id1", "id2", "hamming"])
-
-    from .agg import salted_group_reduce
-
-    pre = cand.map_batches(dedup_batch, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None)
-    return salted_group_reduce(pre, ["id1", "id2"],
-                               [("hamming", "min", "hamming")], salt=group_salt)
+    return (banded.repartition(_shuffle_parts())
+            .groupby(["band_id", "gslot"]).map_groups(pairs, batch_format="pandas"))
 
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
