@@ -942,9 +942,36 @@ def jaccard_similarity_join(ds, shingle_k: int = 5, threshold: float = 0.5,
     return shared.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _prefix_rows(dids: np.ndarray, toks: np.ndarray, dfv: np.ndarray,
+                 threshold: float, group_salt: int) -> pa.Table:
+    """PPJoin prefix selection over co-located (doc, tok, df) rows: sort a
+    doc's tokens by (df, tok) ascending and keep only the first
+    ``|X| - ceil(t*|X|) + 1`` (the rare-token prefix).  Requires ALL of a
+    doc's rows to be present (doc size comes from the run length).  Shared
+    by both df-attach tiers."""
+    if len(toks) == 0:
+        z = np.zeros(0, np.int64)
+        return pa.table({"tok": z, "doc_id": z, "gsalt": z})
+    o = np.lexsort((toks, dfv, dids))
+    d, t = dids[o], toks[o]
+    doc_start = np.r_[True, d[1:] != d[:-1]]
+    idx = np.arange(len(d))
+    start_of_doc = np.maximum.accumulate(np.where(doc_start, idx, 0))
+    rank = idx - start_of_doc
+    starts = np.nonzero(doc_start)[0]
+    lens = np.diff(np.r_[starts, len(d)])
+    size_per_row = np.repeat(lens, lens)
+    prefix_len = size_per_row - np.ceil(threshold * size_per_row).astype(np.int64) + 1
+    keep = rank < prefix_len
+    tk, dk = t[keep], d[keep]
+    salt = (tk.view(np.uint64) % np.uint64(group_salt)).astype(np.int64)
+    return pa.table({"tok": tk, "doc_id": dk, "gsalt": salt})
+
+
 def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
                          id_col: str = "doc_id", text_col: str = "text",
-                         group_salt: int = 64, pair_salt: int = 256):
+                         group_salt: int = 64, pair_salt: int = 256,
+                         driver_df_limit: int = 2_000_000, doc_salt: int = 256):
     """EXACT n-gram Jaccard self-join via PPJoin-style PREFIX FILTERING —
     identical results to ``jaccard_similarity_join`` (shares its SQL oracle)
     with a candidate expansion bounded by the rare-token prefix instead of
@@ -959,10 +986,18 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
 
     Plan:
     1. (tok, doc) distinct pairs -> token df via per-batch partial counts +
-       one tiny groupby (one row per DISTINCT token);
-    2. df broadcast via ray.put (at 10^12 docs the df side is huge — swap
-       this stage for a bucketed join on tok; the rest is unchanged);
-    3. per doc: sort tokens by (df, tok), emit only the prefix;
+       one tiny groupby (one row per DISTINCT token), kept DISTRIBUTED
+       (materialized object-store blocks, never concat'ed on the driver);
+    2+3. df attach + per-doc prefix selection, TWO TIERS auto-selected on
+       the df row count (free metadata after materialize):
+       - ``<= driver_df_limit`` rows: broadcast tier — the df table rides
+         ray.put once and each batch prefix-selects locally (zero extra
+         shuffles);
+       - above the bound: bucketed tier — (doc, tok) incidences join the df
+         table on ``tok`` (hash-partitioned bucket join), then a doc-salted
+         regroup co-locates each doc's tokens for the prefix selection.
+         Costs two all-to-alls over the incidence projection but NOTHING is
+         ever pulled to the driver (the r3-verdict driver-OOM fix);
     4. salted run-detect pair emission over PREFIX tokens -> distinct
        candidate pairs (complete by the theorem);
     5. exact verify: texts re-attached with a hash-partitioned bucket join,
@@ -995,38 +1030,59 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
                        zero_copy_batch=True, batch_size=None),
         ["tok"], [("pdf", "sum", "df")], salt=256,
     )
-    df_tbl = pa.concat_tables(df_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-    toks_sorted = df_tbl["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dfs_sorted = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(toks_sorted)
-    df_ref = ray.put((toks_sorted[order], dfs_sorted[order]))
+    # distributed materialization: blocks stay in the object store (spillable)
+    # and count() is then free metadata — the tier switch never scans twice
+    df_mat = df_ds.materialize()
+    n_df = df_mat.count()
+    i64 = pa.int64()
 
-    # --- stage 3: prefix tokens per doc -------------------------------------
-    def prefix_tokens(batch: pa.Table) -> pa.Table:
-        tok_keys, tok_dfs = ray.get(df_ref)
-        dids, toks, sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
-        if len(toks) == 0:
-            z = np.zeros(0, np.int64)
-            return pa.table({"tok": z, "doc_id": z, "gsalt": z})
-        dfv = tok_dfs[np.searchsorted(tok_keys, toks)]
-        # stable sort rows by (doc, df, tok); rank within doc < prefix_len
-        o = np.lexsort((toks, dfv, dids))
-        d, t = dids[o], toks[o]
-        doc_start = np.r_[True, d[1:] != d[:-1]]
-        idx = np.arange(len(d))
-        start_of_doc = np.maximum.accumulate(np.where(doc_start, idx, 0))
-        rank = idx - start_of_doc
-        # per-row doc size via the run lengths
-        starts = np.nonzero(doc_start)[0]
-        lens = np.diff(np.r_[starts, len(d)])
-        size_per_row = np.repeat(lens, lens)
-        prefix_len = size_per_row - np.ceil(threshold * size_per_row).astype(np.int64) + 1
-        keep = rank < prefix_len
-        tk, dk = t[keep], d[keep]
-        salt = (tk.view(np.uint64) % np.uint64(group_salt)).astype(np.int64)
-        return pa.table({"tok": tk, "doc_id": dk, "gsalt": salt})
+    if n_df <= driver_df_limit:
+        # --- broadcast tier: bounded driver pull + ray.put ------------------
+        df_tbl = pa.concat_tables(df_mat.iter_batches(batch_size=None, batch_format="pyarrow"))
+        toks_sorted = df_tbl["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfs_sorted = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(toks_sorted)
+        df_ref = ray.put((toks_sorted[order], dfs_sorted[order]))
 
-    pref = ds.map_batches(prefix_tokens, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        def prefix_tokens(batch: pa.Table) -> pa.Table:
+            tok_keys, tok_dfs = ray.get(df_ref)
+            dids, toks, _sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
+            if len(toks) == 0:
+                return _prefix_rows(toks, toks, toks, threshold, group_salt)
+            dfv = tok_dfs[np.searchsorted(tok_keys, toks)]
+            return _prefix_rows(dids, toks, dfv, threshold, group_salt)
+
+        pref = ds.map_batches(prefix_tokens, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    else:
+        # --- bucketed tier: df joins the incidence table on tok -------------
+        def incid(batch: pa.Table) -> pa.Table:
+            dids, toks, _sz = _distinct_doc_tokens(batch, shingle_k, id_col, text_col)
+            return pa.table({"doc_id": pa.array(dids), "tok": pa.array(toks)})
+
+        inc_ds = ds.map_batches(incid, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+        joined = bucketed_hash_join(
+            inc_ds, df_mat, on="tok",
+            schemas=(pa.schema([("doc_id", i64), ("tok", i64)]),
+                     pa.schema([("tok", i64), ("df", i64)])),
+        )
+
+        def add_dsalt(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            salt = ((d * np.int64(2654435761)) % np.int64(doc_salt)).astype(np.int64)
+            return b.append_column("dsalt", pa.array(np.abs(salt)))
+
+        def prefix_sel(g):
+            dids = np.asarray(g["doc_id"], dtype=np.int64)
+            toks = np.asarray(g["tok"], dtype=np.int64)
+            dfv = np.asarray(g["df"], dtype=np.int64)
+            return _prefix_rows(dids, toks, dfv, threshold, group_salt)
+
+        pref = (joined.map_batches(add_dsalt, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
+                .repartition(_shuffle_parts())
+                .groupby("dsalt").map_groups(prefix_sel, batch_format="pandas"))
 
     # --- stage 4: candidate pairs from prefix-token runs ---------------------
     def cand_pairs(g):

@@ -198,6 +198,27 @@ def test_jaccard_prefix_pairs_identical_to_inverted_index(ray_session):
     pd.testing.assert_frame_equal(norm(a), norm(b))
 
 
+def test_jaccard_prefix_pairs_bucketed_df_tier(ray_session):
+    """The distributed df-attach tier (bucketed join on tok, no driver pull)
+    must be byte-identical to the broadcast tier — ``driver_df_limit=0``
+    forces it (the auto-selection path at corpus scale)."""
+    import pandas as pd
+    import ray.data as rd
+
+    t, _planted = _mk_texts(n_base=30)
+    ds = rd.from_arrow(t)
+    a = dedup.jaccard_prefix_pairs(ds, shingle_k=5, threshold=0.5).to_pandas()
+    b = dedup.jaccard_prefix_pairs(ds, shingle_k=5, threshold=0.5,
+                                   driver_df_limit=0).to_pandas()
+
+    def norm(df):
+        cols = ["id1", "id2", "n_shared", "n_union", "jaccard"]
+        return df[cols].sort_values(["id1", "id2"]).reset_index(drop=True)
+
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(norm(a), norm(b))
+
+
 def test_contamination_check_planted(ray_session):
     import numpy as np
     import pyarrow as pa
