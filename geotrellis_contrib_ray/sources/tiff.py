@@ -66,10 +66,14 @@ FT_BYTE, FT_ASCII, FT_SHORT, FT_LONG, FT_DOUBLE = 1, 2, 3, 4, 12
 _FT_SIZE = {FT_BYTE: 1, FT_ASCII: 1, FT_SHORT: 2, FT_LONG: 4, FT_DOUBLE: 8}
 _FT_FMT = {FT_BYTE: "B", FT_ASCII: "B", FT_SHORT: "H", FT_LONG: "I", FT_DOUBLE: "d"}
 
-# (sample_format, bits) <-> numpy dtype
+# (sample_format, bits) <-> cell-type name.  "bit" is TIFF bilevel
+# (BitsPerSample=1, rows bit-packed MSB-first, each row byte-aligned —
+# TIFF 6.0 §4); int64 uses the GDAL >= 3.5 convention (SampleFormat=2,
+# BitsPerSample=64).
 _DTYPE_TO_SF = {
+    "bit": (1, 1),
     "uint8": (1, 8), "uint16": (1, 16), "uint32": (1, 32),
-    "int8": (2, 8), "int16": (2, 16), "int32": (2, 32),
+    "int8": (2, 8), "int16": (2, 16), "int32": (2, 32), "int64": (2, 64),
     "float32": (3, 32), "float64": (3, 64),
 }
 _SF_TO_DTYPE = {v: k for k, v in _DTYPE_TO_SF.items()}
@@ -270,16 +274,22 @@ def write_tiff(path: str, pixels: np.ndarray, grid: GridExtent, *, crs="EPSG:432
     if cell_type is None:
         cell_type = CellType(pixels.dtype.name, None)
     comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
-    dtype = np.dtype(cell_type.dtype).newbyteorder("<")
-    if predictor == 2 and dtype.kind not in "iu":
-        raise ValueError("predictor=2 requires an integer cell type")
+    is_bit = cell_type.dtype == "bit"
+    dtype = cell_type.np_dtype.newbyteorder("<")
+    if predictor == 2 and (is_bit or dtype.kind not in "iu"):
+        raise ValueError("predictor=2 requires a multi-byte integer cell type")
     striped = layout == "striped"
 
     def _compress(block: np.ndarray) -> bytes:
         # block is (h, w, bands) in the output dtype
-        if predictor == 2:
-            block = _diff_predictor2(block)
-        raw = np.ascontiguousarray(block).tobytes()
+        if is_bit:
+            h_ = block.shape[0]
+            row = np.bitwise_and(block.reshape(h_, -1), 1).astype(np.uint8)
+            raw = np.packbits(row, axis=1, bitorder="big").tobytes()
+        else:
+            if predictor == 2:
+                block = _diff_predictor2(block)
+            raw = np.ascontiguousarray(block).tobytes()
         if comp_code == 8:
             return zlib.compress(raw, 6)
         if comp_code == 5:
@@ -433,7 +443,9 @@ class _TiffLevel:
         self.spp = tags.get(T_SAMPLES_PER_PIXEL, [1])[0]
         bits = tags[T_BITS_PER_SAMPLE][0]
         sf = tags.get(T_SAMPLE_FORMAT, [1])[0]
-        self.dtype = np.dtype(_SF_TO_DTYPE[(sf, bits)]).newbyteorder(endian)
+        self.cell_name = _SF_TO_DTYPE[(sf, bits)]
+        self.is_bit = self.cell_name == "bit"
+        self.dtype = np.dtype("uint8" if self.is_bit else self.cell_name).newbyteorder(endian)
         self.ntx = -(-self.width // self.tile_w)
         self.nty = -(-self.height // self.tile_h)
         self._data = data
@@ -456,6 +468,13 @@ class _TiffLevel:
         h = self.tile_h
         if self.striped:
             h = min(self.tile_h, self.height - ti * self.tile_h)
+        if self.is_bit:
+            # bilevel rows are bit-packed MSB-first, each row byte-aligned
+            row_bytes = (self.tile_w * self.spp + 7) // 8
+            packed = np.frombuffer(raw, dtype=np.uint8, count=h * row_bytes)
+            arr = np.unpackbits(packed.reshape(h, row_bytes), axis=1,
+                                bitorder="big")[:, : self.tile_w * self.spp]
+            return np.moveaxis(arr.reshape(h, self.tile_w, self.spp), -1, 0)
         arr = np.frombuffer(raw, dtype=self.dtype, count=h * self.tile_w * self.spp)
         arr = arr.reshape(h, self.tile_w, self.spp)
         if self.predictor == 2:
@@ -586,6 +605,8 @@ class TiffRasterSource(RasterSource):
     @property
     def cell_type(self) -> CellType:
         lvl = self._info["levels"][0]
+        if lvl.is_bit:
+            return CellType("bit", None)
         return CellType(np.dtype(lvl.dtype).name, self._info["nodata"])
 
     @property

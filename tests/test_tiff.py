@@ -303,3 +303,41 @@ def test_rangereader_mem_http_byte_equal_and_lazy(tmp_path):
             local.read().pixels, source_for_uri(uri).read().pixels)
     finally:
         _MEM_HTTP_STORE.pop(uri, None)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits"])
+def test_bit_mask_roundtrip(tmp_path, compression):
+    """1-bit bilevel TIFF (BitsPerSample=1, MSB-first byte-aligned rows,
+    TIFF 6.0 §4) round-trips a bit mask exactly — r4 CellType parity."""
+    grid = _grid(70, 41)  # non-multiples of 8: exercises row bit padding
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 2, (1, grid.rows, grid.cols)).astype(np.uint8)
+    path = str(tmp_path / f"bit_{compression}.tif")
+    write_tiff(path, px, grid, cell_type=CellType("bit", None),
+               compression=compression, tile_size=32)
+    src = TiffRasterSource(path)
+    assert src.cell_type.name == "bit"
+    out = src.read()
+    assert out is not None
+    assert np.array_equal(out.pixels[0], px[0])
+
+
+def test_bit_mask_striped_and_int64_roundtrip(tmp_path):
+    grid = _grid(19, 13)
+    px = (np.arange(19 * 13).reshape(1, 13, 19) % 3 == 0).astype(np.uint8)
+    path = str(tmp_path / "bit_striped.tif")
+    write_tiff(path, px, grid, cell_type=CellType("bit", None),
+               layout="striped", tile_size=5)
+    out = TiffRasterSource(path).read()
+    assert np.array_equal(out.pixels[0], px[0])
+    # int64 cells (GDAL >= 3.5 convention: SampleFormat=2, 64 bits) survive
+    # past float64's 2^53 integer ceiling
+    big = np.array([[[1 << 60, (1 << 60) + 1], [-5, 7]]], dtype=np.int64)
+    g2 = _grid(2, 2)
+    p2 = str(tmp_path / "i64.tif")
+    write_tiff(p2, big, g2, cell_type=CellType("int64", None), tile_size=16)
+    src2 = TiffRasterSource(p2)
+    assert src2.cell_type.dtype == "int64"
+    out2 = src2.read()
+    assert out2.pixels.dtype == np.int64
+    assert np.array_equal(out2.pixels[0], big[0])
