@@ -892,7 +892,12 @@ def q_corpus_clean(sf_dir: str):
         import pyarrow as pa
 
         nc = pc.fill_null(pc.cast(pc.utf8_length(b["text"]), pa.int64()), 0)
-        return b.filter(pc.greater_equal(pc.multiply(b["n_alpha_chars"], 2), nc))
+        ok = pc.greater_equal(pc.multiply(b["n_alpha_chars"], 2), nc)
+        # null-text rows are dropped on BOTH engines (ADVICE r3): Ray's
+        # fingerprint would merge NULL with '' while SQL's GROUP BY text
+        # keeps them distinct — excluding NULLs keeps the composition
+        # engine-agnostic (the '' row itself stays)
+        return b.filter(pc.and_(ok, pc.is_valid(b["text"])))
 
     kept = scored.map_batches(
         gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
@@ -2744,10 +2749,12 @@ WITH q AS (
   SELECT doc_id, text,
          coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0) AS na,
          coalesce(length(text), 0) AS nc,
-         length(text) - length(replace(text, ' ', '')) + 1 AS ntok
+         -- NULL text counts like '' (1 token): matches pack.add_token_count's
+         -- fill_null so the gate keeps null-text rows CONSISTENTLY (ADVICE r3)
+         coalesce(length(text) - length(replace(text, ' ', '')) + 1, 1) AS ntok
   FROM documents
 ),
-kept AS (SELECT * FROM q WHERE na * 2 >= nc),
+kept AS (SELECT * FROM q WHERE na * 2 >= nc AND text IS NOT NULL),
 ded AS (
   SELECT min(doc_id) AS doc_id, min(ntok) AS n_tokens
   FROM kept GROUP BY text

@@ -34,8 +34,12 @@ SPLIT_MOD = 100
 
 def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count (single-space convention — the same expression
-    as text.add_token_stats / its SQL twin)."""
+    as text.add_token_stats / its SQL twin).  A NULL text counts like the
+    empty string (1): the SQL length/replace expression is NULL for NULL
+    input, so both engines coalesce to keep the composition defined for
+    null-text rows (ADVICE r3)."""
     n_tokens = pc.add(pc.count_substring(batch[text_col], " "), 1)
+    n_tokens = pc.fill_null(n_tokens, 1)
     return batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
 
 
