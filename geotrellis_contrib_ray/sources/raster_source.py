@@ -144,16 +144,19 @@ class RasterSource:
 
     # --- view transforms (T1-T6) ------------------------------------------
     def reproject(self, target_crs, method: str = rs.NEAREST, target_grid: GridExtent | None = None,
-                  strategy: str = "auto-higher") -> "RasterSource":
+                  strategy: str = "auto-higher", error_threshold: float = 0.0) -> "RasterSource":
         if target_crs == self.crs:  # no-op elision (RasterSourceF.scala:51-53)
             if target_grid is None:
                 return self
             return self.resample_to_grid(target_grid, method, strategy)
-        return ReprojectRasterSource(self, target_crs, method, target_grid, strategy)
+        return ReprojectRasterSource(self, target_crs, method, target_grid, strategy,
+                                     error_threshold=error_threshold)
 
     def reproject_to_region(self, target_crs, region: GridExtent, method: str = rs.NEAREST,
-                            strategy: str = "auto-higher") -> "RasterSource":
-        return self.reproject(target_crs, method, target_grid=region, strategy=strategy)
+                            strategy: str = "auto-higher",
+                            error_threshold: float = 0.0) -> "RasterSource":
+        return self.reproject(target_crs, method, target_grid=region, strategy=strategy,
+                              error_threshold=error_threshold)
 
     def resample(self, cols: int, rows: int, method: str = rs.NEAREST,
                  strategy: str = "auto-higher") -> "RasterSource":
@@ -420,10 +423,18 @@ class ResampleRasterSource(RasterSource):
 class ReprojectRasterSource(RasterSource):
     """T1-T3: CRS warp view — target grid derived by densified-edge extent
     reprojection (ReprojectRasterExtent analog), reads by inverse-transform
-    sampling of target cell centers (GeoTiffReprojectRasterSource.scala:118-155)."""
+    sampling of target cell centers (GeoTiffReprojectRasterSource.scala:118-155).
+
+    ``error_threshold`` is the reference's accuracy/speed knob
+    (GeoTiffReprojectRasterSource.scala:37-46 carries errorThreshold=0.125):
+    0.0 (default) back-transforms EVERY target cell center exactly; > 0
+    approximates the inverse transform GDAL-style — exact transforms only on
+    a coarse mesh, bilinear interpolation between nodes, with the mesh step
+    halved until the measured mid-cell deviation is <= the threshold in
+    SOURCE-PIXEL units."""
 
     def __init__(self, base: RasterSource, target_crs, method: str, target_grid: GridExtent | None,
-                 strategy: str = "auto-higher"):
+                 strategy: str = "auto-higher", error_threshold: float = 0.0):
         if method not in ("nearest", "bilinear"):
             # never silently degrade: the warp path samples at
             # back-transformed cell centers, which supports nearest and
@@ -436,6 +447,7 @@ class ReprojectRasterSource(RasterSource):
         self._crs = target_crs
         self.method = method
         self.strategy = strategy
+        self.error_threshold = float(error_threshold)
         self.fwd = Transformer(base.crs, target_crs)
         self.back = self.fwd.inverse()
         if target_grid is None:
@@ -464,6 +476,75 @@ class ReprojectRasterSource(RasterSource):
     @property
     def resolutions(self) -> list[GridExtent]:
         return [self._target]
+
+    def _back_grid(self, tx: np.ndarray, ty: np.ndarray, cellw: float, cellh: float):
+        """Back-transform the target cell-center lattice ``ty x tx`` ->
+        flattened (bx, by) source coordinates.  error_threshold == 0 (or a
+        tiny window) transforms every center exactly; otherwise exact
+        transforms happen only at coarse mesh nodes and the interior is
+        bilinearly interpolated, with the mesh step halved until the
+        measured mid-cell deviation <= error_threshold source pixels (the
+        GDAL approximating-transformer scheme the reference's
+        errorThreshold=0.125 drives)."""
+        nr, nc = len(ty), len(tx)
+        thr = self.error_threshold
+
+        def exact():
+            gx, gy = np.meshgrid(tx, ty)
+            return self.back.transform(gx.ravel(), gy.ravel())
+
+        if thr <= 0.0 or nr * nc <= 4096 or min(nr, nc) < 8:
+            return exact()
+
+        def bilerp(ri, ci, nodes, rq, cq):
+            """Bilinear interp of ``nodes`` (len(ri) x len(ci), values at
+            index-space lattice points) at query indices rq x cq -> 2D."""
+            rp = np.clip(np.searchsorted(ri, rq, side="right") - 1, 0, len(ri) - 2)
+            cp = np.clip(np.searchsorted(ci, cq, side="right") - 1, 0, len(ci) - 2)
+            fr = ((rq - ri[rp]) / (ri[rp + 1] - ri[rp]))[:, None]
+            fc = ((cq - ci[cp]) / (ci[cp + 1] - ci[cp]))[None, :]
+            n00 = nodes[np.ix_(rp, cp)]
+            n01 = nodes[np.ix_(rp, cp + 1)]
+            n10 = nodes[np.ix_(rp + 1, cp)]
+            n11 = nodes[np.ix_(rp + 1, cp + 1)]
+            return ((1 - fr) * (1 - fc) * n00 + (1 - fr) * fc * n01
+                    + fr * (1 - fc) * n10 + fr * fc * n11)
+
+        step = 32
+        while step >= 2:
+            ri = np.unique(np.r_[np.arange(0, nr, step), nr - 1]).astype(np.float64)
+            ci = np.unique(np.r_[np.arange(0, nc, step), nc - 1]).astype(np.float64)
+            mgx, mgy = np.meshgrid(tx[ci.astype(np.int64)], ty[ri.astype(np.int64)])
+            nbx, nby = self.back.transform(mgx.ravel(), mgy.ravel())
+            nbx = nbx.reshape(len(ri), len(ci))
+            nby = nby.reshape(len(ri), len(ci))
+            # audit: exact vs interpolated at mesh-cell midpoints
+            rm = ((ri[:-1] + ri[1:]) // 2).astype(np.int64)
+            cm = ((ci[:-1] + ci[1:]) // 2).astype(np.int64)
+            amx, amy = np.meshgrid(tx[cm], ty[rm])
+            ex, ey = self.back.transform(amx.ravel(), amy.ravel())
+            ix = bilerp(ri, ci, nbx, rm.astype(np.float64), cm.astype(np.float64))
+            iy = bilerp(ri, ci, nby, rm.astype(np.float64), cm.astype(np.float64))
+            err = np.hypot((ix.ravel() - ex) / cellw, (iy.ravel() - ey) / cellh)
+            if len(err) == 0 or float(np.nanmax(err)) <= thr:
+                # SEPARABLE full-grid interpolation: columns first at node
+                # rows (tiny), then one contiguous row gather — ~4 full-size
+                # temporaries instead of the ~16 a generic np.ix_ bilinear
+                # pays (this stage is memory-bandwidth-bound)
+                rq = np.arange(nr, dtype=np.float64)
+                cq = np.arange(nc, dtype=np.float64)
+                rp = np.clip(np.searchsorted(ri, rq, side="right") - 1, 0, len(ri) - 2)
+                cp = np.clip(np.searchsorted(ci, cq, side="right") - 1, 0, len(ci) - 2)
+                fr = ((rq - ri[rp]) / (ri[rp + 1] - ri[rp]))[:, None]
+                fc = (cq - ci[cp]) / (ci[cp + 1] - ci[cp])
+
+                def interp_full(nodes):
+                    tmp = nodes[:, cp] * (1.0 - fc) + nodes[:, cp + 1] * fc
+                    return tmp[rp] * (1.0 - fr) + tmp[rp + 1] * fr
+
+                return interp_full(nbx).ravel(), interp_full(nby).ravel()
+            step //= 2
+        return exact()
 
     def read_bounds(self, bounds: GridBounds, bands=None) -> Optional[Raster]:
         inter = bounds.intersection(self.grid_bounds)
@@ -496,10 +577,9 @@ class ReprojectRasterSource(RasterSource):
         tr = np.arange(inter.row_min, inter.row_max + 1, dtype=np.float64)
         tx = self._target.extent.xmin + (tc + 0.5) * self._target.cellwidth
         ty = self._target.extent.ymax - (tr + 0.5) * self._target.cellheight
-        gx, gy = np.meshgrid(tx, ty)
-        bx, by = self.back.transform(gx.ravel(), gy.ravel())
-        # source pixel indices within the read window
         sgrid = GridExtent.from_extent(src.extent, src.pixels.shape[2], src.pixels.shape[1])
+        bx, by = self._back_grid(tx, ty, sgrid.cellwidth, sgrid.cellheight)
+        # source pixel indices within the read window
         col = np.floor((bx - sgrid.extent.xmin) / sgrid.cellwidth).astype(np.int64)
         row = np.floor((sgrid.extent.ymax - by) / sgrid.cellheight).astype(np.int64)
         valid = (col >= 0) & (col < sgrid.cols) & (row >= 0) & (row < sgrid.rows)
