@@ -67,6 +67,46 @@ def tile_pixels(row: dict) -> np.ndarray:
     )
 
 
+class _TileBatch:
+    """Zero-copy row access over a tile-table batch (VERDICT r3 #9):
+    metadata columns decode ONCE per batch into numpy arrays and each row's
+    pixel block is a buffer-slice VIEW into the Arrow binary column —
+    ``batch.to_pylist()`` copied every pixel blob into python bytes (128 KB
+    per 256^2 int16 tile) before any work happened."""
+
+    _META = ("src_id", "tile_col", "tile_row", "band_count", "cols", "rows",
+             "xmin", "ymin", "xmax", "ymax")
+
+    def __init__(self, batch: pa.Table):
+        self.n = len(batch)
+        self.meta = {
+            name: batch[name].to_numpy(zero_copy_only=False)
+            for name in self._META if name in batch.column_names
+        }
+        self.cell_type = batch["cell_type"].to_pylist()
+        arr = batch["pixels"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        self._offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+            arr.offset : arr.offset + self.n + 1
+        ].astype(np.int64)
+        buf = arr.buffers()[2]
+        self._data = (np.frombuffer(buf, dtype=np.uint8)
+                      if buf is not None else np.zeros(0, np.uint8))
+
+    def ct(self, i: int) -> CellType:
+        return CellType.of(self.cell_type[i])
+
+    def pixels(self, i: int) -> np.ndarray:
+        """(bands, rows, cols) VIEW into the arrow buffer (read-only)."""
+        ct = self.ct(i)
+        raw = self._data[self._offs[i] : self._offs[i + 1]]
+        return raw.view(ct.np_dtype).reshape(
+            int(self.meta["band_count"][i]), int(self.meta["rows"][i]),
+            int(self.meta["cols"][i]))
+
+
 # worker-process-global source-list cache for the task tier of tile_dataset
 # (same reuse semantics as joins._WORKER_INTERVAL_CACHE: Ray's prestarted
 # workers persist module state, so headers/handles are constructed once per
@@ -271,13 +311,16 @@ def convert_tiles(tiles_ds, target: CellType, gdal_clamp: bool = False):
     """T6 over tile tables: per-batch vectorized cell-type conversion."""
 
     def conv(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        for row in rows:
-            src_ct = CellType.of(row["cell_type"])
-            px = ct_convert(tile_pixels(row), src_ct, target, gdal_clamp)
-            row["pixels"] = px.tobytes()
-            row["cell_type"] = target.name
-        return pa.Table.from_pylist(rows, schema=TILE_SCHEMA)
+        tb = _TileBatch(batch)
+        out_px = [
+            ct_convert(tb.pixels(i), tb.ct(i), target, gdal_clamp).tobytes()
+            for i in range(tb.n)
+        ]
+        i_px = batch.column_names.index("pixels")
+        i_ct = batch.column_names.index("cell_type")
+        return (batch.set_column(i_px, "pixels", pa.array(out_px, pa.binary()))
+                .set_column(i_ct, "cell_type",
+                            pa.array([target.name] * tb.n, pa.string())))
 
     return tiles_ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -494,9 +537,10 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
     d = int(radius)
 
     def emit(batch: pa.Table) -> pa.Table:
+        tb = _TileBatch(batch)
         out = []
-        for row in batch.to_pylist():
-            px = tile_pixels(row)
+        for i in range(tb.n):
+            px = tb.pixels(i)
             h, w = px.shape[1], px.shape[2]
             if d > min(h, w):
                 # halos only reach ADJACENT tiles: windows wider than a tile
@@ -505,14 +549,14 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
                 raise ValueError(
                     f"focal radius {d} exceeds tile dims ({h}x{w}): halo "
                     f"exchange is single-ring; retile with larger tiles")
-            c, r = int(row["tile_col"]), int(row["tile_row"])
+            c, r = int(tb.meta["tile_col"][i]), int(tb.meta["tile_row"][i])
             for dc in (-1, 0, 1):
                 for dr in (-1, 0, 1):
                     if dc == 0 and dr == 0:
                         frag, pos = px, 4
                     else:
                         rs = slice(max(h - d, 0), h) if dr == 1 else (slice(0, min(d, h)) if dr == -1 else slice(0, h))
-                        cs = slice(max(w - d, 0), w) if dc == 1 else (slice(0, min(d, w)) if dc == -1 else slice(0, w))
+                        cs = slice(max(w - d, 0), w) if dc == 1 else (slice(0, w) if dc == 0 else slice(0, min(d, w)))
                         frag = px[:, rs, cs]
                         if frag.size == 0:
                             continue
@@ -522,9 +566,9 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
                         "tile_col": c + dc, "tile_row": r + dr, "pos": pos,
                         "band_count": px.shape[0],
                         "cols": frag.shape[2], "rows": frag.shape[1],
-                        "cell_type": row["cell_type"],
-                        "xmin": row["xmin"], "ymin": row["ymin"],
-                        "xmax": row["xmax"], "ymax": row["ymax"],
+                        "cell_type": tb.cell_type[i],
+                        "xmin": float(tb.meta["xmin"][i]), "ymin": float(tb.meta["ymin"][i]),
+                        "xmax": float(tb.meta["xmax"][i]), "ymax": float(tb.meta["ymax"][i]),
                         "pixels": np.ascontiguousarray(frag).tobytes(),
                     })
         if not out:
@@ -720,19 +764,23 @@ def polygonal_summary_tiles(tiles_ds, ring: np.ndarray, nodata_aware: bool = Tru
     from ..core.geom import points_in_ring
 
     def partial(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
         s = 0.0
         cnt = 0
         mn, mx = np.inf, -np.inf
-        for row in rows:
-            px = tile_pixels(row).astype(np.float64)
-            ct = CellType.of(row["cell_type"])
-            cw = (row["xmax"] - row["xmin"]) / row["cols"]
-            ch = (row["ymax"] - row["ymin"]) / row["rows"]
-            cx = row["xmin"] + (np.arange(row["cols"]) + 0.5) * cw
-            cy = row["ymax"] - (np.arange(row["rows"]) + 0.5) * ch
+        tb = _TileBatch(batch)
+        for i in range(tb.n):
+            px = tb.pixels(i).astype(np.float64)
+            ct = tb.ct(i)
+            m = tb.meta
+            xmin, xmax = float(m["xmin"][i]), float(m["xmax"][i])
+            ymin, ymax = float(m["ymin"][i]), float(m["ymax"][i])
+            ncols, nrows = int(m["cols"][i]), int(m["rows"][i])
+            cw = (xmax - xmin) / ncols
+            ch = (ymax - ymin) / nrows
+            cx = xmin + (np.arange(ncols) + 0.5) * cw
+            cy = ymax - (np.arange(nrows) + 0.5) * ch
             gx, gy = np.meshgrid(cx, cy)
-            inside = points_in_ring(gx.ravel(), gy.ravel(), ring).reshape(row["rows"], row["cols"])
+            inside = points_in_ring(gx.ravel(), gy.ravel(), ring).reshape(nrows, ncols)
             for b in range(px.shape[0]):
                 vals = px[b][inside]
                 if nodata_aware and ct.nodata is not None:
