@@ -1434,10 +1434,16 @@ def q_tfidf_terms(sf_dir: str):
     """Per-doc top-3 TF-IDF terms: in-batch tokenize+tf, one df groupby,
     df joined back on term, partial top-k per doc.  Ranking score is
     tf*ln(N/df) identically on both engines; only integer columns emitted."""
+    import pyarrow.parquet as _pq
+
     from geotrellis_contrib_ray.stages.text import tfidf_top_terms
 
-    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return tfidf_top_terms(ds, top_n=3)
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+    # N from parquet footer metadata: tfidf_top_terms' n_docs=None fallback
+    # is ds.count(), which executes the read+strip upstream a SECOND time
+    n_docs = _pq.ParquetFile(path).metadata.num_rows
+    return tfidf_top_terms(ds, top_n=3, n_docs=n_docs)
 
 
 def q_orders_left_join(sf_dir: str):
