@@ -1949,66 +1949,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDER MATTERS for the driver's CORRECTNESS sampling: it checks the
-    # FIRST ~50 entries.  Round 2 sampled only the first 50, leaving the 30
-    # later entries without a driver row, so this dict leads with (a) those
-    # 30 previously-unsampled queries and (b) the queries whose oracle twins
-    # are new this round, then keeps a representative core of already-green
-    # rows inside the window; long-green rows ride at the tail.
     return {
-        # -- (a) no driver CORRECTNESS row in r2 (all pass the local mirror)
-        "media_audio_frames": q_media_audio_frames,
-        "audio_energy": q_audio_energy,
-        "media_image_checksum": q_media_image_checksum,
-        "dedup_apply": q_dedup_apply,
-        "media_video_frames": q_media_video_frames,
-        "quantile_chars": q_quantile_chars,
-        "quantile_filter": q_quantile_filter,
-        "raster_hillshade": q_raster_hillshade,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "pack_sequences": q_pack_sequences,
-        "chunk_docs": q_chunk_docs,
-        "shuffle_head": q_shuffle_head,
-        "vocab_coverage": q_vocab_coverage,
-        "train_split": q_train_split,
-        "stratified_sample": q_stratified_sample,
-        "redact": q_redact,
-        "contamination": q_contamination,
-        "dedup_clusters": q_dedup_clusters,
-        "substring_pairs": q_substring_pairs,
-        "raster_focal": q_raster_focal,
-        "kmeans_embed": q_kmeans_embed,
-        "tfidf_terms": q_tfidf_terms,
-        "semi_bloom": q_semi_bloom,
-        "raster_gradient": q_raster_gradient,
-        "repetition": q_repetition,
-        "mercator_cells": q_mercator_cells,
-        "lambert_cells": q_lambert_cells,
-        "albers_cells": q_albers_cells,
-        "raster_lambert": q_raster_lambert,
-        "raster_albers": q_raster_albers,
-        "raster_stereo": q_raster_stereo,
-        "raster_sinusoidal": q_raster_sinusoidal,
-        "geohash_cells": q_geohash_cells,
-        "stereo_cells": q_stereo_cells,
-        "sinusoidal_cells": q_sinusoidal_cells,
-        "orders_left_join": q_orders_left_join,
-        "span_media_join": q_span_media_join,
-        "span_table": q_span_table,
-        "window_distinct": q_window_distinct,
-        # -- (b) oracle twins new this round (were no_oracle in r2)
-        "corpus_clean": q_corpus_clean,
-        "quality_scores": q_quality_scores,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_cosine": q_ann_cosine,
-        # -- representative already-green core (stays inside the window)
-        "tile_assign": q_tile_assign,
-        "cell_assign": q_cell_assign,
+        # ROTATION POLICY (ADVICE r3): the driver's CORRECTNESS sampling
+        # checks the FIRST ~50 entries, so each round the queries whose
+        # LAST driver check is oldest rotate to the front — r4 leads with
+        # the 40 entries the r3 sample missed (their last green row is
+        # r1/r2), followed by the queries whose implementation CHANGED this
+        # round; the 50 r3-green rows ride at the tail and rotate back in
+        # next round.
+        # -- (a) last driver-checked in r1/r2 (oldest first)
         "pip_zones": q_pip_zones,
         "knn": q_knn,
         "zonal_summary": q_zonal_summary,
@@ -2017,7 +1966,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_tile_read": q_raster_tile_read,
         "raster_mosaic": q_raster_mosaic,
         "order_lineitem_join": q_order_lineitem_join,
-        # -- long-green tail (driver-verified in r1/r2)
         "hilbert_key": q_hilbert_key,
         "distance_pairs": q_distance_pairs,
         "rasterize": q_rasterize,
@@ -2050,6 +1998,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_convert": q_raster_convert,
         "raster_pyramid": q_raster_pyramid,
         "media_image_decode": q_media_image_decode,
+        # -- (b) implementation changed in r4 (re-verify under the gate)
+        "simhash_pairs": q_simhash_pairs,
+        "corpus_clean": q_corpus_clean,
+        "pack_sequences": q_pack_sequences,
+        "tfidf_terms": q_tfidf_terms,
+        "raster_hillshade": q_raster_hillshade,
+        # -- r3-green tail (refreshed last round; rotates forward in r5)
+        "media_audio_frames": q_media_audio_frames,
+        "audio_energy": q_audio_energy,
+        "media_image_checksum": q_media_image_checksum,
+        "dedup_apply": q_dedup_apply,
+        "media_video_frames": q_media_video_frames,
+        "quantile_chars": q_quantile_chars,
+        "quantile_filter": q_quantile_filter,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "chunk_docs": q_chunk_docs,
+        "shuffle_head": q_shuffle_head,
+        "vocab_coverage": q_vocab_coverage,
+        "train_split": q_train_split,
+        "stratified_sample": q_stratified_sample,
+        "redact": q_redact,
+        "contamination": q_contamination,
+        "dedup_clusters": q_dedup_clusters,
+        "substring_pairs": q_substring_pairs,
+        "raster_focal": q_raster_focal,
+        "kmeans_embed": q_kmeans_embed,
+        "semi_bloom": q_semi_bloom,
+        "raster_gradient": q_raster_gradient,
+        "repetition": q_repetition,
+        "mercator_cells": q_mercator_cells,
+        "lambert_cells": q_lambert_cells,
+        "albers_cells": q_albers_cells,
+        "raster_lambert": q_raster_lambert,
+        "raster_albers": q_raster_albers,
+        "raster_stereo": q_raster_stereo,
+        "raster_sinusoidal": q_raster_sinusoidal,
+        "geohash_cells": q_geohash_cells,
+        "stereo_cells": q_stereo_cells,
+        "sinusoidal_cells": q_sinusoidal_cells,
+        "orders_left_join": q_orders_left_join,
+        "span_media_join": q_span_media_join,
+        "span_table": q_span_table,
+        "window_distinct": q_window_distinct,
+        "quality_scores": q_quality_scores,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ann_cosine": q_ann_cosine,
+        "tile_assign": q_tile_assign,
+        "cell_assign": q_cell_assign,
     }
 
 
