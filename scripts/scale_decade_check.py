@@ -1,0 +1,161 @@
+"""Scale-decade oracle spot check (VERDICT r3 #8): build a ~sf1-equivalent
+corpus (10x the largest generator SF) under /tmp and run the value-heaviest
+sketch/ANN/pack oracle twins Ray-vs-DuckDB at that scale — the r3 simhash
+sf0.1 divergence (a bucket crossing its drop cap) is exactly the failure
+class only visible a decade above the driver gate.
+
+Replicas are DECORRELATED so the near-dup structure stays ~10 independent
+copies of sf0.1 rather than a quadratic clone blow-up:
+  * documents: per-replica caesar-shifted letters (every shingle hash
+    changes; alpha/char/token counts are preserved), doc_id += k*N;
+  * embeddings: per-replica np.roll of the vector (norms preserved,
+    cosines decorrelated), vec_id += k*N for k>0 (replica 0 keeps the
+    original ids so the fixed ANN query ids still resolve).
+
+Usage: PYTHONPATH=/root/repo python scripts/scale_decade_check.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+REPLICAS = 10
+SRC = "/root/testdata/sf0.1"
+
+# (query, per-side time budget hint) — budget is advisory, printed with the
+# result so slow-but-green rows are visible
+CHECKS = [
+    "simhash_pairs",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup",
+    "ann_lsh",
+    "ann_ivf",
+    "ann_cosine",
+    "ann_rank",
+    "pack_sequences",
+    "corpus_clean",
+    "vocab_coverage",
+    "quantile_chars",
+    "token_stats",
+    "quality_scores",
+]
+
+
+def build_corpus(dst: str) -> None:
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    n = docs.num_rows
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    doc_parts = []
+    for k in range(REPLICAS):
+        t = {name: docs[name].to_pylist() for name in docs.column_names}
+        if k:
+            shift = k % 26
+            table = str.maketrans(
+                lower + upper,
+                lower[shift:] + lower[:shift] + upper[shift:] + upper[:shift])
+            t["text"] = [s.translate(table) if s is not None else None
+                         for s in t["text"]]
+            t["doc_id"] = [d + k * n for d in t["doc_id"]]
+        doc_parts.append(pa.table(
+            {name: pa.array(t[name], docs.schema.field(name).type)
+             for name in docs.column_names}))
+    pq.write_table(pa.concat_tables(doc_parts), f"{dst}/documents.parquet")
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    m = emb.num_rows
+    vec_ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    vecs = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    id_parts, vec_parts = [], []
+    for k in range(REPLICAS):
+        id_parts.append(vec_ids + k * m if k else vec_ids)
+        vec_parts.append(np.roll(vecs, k, axis=1) if k else vecs)
+    out = pa.table({
+        "vec_id": pa.array(np.concatenate(id_parts)),
+        "embedding": pa.array(list(np.concatenate(vec_parts, axis=0)),
+                              emb.schema.field("embedding").type),
+    })
+    pq.write_table(out, f"{dst}/embeddings.parquet")
+
+    # other tables ride along unreplicated (none of the checked queries
+    # read them, but _read_pq of a missing table would fail fast anyway)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        src = f"{SRC}/{t}.parquet"
+        if os.path.exists(src):
+            pq.write_table(pq.read_table(src), f"{dst}/{t}.parquet")
+
+
+def main() -> int:
+    import duckdb
+    import pandas as pd
+    import ray
+
+    dst = "/tmp/scale_decade_sf1"
+    t0 = time.time()
+    build_corpus(dst)
+    print(f"corpus built in {time.time() - t0:.0f}s", flush=True)
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False)
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{dst}/{t}.parquet')")
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    bad = []
+    for name in CHECKS:
+        try:
+            t0 = time.time()
+            r = qs[name](dst)
+            ray_df = norm(r.to_pandas() if not isinstance(r, pd.DataFrame) else r)
+            t_ray = time.time() - t0
+            t0 = time.time()
+            ora_df = norm(con.execute(sqls[name]).df())
+            t_sql = time.time() - t0
+            same = ray_df.shape == ora_df.shape
+            if same:
+                import numpy as np
+
+                for c in ray_df.columns:
+                    av = ray_df[c].to_numpy()
+                    bv = ora_df[c].to_numpy()
+                    if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                        same = same and np.array_equal(
+                            av.astype(np.float64), bv.astype(np.float64),
+                            equal_nan=True)
+                    else:
+                        same = same and (av.astype(np.int64) == bv.astype(np.int64)).all()
+            status = "OK " if same else "DIVERGED"
+            if not same:
+                bad.append(name)
+            print(f"{status} {name}: rows {len(ray_df)} ray {t_ray:.1f}s "
+                  f"sql {t_sql:.1f}s", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            bad.append(name)
+            print(f"ERROR {name}: {type(ex).__name__}: {str(ex)[:160]}", flush=True)
+    print(f"DONE {len(CHECKS) - len(bad)}/{len(CHECKS)} bit-identical at "
+          f"{REPLICAS}x sf0.1", flush=True)
+    ray.shutdown()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
