@@ -919,6 +919,19 @@ def q_corpus_clean(sf_dir: str):
     )
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet/Dolma-style cross-document paragraph dedup (r4): docs segment
+    into PARA_K-token chunks, the corpus-wide first occurrence of each exact
+    chunk text wins, docs reassemble from survivors in order.  All string
+    math — chunk joins, ordered reassembly — is exact on both engines, so
+    the twin hash-matches including clean_text."""
+    from geotrellis_contrib_ray.pipelines.query_defs import PARA_K
+    from geotrellis_contrib_ray.stages.dedup import paragraph_dedup
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return paragraph_dedup(ds, k_tokens=PARA_K)
+
+
 def q_quality_counts(sf_dir: str):
     """QualityScorer's integer building blocks (word/stopword/alpha/BPE-token
     counts) — hash-comparable against the DuckDB regexp_extract_all oracle;
@@ -2004,6 +2017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "tfidf_terms": q_tfidf_terms,
         "raster_hillshade": q_raster_hillshade,
+        # -- new in r4
+        "paragraph_dedup": q_paragraph_dedup,
         # -- r3-green tail (refreshed last round; rotates forward in r5)
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
@@ -2775,6 +2790,37 @@ SELECT CAST(presum // 1000 AS BIGINT) AS seq_id,
        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        count(*) AS n_docs
 FROM seqs GROUP BY 1"""
+
+    # paragraph_dedup: CCNet-style chunk dedup replayed exactly — chunk
+    # segmentation via token ordinals, first-owner by the SAME packed
+    # doc*2^PARA_IDX_BITS + idx key, ordered string_agg reassembly.  All
+    # integer/string math, so clean_text itself hash-matches.
+    from geotrellis_contrib_ray.pipelines.query_defs import PARA_IDX_BITS, PARA_K
+
+    _pbig = 1 << PARA_IDX_BITS
+    sql["paragraph_dedup"] = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ti
+  FROM documents WHERE text IS NOT NULL
+),
+chunks AS (
+  SELECT doc_id, (ti - 1) // {PARA_K} AS chunk_idx,
+         string_agg(tok, ' ' ORDER BY ti) AS chunk
+  FROM tk GROUP BY doc_id, (ti - 1) // {PARA_K}
+),
+tot AS (SELECT doc_id, count(*) AS n_total FROM chunks GROUP BY doc_id),
+owner AS (SELECT chunk, min(doc_id * {_pbig} + chunk_idx) AS own
+          FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk
+  FROM chunks c JOIN owner o ON o.chunk = c.chunk
+  WHERE o.own = c.doc_id * {_pbig} + c.chunk_idx
+)
+SELECT k.doc_id, string_agg(k.chunk, ' ' ORDER BY k.chunk_idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept, CAST(t.n_total AS BIGINT) AS n_total
+FROM kept k JOIN tot t ON t.doc_id = k.doc_id
+GROUP BY k.doc_id, t.n_total"""
 
     # ann_rank: integer ranks only — both engines agree on the (cosine desc,
     # vec_id asc) ORDER (rank gaps >> float noise on these embeddings) even

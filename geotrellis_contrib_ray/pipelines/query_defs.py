@@ -156,6 +156,13 @@ CHUNK_SQL_SERIES = 255
 JACCARD_THRESHOLD = 0.5
 JACCARD_SAMPLE_LIMIT = 250  # doc_id < 250
 
+# paragraph_dedup (CCNet/Dolma-style cross-document chunk dedup): both
+# engines segment docs into PARA_K-token chunks and pack the first-occurrence
+# owner key as doc_id * 2^PARA_IDX_BITS + chunk_idx (Ray guards
+# chunks-per-doc < 2^PARA_IDX_BITS loudly)
+PARA_K = 10
+PARA_IDX_BITS = 20
+
 # k-means over the embedding table: deterministic seeds = the first
 # KMEANS_K vectors by vec_id, KMEANS_ITERS Lloyd's rounds; assignment
 # tie-break (distance, cid) on both engines.

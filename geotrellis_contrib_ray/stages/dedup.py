@@ -1629,3 +1629,165 @@ def substring_match_pairs(ds, win: int = 32, stride: int = 16,
     partials = salted.groupby("gsalt").map_groups(pairs, batch_format="pandas")
     return salted_group_reduce(partials, ["id1", "id2"],
                                [("pn", "sum", "n_grams")])
+
+
+# ---------------------------------------------------------------------------
+# cross-document paragraph dedup (CCNet/Dolma-style line dedup)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(ds, k_tokens: int = 10, id_col: str = "doc_id",
+                    text_col: str = "text", buckets: int | None = None,
+                    doc_salt: int = 256):
+    """CCNet/Dolma-style CROSS-DOCUMENT paragraph dedup: segment every doc
+    into fixed ``k_tokens``-token chunks (the deterministic stand-in for
+    paragraph/line splits on a newline-free corpus), drop every chunk whose
+    exact text already occurred earlier in the corpus (first occurrence by
+    (doc_id, chunk_idx) wins), and reassemble each doc from its surviving
+    chunks in order.
+
+    Scale shape — two shuffles, both on the chunk projection:
+    1. chunk rows hash-partition on fingerprint(chunk) % buckets; within a
+       bucket every copy of a chunk text is present, so the winner is one
+       arrow multi-key sort + run mask — TEXT equality decides (the hash
+       only routes, so 64-bit collisions cannot merge distinct chunks);
+    2. survivors regroup on a bounded doc salt; per doc the chunks are
+       rejoined in chunk_idx order via one vectorized ListArray
+       binary_join per group — no per-row python string building.
+
+    Chunk segmentation is zero-copy end-to-end: pc.split_pattern flattens
+    the corpus once, chunk LISTS are re-offset views over the flat token
+    buffer, and pc.binary_join materializes chunk strings in one kernel.
+
+    Output: (doc_id, clean_text, n_kept, n_total); docs whose every chunk
+    was dropped do not appear (same GROUP-BY-survivors semantics as the
+    SQL twin).  Null texts are excluded on both engines."""
+    from .joins import default_join_partitions
+    from .text import hash_utf8_array
+
+    n_buckets = buckets if buckets is not None else default_join_partitions()
+    IDX_BITS = 20  # chunk_idx < 2^20 guard -> owner key packs into int64
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        batch = strip_schema_metadata(batch)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        texts = texts.filter(pa.array(valid))
+        n = len(texts)
+        empty = pa.table({
+            "owner": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_total": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string()),
+            "_bucket": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        toks = pc.split_pattern(texts, " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        off_dt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+        doc_offs = np.frombuffer(toks.buffers()[1], dtype=off_dt)[
+            toks.offset : toks.offset + n + 1].astype(np.int64)
+        tok_counts = np.diff(doc_offs)
+        n_chunks = -(-tok_counts // k_tokens)  # ceil; >= 1 (split of '' -> [''])
+        if (n_chunks >= (1 << IDX_BITS)).any():
+            raise ValueError(
+                f"paragraph_dedup: a document has >= 2^{IDX_BITS} chunks — "
+                "raise IDX_BITS (the packed owner key) for this corpus")
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return empty
+        # chunk list offsets over the FLAT token child: every k-th token
+        # boundary within each doc plus the doc end
+        starts = np.repeat(doc_offs[:-1], n_chunks)
+        within = np.arange(total_chunks) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks)
+        chunk_starts = starts + within * k_tokens
+        # chunk ends: k tokens on, clamped at the doc's token end
+        ends = np.minimum(chunk_starts + k_tokens,
+                          np.repeat(doc_offs[1:], n_chunks))
+        flat = toks.values
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        # chunk token lists as one take over the flat token child (ListArray
+        # offsets must be monotone, which raw (start, end) pairs are not
+        # across doc boundaries)
+        lens = ends - chunk_starts
+        tot = int(lens.sum())
+        take_idx = np.repeat(chunk_starts, lens) + (
+            np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
+        gathered = flat.take(pa.array(take_idx, pa.int64()))
+        list_offs = np.empty(total_chunks + 1, dtype=np.int64)
+        list_offs[0] = 0
+        np.cumsum(lens, out=list_offs[1:])
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(list_offs, pa.int32()) if list_offs[-1] < (1 << 31)
+            else pa.array(list_offs, pa.int64()),
+            gathered)
+        chunks = pc.binary_join(chunk_lists, " ")
+        doc_of_chunk = np.repeat(ids, n_chunks)
+        owner = (doc_of_chunk << np.int64(IDX_BITS)) | within.astype(np.int64)
+        h = hash_utf8_array(chunks)
+        bucket = (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "owner": pa.array(owner),
+            "chunk_idx": pa.array(within.astype(np.int64)),
+            "n_total": pa.array(np.repeat(n_chunks, n_chunks).astype(np.int64)),
+            "chunk": chunks.cast(pa.string()),
+            "_bucket": pa.array(bucket),
+        })
+
+    rows = ds.map_batches(chunk_rows, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    rows = rows.repartition(_shuffle_parts())
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("chunk", "ascending"), ("owner", "ascending")])
+        ch = g["chunk"]
+        ch = ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch
+        if len(g) == 0:
+            return g.drop_columns(["_bucket"])
+        eq_prev = pc.equal(ch.slice(1), ch.slice(0, len(ch) - 1))
+        first = np.r_[True, ~eq_prev.to_numpy(zero_copy_only=False)]
+        return g.filter(pa.array(first)).drop_columns(["_bucket"])
+
+    kept = rows.groupby("_bucket").map_groups(keep_first, batch_format="pyarrow")
+
+    def add_dsalt(b: pa.Table) -> pa.Table:
+        doc = (b["owner"].to_numpy(zero_copy_only=False) >> np.int64(IDX_BITS))
+        salt = ((doc * np.int64(2654435761)) % np.int64(doc_salt)).astype(np.int64)
+        return b.append_column("_dsalt", pa.array(salt))
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64()),
+                             "n_total": pa.array([], pa.int64())})
+        g = g.sort_by([("owner", "ascending")])  # (doc, chunk_idx) order
+        owner = g["owner"].to_numpy(zero_copy_only=False)
+        doc = owner >> np.int64(IDX_BITS)
+        starts = np.nonzero(np.r_[True, doc[1:] != doc[:-1]])[0]
+        lens = np.diff(np.r_[starts, len(doc)])
+        offs = np.empty(len(starts) + 1, dtype=np.int64)
+        offs[0] = 0
+        np.cumsum(lens, out=offs[1:])
+        ch = g["chunk"]
+        ch = ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), ch)
+        joined = pc.binary_join(lists, " ")
+        n_tot = g["n_total"].to_numpy(zero_copy_only=False)[starts]
+        return pa.table({
+            "doc_id": pa.array(doc[starts]),
+            "clean_text": joined.cast(pa.string()),
+            "n_kept": pa.array(lens.astype(np.int64)),
+            "n_total": pa.array(n_tot.astype(np.int64)),
+        })
+
+    salted = kept.map_batches(add_dsalt, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return salted.groupby("_dsalt").map_groups(reassemble, batch_format="pyarrow")

@@ -369,3 +369,30 @@ def test_embedding_neardup_exact_planted(ray_session):
         assert int(q[i1] @ q[i2]) == dq
         assert int(q[i1] @ q[i1]) == d1 and int(q[i2] @ q[i2]) == d2
         assert dq > 0 and int(dq) ** 2 * 100 >= 81 * int(d1) * int(d2)
+
+
+def test_paragraph_dedup_planted(ray_session):
+    """Cross-document chunk dedup: first occurrence wins, docs reassemble in
+    order, fully-duplicated docs vanish, null texts are skipped."""
+    import ray.data as rd
+
+    texts = [
+        "a b c d e f g h i j k l m n o p q r s t",   # 2 chunks of 10
+        "a b c d e f g h i j X Y Z",                 # chunk0 dups doc0 chunk0
+        "unique words only here",
+        "k l m n o p q r s t",                       # dups doc0 chunk1 entirely
+        None,
+        "",                                          # first '' chunk survives
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (dedup.paragraph_dedup(rd.from_arrow(t), k_tokens=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = {int(r.doc_id): (r.clean_text, int(r.n_kept), int(r.n_total))
+           for r in out.itertuples()}
+    assert got[0] == ("a b c d e f g h i j k l m n o p q r s t", 2, 2)
+    assert got[1] == ("X Y Z", 1, 2)
+    assert got[2] == ("unique words only here", 1, 1)
+    assert 3 not in got     # every chunk was a duplicate
+    assert 4 not in got     # null text excluded
+    assert got[5] == ("", 1, 1)
