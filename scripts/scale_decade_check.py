@@ -20,26 +20,34 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-REPLICAS = 10
+import os
+
+REPLICAS = int(os.environ.get("GRAFT_DECADE_REPLICAS", "10"))
 SRC = "/root/testdata/sf0.1"
 
-# (query, per-side time budget hint) — budget is advisory, printed with the
-# result so slow-but-green rows are visible
+# cheap replays first; the sketch CTE replays (64-perm minhash, 64-term
+# simhash bit votes over every shingle) are at the END — DuckDB needs
+# minutes-to-forever on them at 10x, and the interrupt budget turns the
+# overrun into a recorded TIMEOUT instead of a wedged process
 CHECKS = [
-    "simhash_pairs",
-    "minhash_pairs",
-    "ngram_jaccard_pairs",
-    "embedding_neardup",
-    "ann_lsh",
-    "ann_ivf",
-    "ann_cosine",
-    "ann_rank",
-    "pack_sequences",
-    "corpus_clean",
-    "vocab_coverage",
-    "quantile_chars",
-    "token_stats",
-    "quality_scores",
+    q for q in [
+        "pack_sequences",
+        "corpus_clean",
+        "paragraph_dedup",
+        "vocab_coverage",
+        "quantile_chars",
+        "token_stats",
+        "quality_scores",
+        "ann_lsh",
+        "ann_ivf",
+        "ann_cosine",
+        "ann_rank",
+        "embedding_neardup",
+        "simhash_pairs",
+        "minhash_pairs",
+        "ngram_jaccard_pairs",
+    ]
+    if q not in os.environ.get("GRAFT_DECADE_SKIP", "").split(",")
 ]
 
 
@@ -121,6 +129,20 @@ def main() -> int:
 
     qs, sqls = e.queries(), e.oracle_sql()
     bad = []
+    budget_s = float(__import__("os").environ.get("GRAFT_DECADE_BUDGET_S", "600"))
+
+    def run_sql(q: str):
+        """DuckDB with a hard wall budget: SIGTERM can't interrupt a C-level
+        query, so a timer thread calls con.interrupt() instead."""
+        import threading
+
+        timer = threading.Timer(budget_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(q).df()
+        finally:
+            timer.cancel()
+
     for name in CHECKS:
         try:
             t0 = time.time()
@@ -128,7 +150,7 @@ def main() -> int:
             ray_df = norm(r.to_pandas() if not isinstance(r, pd.DataFrame) else r)
             t_ray = time.time() - t0
             t0 = time.time()
-            ora_df = norm(con.execute(sqls[name]).df())
+            ora_df = norm(run_sql(sqls[name]))
             t_sql = time.time() - t0
             same = ray_df.shape == ora_df.shape
             if same:
@@ -137,7 +159,9 @@ def main() -> int:
                 for c in ray_df.columns:
                     av = ray_df[c].to_numpy()
                     bv = ora_df[c].to_numpy()
-                    if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                    if av.dtype.kind == "O" or bv.dtype.kind == "O":
+                        same = same and (av == bv).all()
+                    elif av.dtype.kind == "f" or bv.dtype.kind == "f":
                         same = same and np.array_equal(
                             av.astype(np.float64), bv.astype(np.float64),
                             equal_nan=True)
