@@ -932,6 +932,19 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds, k_tokens=PARA_K)
 
 
+def q_paragraph_dup_ratio(sf_dir: str):
+    """Dolma-style fuzzy document dedup SIGNAL (r4): per doc, the fraction
+    of its PARA_K-token chunks that paragraph_dedup would drop (exact text
+    seen earlier in the corpus by (doc_id, chunk_idx) order).  dup_ratio is
+    one int/int IEEE division — order-free, so the float column
+    hash-matches (the jaccard precedent)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import PARA_K
+    from geotrellis_contrib_ray.stages.dedup import paragraph_dup_ratio
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return paragraph_dup_ratio(ds, k_tokens=PARA_K)
+
+
 def q_quality_counts(sf_dir: str):
     """QualityScorer's integer building blocks (word/stopword/alpha/BPE-token
     counts) — hash-comparable against the DuckDB regexp_extract_all oracle;
@@ -2019,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_hillshade": q_raster_hillshade,
         # -- new in r4
         "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_dup_ratio": q_paragraph_dup_ratio,
         # -- r3-green tail (refreshed last round; rotates forward in r5)
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
@@ -2821,6 +2835,31 @@ SELECT k.doc_id, string_agg(k.chunk, ' ' ORDER BY k.chunk_idx) AS clean_text,
        CAST(count(*) AS BIGINT) AS n_kept, CAST(t.n_total AS BIGINT) AS n_total
 FROM kept k JOIN tot t ON t.doc_id = k.doc_id
 GROUP BY k.doc_id, t.n_total"""
+
+    # paragraph_dup_ratio: the same chunk CTEs; per-doc duplicated-chunk
+    # counts + one exact int/int double division
+    sql["paragraph_dup_ratio"] = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ti
+  FROM documents WHERE text IS NOT NULL
+),
+chunks AS (
+  SELECT doc_id, (ti - 1) // {PARA_K} AS chunk_idx,
+         string_agg(tok, ' ' ORDER BY ti) AS chunk
+  FROM tk GROUP BY doc_id, (ti - 1) // {PARA_K}
+),
+owner AS (SELECT chunk, min(doc_id * {_pbig} + chunk_idx) AS own
+          FROM chunks GROUP BY chunk),
+flags AS (
+  SELECT c.doc_id,
+         CASE WHEN o.own = c.doc_id * {_pbig} + c.chunk_idx THEN 0 ELSE 1 END AS isdup
+  FROM chunks c JOIN owner o ON o.chunk = c.chunk
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(isdup) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(isdup) AS BIGINT) / CAST(count(*) AS BIGINT) AS dup_ratio
+FROM flags GROUP BY doc_id"""
 
     # ann_rank: integer ranks only — both engines agree on the (cosine desc,
     # vec_id asc) ORDER (rank gaps >> float noise on these embeddings) even

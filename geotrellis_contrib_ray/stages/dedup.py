@@ -1791,3 +1791,134 @@ def paragraph_dedup(ds, k_tokens: int = 10, id_col: str = "doc_id",
     salted = kept.map_batches(add_dsalt, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
     return salted.groupby("_dsalt").map_groups(reassemble, batch_format="pyarrow")
+
+
+def paragraph_dup_ratio(ds, k_tokens: int = 10, drop_above: float | None = None,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        buckets: int | None = None):
+    """Dolma-style FUZZY document dedup signal: per doc, the fraction of its
+    ``k_tokens``-token chunks whose exact text occurs in some OTHER document
+    (or earlier in this one).  ``drop_above`` filters docs whose ratio
+    exceeds the threshold (the usual pipeline gate); None returns the scored
+    table for downstream policy.
+
+    Same two-shuffle chunk machinery as paragraph_dedup, but the winner
+    stage only needs per-chunk OWNERSHIP counts, so the second shuffle moves
+    (doc_id, flags) pairs — chunk text never travels twice.
+    Output: doc_id, n_chunks, n_dup_chunks, dup_ratio (n_dup/n int-division
+    avoided: emitted as exact int64 counts + one float64 division, the same
+    expression as the SQL twin)."""
+    from .agg import salted_group_reduce
+    from .joins import default_join_partitions
+    from .text import hash_utf8_array
+
+    n_buckets = buckets if buckets is not None else default_join_partitions()
+    IDX_BITS = 20
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        batch = strip_schema_metadata(batch)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        texts = texts.filter(pa.array(valid))
+        n = len(texts)
+        empty = pa.table({
+            "owner": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string()),
+            "_bucket": pa.array([], pa.int64()),
+        })
+        if n == 0:
+            return empty
+        toks = pc.split_pattern(texts, " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        off_dt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+        doc_offs = np.frombuffer(toks.buffers()[1], dtype=off_dt)[
+            toks.offset : toks.offset + n + 1].astype(np.int64)
+        tok_counts = np.diff(doc_offs)
+        n_chunks = -(-tok_counts // k_tokens)
+        if (n_chunks >= (1 << IDX_BITS)).any():
+            raise ValueError("paragraph_dup_ratio: doc exceeds 2^20 chunks")
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return empty
+        starts = np.repeat(doc_offs[:-1], n_chunks)
+        within = np.arange(total_chunks) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks)
+        chunk_starts = starts + within * k_tokens
+        ends = np.minimum(chunk_starts + k_tokens,
+                          np.repeat(doc_offs[1:], n_chunks))
+        flat = toks.values
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        lens = ends - chunk_starts
+        tot = int(lens.sum())
+        take_idx = np.repeat(chunk_starts, lens) + (
+            np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens))
+        gathered = flat.take(pa.array(take_idx, pa.int64()))
+        list_offs = np.empty(total_chunks + 1, dtype=np.int64)
+        list_offs[0] = 0
+        np.cumsum(lens, out=list_offs[1:])
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(list_offs, pa.int32()) if list_offs[-1] < (1 << 31)
+            else pa.array(list_offs, pa.int64()),
+            gathered)
+        chunks = pc.binary_join(chunk_lists, " ")
+        doc_of_chunk = np.repeat(ids, n_chunks)
+        owner = (doc_of_chunk << np.int64(IDX_BITS)) | within.astype(np.int64)
+        h = hash_utf8_array(chunks)
+        bucket = (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"owner": pa.array(owner),
+                         "chunk": chunks.cast(pa.string()),
+                         "_bucket": pa.array(bucket)})
+
+    rows = ds.map_batches(chunk_rows, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    rows = rows.repartition(_shuffle_parts())
+
+    def flag_dups(g: pa.Table) -> pa.Table:
+        """Per chunk row: is_dup = this occurrence is NOT the corpus-first
+        (min owner) of its exact text.  Text equality decides runs."""
+        if len(g) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64()),
+                             "pd": pa.array([], pa.int64())})
+        g = g.sort_by([("chunk", "ascending"), ("owner", "ascending")])
+        ch = g["chunk"]
+        ch = ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch
+        eq_prev = pc.equal(ch.slice(1), ch.slice(0, len(ch) - 1))
+        is_dup = np.r_[False, eq_prev.to_numpy(zero_copy_only=False)]
+        doc = g["owner"].to_numpy(zero_copy_only=False) >> np.int64(IDX_BITS)
+        # in-group partial per doc: (n_chunks_here, n_dup_here)
+        order = np.argsort(doc, kind="stable")
+        d, f = doc[order], is_dup[order]
+        starts = np.nonzero(np.r_[True, d[1:] != d[:-1]])[0]
+        lens = np.diff(np.r_[starts, len(d)])
+        csum = np.r_[0, np.cumsum(f.astype(np.int64))]
+        ends_ix = np.r_[starts[1:], len(d)]
+        dups = csum[ends_ix] - csum[starts]
+        return pa.table({"doc_id": pa.array(d[starts]),
+                         "pn": pa.array(lens.astype(np.int64)),
+                         "pd": pa.array(dups)})
+
+    partials = rows.groupby("_bucket").map_groups(flag_dups, batch_format="pyarrow")
+    scored = salted_group_reduce(
+        partials, ["doc_id"],
+        [("pn", "sum", "n_chunks"), ("pd", "sum", "n_dup_chunks")], salt=256)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nn = b["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = b["n_dup_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = nd / np.maximum(nn, 1)
+        out = pa.table({"doc_id": b["doc_id"],
+                        "n_chunks": pa.array(nn),
+                        "n_dup_chunks": pa.array(nd),
+                        "dup_ratio": pa.array(ratio)})
+        if drop_above is not None:
+            out = out.filter(pa.array(ratio <= drop_above))
+        return out
+
+    return scored.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

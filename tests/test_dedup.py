@@ -396,3 +396,29 @@ def test_paragraph_dedup_planted(ray_session):
     assert 3 not in got     # every chunk was a duplicate
     assert 4 not in got     # null text excluded
     assert got[5] == ("", 1, 1)
+
+
+def test_paragraph_dup_ratio_planted(ray_session):
+    """dup_ratio counts exactly the chunks paragraph_dedup would drop; the
+    drop_above gate filters high-duplication docs."""
+    import ray.data as rd
+
+    texts = [
+        "a b c d e f g h i j k l m n o p q r s t",   # 0 dup chunks / 2
+        "a b c d e f g h i j X Y Z",                 # 1 dup / 2
+        "k l m n o p q r s t",                       # 1 dup / 1
+        "fresh words entirely",                      # 0 / 1
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (dedup.paragraph_dup_ratio(rd.from_arrow(t), k_tokens=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = {int(r.doc_id): (int(r.n_chunks), int(r.n_dup_chunks), r.dup_ratio)
+           for r in out.itertuples()}
+    assert got[0] == (2, 0, 0.0)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (1, 0, 0.0)
+    kept = (dedup.paragraph_dup_ratio(rd.from_arrow(t), k_tokens=10,
+                                      drop_above=0.5).to_pandas())
+    assert sorted(kept["doc_id"].astype(int)) == [0, 1, 3]
