@@ -422,3 +422,41 @@ def test_paragraph_dup_ratio_planted(ray_session):
     kept = (dedup.paragraph_dup_ratio(rd.from_arrow(t), k_tokens=10,
                                       drop_above=0.5).to_pandas())
     assert sorted(kept["doc_id"].astype(int)) == [0, 1, 3]
+
+
+def test_paragraph_dedup_random_corpora_match_python_oracle(ray_session):
+    """Randomized (seed-fixed) corpora with heavy chunk sharing: the
+    distributed plan must match a straightforward python oracle exactly,
+    including reassembled clean_text."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        texts = []
+        for _ in range(40):
+            n = int(rng.integers(0, 35))
+            texts.append(" ".join(words[j] for j in rng.integers(0, len(words), n)))
+        k = int(rng.integers(2, 6))
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = (dedup.paragraph_dedup(rd.from_arrow(t), k_tokens=k)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+        seen: dict[str, tuple] = {}
+        chunks_by_doc = {}
+        for d, s in enumerate(texts):
+            toks = s.split(" ")
+            cs = [" ".join(toks[i * k:(i + 1) * k])
+                  for i in range(-(-len(toks) // k))] or [""]
+            chunks_by_doc[d] = cs
+            for i, c in enumerate(cs):
+                seen.setdefault(c, (d, i))
+        exp = []
+        for d, cs in chunks_by_doc.items():
+            kept = [c for i, c in enumerate(cs) if seen[c] == (d, i)]
+            if kept:
+                exp.append((d, " ".join(kept), len(kept), len(cs)))
+        got = [(int(r.doc_id), r.clean_text, int(r.n_kept), int(r.n_total))
+               for r in out.itertuples()]
+        assert sorted(got) == sorted(exp), f"trial {trial} k={k}"

@@ -67,17 +67,22 @@ def test_wkb_linestring_roundtrip(coords):
     assert np.array_equal(out, arr)
 
 
+_ALL_CTS = ["bit", "uint8", "int8", "uint16", "int16", "uint32", "int32",
+            "int64", "float32", "float64"]
+
+
 @settings(max_examples=100, deadline=None)
-@given(st.sampled_from(["uint8", "int8", "uint16", "int16", "int32", "float32", "float64"]),
-       st.sampled_from(["uint8", "int8", "uint16", "int16", "int32", "float32", "float64"]))
+@given(st.sampled_from(_ALL_CTS), st.sampled_from(_ALL_CTS))
 def test_celltype_union_commutative_and_covering(a, b):
+    from geotrellis_contrib_ray.core.celltype import _INT_RANGE
+
     ca, cb = CellType.of(a), CellType.of(b)
     u1, u2 = ca.union(cb), cb.union(ca)
     assert u1 == u2
     if not u1.is_float:
         for c in (ca, cb):
-            assert np.iinfo(u1.np_dtype).min <= np.iinfo(c.np_dtype).min
-            assert np.iinfo(u1.np_dtype).max >= np.iinfo(c.np_dtype).max
+            assert _INT_RANGE[u1.dtype][0] <= _INT_RANGE[c.dtype][0]
+            assert _INT_RANGE[u1.dtype][1] >= _INT_RANGE[c.dtype][1]
 
 
 @settings(max_examples=50, deadline=None)
