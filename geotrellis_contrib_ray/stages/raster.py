@@ -244,34 +244,38 @@ def mosaic_merge(tiles_ds, layout: LayoutDefinition, block_shift: int = 3):
     million-tile layer makes ~16k groups, not a million.  Tiles in a block
     are merged independently inside the group."""
 
-    def merge_one(rows):
-        first = rows[0]
-        ct = CellType.of(first["cell_type"])
-        for row in rows[1:]:
-            ct = ct.union(CellType.of(row["cell_type"]))
-        key = (int(first["tile_col"]), int(first["tile_row"]))
+    def merge_one(tb: "_TileBatch", idxs: np.ndarray) -> dict:
+        ct = tb.ct(int(idxs[0]))
+        for i in idxs[1:]:
+            ct = ct.union(tb.ct(int(i)))
+        m = tb.meta
+        first = int(idxs[0])
+        key = (int(m["tile_col"][first]), int(m["tile_row"][first]))
         ext = layout.key_extent(*key)
         # target grid: finest cell size among contributors, tile-aligned
-        cw = min((r["xmax"] - r["xmin"]) / r["cols"] for r in rows)
-        ch = min((r["ymax"] - r["ymin"]) / r["rows"] for r in rows)
+        cw = min((m["xmax"][i] - m["xmin"][i]) / m["cols"][i] for i in idxs)
+        ch = min((m["ymax"][i] - m["ymin"][i]) / m["rows"][i] for i in idxs)
         tcols = int(round(ext.width / cw))
         trows = int(round(ext.height / ch))
         nd = ct.nodata if ct.nodata is not None else 0
-        acc = np.full((int(first["band_count"]), trows, tcols), nd, dtype=ct.np_dtype)
+        acc = np.full((int(m["band_count"][first]), trows, tcols), nd, dtype=ct.np_dtype)
         filled = np.zeros(acc.shape, dtype=bool)
         tx = ext.xmin + (np.arange(tcols) + 0.5) * cw
         ty = ext.ymax - (np.arange(trows) + 0.5) * ch
-        for row in rows:
-            src_ct = CellType.of(row["cell_type"])
-            px = ct_convert(tile_pixels(row), src_ct, ct)
-            scw = (row["xmax"] - row["xmin"]) / row["cols"]
-            sch = (row["ymax"] - row["ymin"]) / row["rows"]
-            col = np.floor((tx - row["xmin"]) / scw).astype(np.int64)
-            rr = np.floor((row["ymax"] - ty) / sch).astype(np.int64)
-            okc = (col >= 0) & (col < row["cols"])
-            okr = (rr >= 0) & (rr < row["rows"])
-            col = np.clip(col, 0, row["cols"] - 1)
-            rr = np.clip(rr, 0, row["rows"] - 1)
+        for i in idxs:
+            i = int(i)
+            px = ct_convert(tb.pixels(i), tb.ct(i), ct)
+            xmin, xmax = float(m["xmin"][i]), float(m["xmax"][i])
+            ymax = float(m["ymax"][i])
+            ncols, nrows = int(m["cols"][i]), int(m["rows"][i])
+            scw = (xmax - xmin) / ncols
+            sch = (ymax - float(m["ymin"][i])) / nrows
+            col = np.floor((tx - xmin) / scw).astype(np.int64)
+            rr = np.floor((ymax - ty) / sch).astype(np.int64)
+            okc = (col >= 0) & (col < ncols)
+            okr = (rr >= 0) & (rr < nrows)
+            col = np.clip(col, 0, ncols - 1)
+            rr = np.clip(rr, 0, nrows - 1)
             ok = okr[:, None] & okc[None, :]
             samp = px[:, rr[:, None], col[None, :]]
             if ct.nodata is not None and np.issubdtype(acc.dtype, np.floating) and np.isnan(ct.nodata):
@@ -285,14 +289,22 @@ def mosaic_merge(tiles_ds, layout: LayoutDefinition, block_shift: int = 3):
             filled |= have
         return tile_row(-1, key, Raster(acc, ext), ct)
 
-    def merge_block(g):
-        import pandas as pd
-
-        g = g.sort_values(["tile_col", "tile_row", "src_id"], kind="mergesort")
-        out = []
-        for _, sub in g.groupby(["tile_col", "tile_row"], sort=True):
-            out.append(merge_one(sub.to_dict("records")))
-        return pd.DataFrame(out)
+    def merge_block(g: pa.Table) -> pa.Table:
+        # arrow end-to-end: per-row pixel blobs stay buffer views (the old
+        # pandas records path copied every blob through python dicts)
+        order = np.lexsort((
+            g["src_id"].to_numpy(zero_copy_only=False),
+            g["tile_row"].to_numpy(zero_copy_only=False),
+            g["tile_col"].to_numpy(zero_copy_only=False),
+        ))
+        g = g.take(pa.array(order))
+        tb = _TileBatch(g)
+        tc = tb.meta["tile_col"]
+        tr = tb.meta["tile_row"]
+        starts = np.nonzero(np.r_[True, (tc[1:] != tc[:-1]) | (tr[1:] != tr[:-1])])[0]
+        ends = np.r_[starts[1:], tb.n]
+        out = [merge_one(tb, np.arange(s, e)) for s, e in zip(starts, ends)]
+        return pa.Table.from_pylist(out, schema=TILE_SCHEMA)
 
     def add_block(b: pa.Table) -> pa.Table:
         bc = b["tile_col"].to_numpy(zero_copy_only=False) >> block_shift
@@ -304,7 +316,7 @@ def mosaic_merge(tiles_ds, layout: LayoutDefinition, block_shift: int = 3):
     blocked = tiles_ds.map_batches(add_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     # sort-shuffle fixed cost scales with input block count — coalesce narrow
     blocked = blocked.repartition(_default_shuffle_partitions())
-    return blocked.groupby(["_bcol", "_brow"]).map_groups(merge_block, batch_format="pandas")
+    return blocked.groupby(["_bcol", "_brow"]).map_groups(merge_block, batch_format="pyarrow")
 
 
 def convert_tiles(tiles_ds, target: CellType, gdal_clamp: bool = False):
