@@ -75,7 +75,7 @@ class _TileBatch:
     per 256^2 int16 tile) before any work happened."""
 
     _META = ("src_id", "tile_col", "tile_row", "band_count", "cols", "rows",
-             "xmin", "ymin", "xmax", "ymax")
+             "xmin", "ymin", "xmax", "ymax", "pos")
 
     def __init__(self, batch: pa.Table):
         self.n = len(batch)
@@ -97,6 +97,10 @@ class _TileBatch:
 
     def ct(self, i: int) -> CellType:
         return CellType.of(self.cell_type[i])
+
+    def raw(self, i: int) -> np.ndarray:
+        """The row's pixel bytes as a uint8 buffer VIEW (np.frombuffer-able)."""
+        return self._data[self._offs[i] : self._offs[i + 1]]
 
     def pixels(self, i: int) -> np.ndarray:
         """(bands, rows, cols) VIEW into the arrow buffer (read-only)."""
@@ -358,27 +362,34 @@ def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None,
     cur_th = layout.tile_height if layout is not None else None
 
     def mk_make_parent(tw, th):
-        def make_one(rows):
-            first = rows[0]
-            ct = CellType.of(first["cell_type"])
+        def make_one(tb: "_TileBatch", idxs: np.ndarray) -> dict:
+            m = tb.meta
+            fi = int(idxs[0])
+            ct = tb.ct(fi)
             nd = ct.nodata if ct.nodata is not None else 0
-            pc, pr = int(first["tile_col"]) >> 1, int(first["tile_row"]) >> 1
+            pc, pr = int(m["tile_col"][fi]) >> 1, int(m["tile_row"][fi]) >> 1
             if layout is not None:
                 tcols, trows = layout.tile_cols, layout.tile_rows
                 pxmin = layout.extent.xmin + pc * 2.0 * tw
                 pymax = layout.extent.ymax - pr * 2.0 * th
                 ext = Extent(pxmin, pymax - 2.0 * th, pxmin + 2.0 * tw, pymax)
             else:
-                tcols, trows = int(first["cols"]), int(first["rows"])
-                w = first["xmax"] - first["xmin"]
-                h = first["ymax"] - first["ymin"]
-                pxmin = first["xmin"] - (int(first["tile_col"]) % 2) * w
-                pymax = first["ymax"] + (int(first["tile_row"]) % 2) * h
+                tcols, trows = int(m["cols"][fi]), int(m["rows"][fi])
+                w = float(m["xmax"][fi]) - float(m["xmin"][fi])
+                h = float(m["ymax"][fi]) - float(m["ymin"][fi])
+                pxmin = float(m["xmin"][fi]) - (int(m["tile_col"][fi]) % 2) * w
+                pymax = float(m["ymax"][fi]) + (int(m["tile_row"][fi]) % 2) * h
                 ext = Extent(pxmin, pymax - 2.0 * h, pxmin + 2.0 * w, pymax)
-            acc = np.full((int(first["band_count"]), trows, tcols), nd, dtype=ct.np_dtype)
+            acc = np.full((int(m["band_count"][fi]), trows, tcols), nd, dtype=ct.np_dtype)
             half_c, half_r = tcols // 2, trows // 2
-            for row in rows:
-                child = tile_pixels(row)
+            for i in idxs:
+                i = int(i)
+                row = {
+                    "tile_col": int(m["tile_col"][i]),
+                    "tile_row": int(m["tile_row"][i]),
+                    "xmin": float(m["xmin"][i]), "ymax": float(m["ymax"][i]),
+                }
+                child = tb.pixels(i)
                 if layout is not None:
                     # place by the child's ACTUAL georeference, not key
                     # parity alone: a footprint-clipped edge tile starts K
@@ -420,16 +431,19 @@ def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None,
                 qr = (int(row["tile_row"]) % 2) * half_r
                 px = px[:, :half_r, :half_c]
                 acc[:, qr : qr + px.shape[1], qc : qc + px.shape[2]] = px
-            return tile_row(int(first["src_id"]), (pc, pr), Raster(acc, ext), ct)
+            return tile_row(int(m["src_id"][fi]), (pc, pr), Raster(acc, ext), ct)
 
-        def make_parents(g):
-            import pandas as pd
-
-            g = g.sort_values(["pcol", "prow"], kind="mergesort")
-            rows_out = []
-            for _, sub in g.groupby(["pcol", "prow"], sort=True):
-                rows_out.append(make_one(sub.to_dict("records")))
-            return pd.DataFrame(rows_out)
+        def make_parents(g: pa.Table) -> pa.Table:
+            pcol = g["pcol"].to_numpy(zero_copy_only=False)
+            prow = g["prow"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((prow, pcol))
+            g = g.take(pa.array(order))
+            tb = _TileBatch(g)
+            pcol, prow = pcol[order], prow[order]
+            starts = np.nonzero(np.r_[True, (pcol[1:] != pcol[:-1]) | (prow[1:] != prow[:-1])])[0]
+            ends = np.r_[starts[1:], tb.n]
+            rows_out = [make_one(tb, np.arange(s, e)) for s, e in zip(starts, ends)]
+            return pa.Table.from_pylist(rows_out, schema=TILE_SCHEMA)
 
         return make_parents
 
@@ -455,7 +469,7 @@ def pyramid_build(tiles_ds, levels: int, layout: LayoutDefinition | None = None,
             cur.map_batches(add_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
             .repartition(_default_shuffle_partitions())
             .groupby(["_bcol", "_brow"])
-            .map_groups(mk_make_parent(cur_tw, cur_th), batch_format="pandas")
+            .map_groups(mk_make_parent(cur_tw, cur_th), batch_format="pyarrow")
         )
         out.append(cur)
         if layout is not None:
@@ -694,14 +708,32 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
         return tile_row(-1, (int(center["tile_col"]), int(center["tile_row"])),
                         Raster(res, ext), out_ct)
 
-    def focal_block(g):
+    def focal_block(g: pa.Table) -> pa.Table:
+        # arrow-native: fragment pixel blobs stay buffer views end-to-end
+        tc0 = g["tile_col"].to_numpy(zero_copy_only=False)
+        tr0 = g["tile_row"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tr0, tc0))
+        g = g.take(pa.array(order))
+        tb = _TileBatch(g)
+        m = tb.meta
+        tc, tr = m["tile_col"], m["tile_row"]
+        starts = np.nonzero(np.r_[True, (tc[1:] != tc[:-1]) | (tr[1:] != tr[:-1])])[0]
+        ends = np.r_[starts[1:], tb.n]
         out = []
-        for _, sub in g.groupby(["tile_col", "tile_row"], sort=True):
-            row = focal_one(sub.to_dict("records"))
+        for s, e in zip(starts, ends):
+            rows = [{
+                "pos": int(m["pos"][i]),
+                "tile_col": int(tc[i]), "tile_row": int(tr[i]),
+                "band_count": int(m["band_count"][i]),
+                "cols": int(m["cols"][i]), "rows": int(m["rows"][i]),
+                "cell_type": tb.cell_type[i],
+                "xmin": float(m["xmin"][i]), "ymin": float(m["ymin"][i]),
+                "xmax": float(m["xmax"][i]), "ymax": float(m["ymax"][i]),
+                "pixels": tb.raw(i),
+            } for i in range(s, e)]
+            row = focal_one(rows)
             if row is not None:
                 out.append(row)
-        # Arrow return from a pandas-format map_groups (the 13x rule — and
-        # empty object-dtype DataFrames break downstream size estimation)
         return pa.Table.from_pylist(out, schema=TILE_SCHEMA)
 
     def add_block(b: pa.Table) -> pa.Table:
@@ -717,15 +749,7 @@ def focal_tiles(tiles_ds, op: str = "mean", radius: int = 1, block_shift: int = 
                                 zero_copy_batch=True, batch_size=None)
     # sort-shuffle fixed cost scales with input block count — coalesce narrow
     blocked = blocked.repartition(_default_shuffle_partitions())
-    grouped = blocked.groupby(["_bcol", "_brow"]).map_groups(focal_block, batch_format="pandas")
-
-    def to_arrow(b: pa.Table) -> pa.Table:
-        # pandas-format map_groups feeding downstream groupbys/aggregates
-        # must hand back Arrow blocks (13x penalty otherwise — CLAUDE.md)
-        return b.cast(TILE_SCHEMA) if b.schema != TILE_SCHEMA else b
-
-    return grouped.map_batches(to_arrow, batch_format="pyarrow",
-                               zero_copy_batch=True, batch_size=None)
+    return blocked.groupby(["_bcol", "_brow"]).map_groups(focal_block, batch_format="pyarrow")
 
 
 def sparse_stitch(tile_rows: list[dict], cell_type: CellType | None = None) -> Raster | None:
