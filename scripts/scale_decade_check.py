@@ -34,6 +34,7 @@ CHECKS = [
         "pack_sequences",
         "corpus_clean",
         "paragraph_dedup",
+        "paragraph_dup_ratio",
         "vocab_coverage",
         "quantile_chars",
         "token_stats",

@@ -338,3 +338,31 @@ def test_mosaic_band_subset_read(ray_session):
     m = MosaicRasterSource([a, b])
     r = m.read(bands=[0])
     assert r is not None and r.pixels.shape[0] == 1
+
+
+def test_bit_celltype_through_tile_pipeline(ray_session):
+    """A 1-bit mask source survives the tile table + mosaic path (r4
+    CellType parity beyond the codec): tiling, shuffle round-trip and the
+    first-non-nodata merge all run on bit cells stored in uint8 arrays."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.celltype import CellType
+    from geotrellis_contrib_ray.core.grid import Extent, GridExtent, LayoutDefinition
+    from geotrellis_contrib_ray.sources.raster_source import InMemoryRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid = GridExtent(Extent(0.0, 0.0, 640.0, 640.0), 10.0, 10.0, 64, 64)
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 2, (1, 64, 64)).astype(np.uint8)
+    src = InMemoryRasterSource(px, grid, "EPSG:4326", CellType("bit", None))
+    layout = LayoutDefinition.floating(grid, 32)
+    tiles = rst.tile_dataset([src], layout, concurrency=2)
+    merged = rst.mosaic_merge(tiles, layout).to_pandas()
+    assert len(merged) == 4
+    assert set(merged["cell_type"]) == {"bit"}
+    got = np.zeros((64, 64), np.uint8)
+    for r in merged.itertuples():
+        t = np.frombuffer(r.pixels, np.uint8).reshape(r.band_count, r.rows, r.cols)
+        c0, r0 = int(r.tile_col) * 32, int(r.tile_row) * 32
+        got[r0:r0 + 32, c0:c0 + 32] = t[0]
+    assert np.array_equal(got, px[0])
