@@ -945,6 +945,20 @@ def q_paragraph_dup_ratio(sf_dir: str):
     return paragraph_dup_ratio(ds, k_tokens=PARA_K)
 
 
+def q_mixture_sample(sf_dir: str):
+    """Data-MIXING sampler (r4): per source, take docs in the deterministic
+    (sample-hash, id) order until MIX_BUDGET_TOKENS is reached — the
+    equal-token-budget-per-source reweighting step of a pretraining mix.
+    Exact integer math end-to-end (the shared split-hash + token count);
+    presum replays as a SQL window cumsum."""
+    from geotrellis_contrib_ray.pipelines.query_defs import MIX_BUDGET_TOKENS
+    from geotrellis_contrib_ray.stages.pack import mixture_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["source", "doc_id", "text"])
+    return mixture_sample(ds, budget_tokens=MIX_BUDGET_TOKENS)
+
+
 def q_quality_counts(sf_dir: str):
     """QualityScorer's integer building blocks (word/stopword/alpha/BPE-token
     counts) — hash-comparable against the DuckDB regexp_extract_all oracle;
@@ -2033,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in r4
         "paragraph_dedup": q_paragraph_dedup,
         "paragraph_dup_ratio": q_paragraph_dup_ratio,
+        "mixture_sample": q_mixture_sample,
         # -- r3-green tail (refreshed last round; rotates forward in r5)
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
@@ -2860,6 +2875,28 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(isdup) AS BIGINT) AS n_dup_chunks,
        CAST(sum(isdup) AS BIGINT) / CAST(count(*) AS BIGINT) AS dup_ratio
 FROM flags GROUP BY doc_id"""
+
+    # mixture_sample: the shared split-hash order + a window cumsum replay
+    # of the per-source token-budget prefix
+    from geotrellis_contrib_ray.pipelines.query_defs import MIX_BUDGET_TOKENS
+    from geotrellis_contrib_ray.stages.pack import SAMPLE_HASH_M as _MIX_M
+
+    sql["mixture_sample"] = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         coalesce(length(text) - length(replace(text, ' ', '')) + 1, 1) AS ntok,
+         ((doc_id % {SPLIT_P}) * {SPLIT_A}) % {_MIX_M} AS hkey
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, ntok,
+         coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS presum
+  FROM t
+)
+SELECT source, doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(presum AS BIGINT) AS presum
+FROM c WHERE presum < {MIX_BUDGET_TOKENS}"""
 
     # ann_rank: integer ranks only — both engines agree on the (cosine desc,
     # vec_id asc) ORDER (rank gaps >> float noise on these embeddings) even

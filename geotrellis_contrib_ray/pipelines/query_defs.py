@@ -163,6 +163,12 @@ JACCARD_SAMPLE_LIMIT = 250  # doc_id < 250
 PARA_K = 10
 PARA_IDX_BITS = 20
 
+# mixture_sample (data-mixing reweighting): per-source token budget; both
+# engines take docs in (sample-hash, id) order until the running total
+# crosses it.  800 bites at every test SF (sources hold ~1.3k tokens at
+# sf0.01, ~13.5k at sf0.1)
+MIX_BUDGET_TOKENS = 800
+
 # k-means over the embedding table: deterministic seeds = the first
 # KMEANS_K vectors by vec_id, KMEANS_ITERS Lloyd's rounds; assignment
 # tie-break (distance, cid) on both engines.

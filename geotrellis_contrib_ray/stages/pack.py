@@ -405,3 +405,112 @@ def global_shuffle(ds, epoch: int = 0, id_col: str = "doc_id"):
     keyed = ds.map_batches(add_h, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
     return keyed.sort(["shuffle_key", id_col])
+
+
+# data-mixing sampler constants (shared with the SQL twin via query_defs)
+MIX_CHUNKS = 256
+
+
+def mixture_sample(ds, budget_tokens: int, source_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_chunks: int = MIX_CHUNKS):
+    """Training-data MIXING sampler: per ``source``, take documents in the
+    deterministic (hash(id), id) order until the source's running token
+    total reaches ``budget_tokens`` (the boundary-crossing doc is included)
+    — the "equal token budget per source" reweighting step of a pretraining
+    mix, with no RNG state.
+
+    Scale shape (pack_sequences' hierarchical prefix sum, keyed by
+    hash-PREFIX chunks so chunk order IS sample order):
+      1. narrow: hkey = ((id % SPLIT_P) * SPLIT_A) % 2^31 (the shared
+         sampling hash), n_tokens, chunk = hkey * n_chunks // 2^31
+         (order-preserving);
+      2. per-(source, chunk) token totals roll up on the DRIVER (bounded:
+         sources x n_chunks rows, no all-to-all — agg.driver_group_rollup);
+      3. driver computes each chunk's exclusive prefix within its source and
+         broadcasts the offsets;
+      4. ONE groupby((source, chunk)): in-group sort by (hkey, id), local
+         cumsum + chunk offset, keep presum < budget.  Group count is
+         bounded; group size is ~corpus/(sources*n_chunks).
+
+    Output: (source, doc_id, n_tokens, presum) for kept docs — presum is
+    the source-wide exclusive token prefix (the SQL window replays it)."""
+    import ray
+
+    from .agg import driver_group_rollup
+
+    def narrow(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)
+        b = add_token_count(b, text_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % SPLIT_P) * np.int64(SPLIT_A)) % np.int64(SAMPLE_HASH_M)
+        chunk = (h * np.int64(n_chunks)) // np.int64(SAMPLE_HASH_M)
+        return pa.table({
+            source_col: b[source_col],
+            id_col: pa.array(ids),
+            "n_tokens": b["n_tokens"],
+            "hkey": pa.array(h),
+            "_chunk": pa.array(chunk),
+        })
+
+    keyed = ds.map_batches(narrow, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select([source_col, "_chunk", "n_tokens"])
+             .group_by([source_col, "_chunk"], use_threads=False)
+             .aggregate([("n_tokens", "sum")]))
+        return g.rename_columns([source_col, "_chunk", "ptok"])
+
+    totals = driver_group_rollup(
+        keyed.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        [source_col, "_chunk"], [("ptok", "sum", "toks")],
+    )
+    srcs = totals[source_col].to_pylist()
+    chs = totals["_chunk"].to_numpy(zero_copy_only=False)
+    tks = totals["toks"].to_numpy(zero_copy_only=False)
+    offsets: dict[tuple, int] = {}
+    run = {}
+    for s, c, t in sorted(zip(srcs, chs.tolist(), tks.tolist())):
+        offsets[(s, c)] = run.get(s, 0)
+        run[s] = run.get(s, 0) + int(t)
+    off_ref = ray.put(offsets)
+
+    def take_prefix(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({source_col: pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "presum": pa.array([], pa.int64())})
+        offs = ray.get(off_ref)
+        src = g[source_col][0].as_py()
+        chunk = int(g["_chunk"][0].as_py())
+        base = offs.get((src, chunk), 0)
+        if base >= budget_tokens:
+            return pa.table({source_col: pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "presum": pa.array([], pa.int64())})
+        h = g["hkey"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h))
+        nt_o = nt[order]
+        presum = base + np.r_[0, np.cumsum(nt_o)[:-1]]
+        keep = presum < budget_tokens
+        sel = order[keep]
+        return pa.table({
+            source_col: g[source_col].take(pa.array(sel)),
+            id_col: pa.array(ids[sel]),
+            "n_tokens": pa.array(nt[sel]),
+            "presum": pa.array(presum[keep]),
+        })
+
+    from .dedup import _shuffle_parts
+
+    return (keyed.repartition(_shuffle_parts())
+            .groupby([source_col, "_chunk"])
+            .map_groups(take_prefix, batch_format="pyarrow"))

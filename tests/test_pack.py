@@ -170,3 +170,51 @@ def test_pack_sequences_hierarchical_levels(ray_session):
     assert got["doc_id"].tolist() == list(range(n))
     assert got["n_tokens"].tolist() == toks.tolist()
     assert got["seq_id"].tolist() == (presum // 100).tolist()
+
+
+def test_mixture_sample_budget_prefix(ray_session):
+    """Per-source docs are taken in (sample-hash, id) order until the token
+    budget is crossed; the boundary doc is included; python oracle parity."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.pack import (
+        SAMPLE_HASH_M,
+        SPLIT_A,
+        SPLIT_P,
+        mixture_sample,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for d in range(120):
+        src = f"s{d % 3}"
+        n = int(rng.integers(1, 12))
+        rows.append((d, src, " ".join(["w"] * n)))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "source": pa.array([r[1] for r in rows], pa.string()),
+                  "text": pa.array([r[2] for r in rows], pa.string())})
+    budget = 60
+    out = (mixture_sample(rd.from_arrow(t), budget_tokens=budget)
+           .to_pandas().sort_values(["source", "presum"]).reset_index(drop=True))
+
+    # python oracle
+    exp = []
+    by_src: dict = {}
+    for d, src, txt in rows:
+        h = ((d % SPLIT_P) * SPLIT_A) % SAMPLE_HASH_M
+        by_src.setdefault(src, []).append((h, d, txt.count(" ") + 1))
+    for src, docs in by_src.items():
+        run = 0
+        for h, d, nt in sorted(docs):
+            if run < budget:
+                exp.append((src, d, nt, run))
+            run += nt
+    got = [(r.source, int(r.doc_id), int(r.n_tokens), int(r.presum))
+           for r in out.itertuples()]
+    assert sorted(got) == sorted(exp)
+    # each source's kept tokens just crosses the budget
+    for src in by_src:
+        kept = out[out["source"] == src]
+        tot = int(kept["n_tokens"].sum())
+        assert tot >= min(budget, sum(nt for _, _, nt in by_src[src]))
