@@ -35,6 +35,7 @@ CHECKS = [
         "corpus_clean",
         "paragraph_dedup",
         "paragraph_dup_ratio",
+        "mixture_sample",
         "vocab_coverage",
         "quantile_chars",
         "token_stats",
