@@ -1162,6 +1162,32 @@ def q_raster_convert(sf_dir: str):
     return rst.summarize_tiles(conv, nodata_aware=False)
 
 
+def q_raster_band_math(sf_dir: str):
+    """F11 ORACLE (r4): per-cell LOCAL map algebra over the distributed tile
+    table — quantized normalized band difference (NDVI shape) on a 2-band
+    synthetic source, rolled up as per-tile integer checksums.  The quantize
+    is floor((SCALE * (b1 - b0)) / max(b1 + b0, 1)) with the identical
+    double expression in the twin."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.celltype import CellType
+    from geotrellis_contrib_ray.pipelines.query_defs import NDVI_Q_SCALE
+    from geotrellis_contrib_ray.sources.raster_source import SyntheticRasterSource
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid, layout = _raster_layout()
+    tiles = rst.tile_dataset([SyntheticRasterSource(grid, bands=2)], layout)
+
+    def ndvi_q(px: np.ndarray) -> np.ndarray:
+        b0 = px[0].astype(np.float64)
+        b1 = px[1].astype(np.float64)
+        den = np.maximum(b1 + b0, 1.0)
+        return np.floor((float(NDVI_Q_SCALE) * (b1 - b0)) / den).astype(np.int64)
+
+    mapped = rst.local_map_tiles(tiles, ndvi_q, CellType("int64", None))
+    return rst.summarize_tiles(mapped, nodata_aware=False)
+
+
 def q_raster_mosaic(sf_dir: str):
     """S3/J2/A3 oracle: two overlapping sources merged first-non-nodata-wins
     (deterministic source order); per-tile NoData-aware checksums."""
@@ -2048,6 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "paragraph_dup_ratio": q_paragraph_dup_ratio,
         "mixture_sample": q_mixture_sample,
+        "raster_band_math": q_raster_band_math,
         # -- r3-green tail (refreshed last round; rotates forward in r5)
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
@@ -2443,6 +2470,23 @@ WITH {raster_cells_cte()},
     sql["raster_convert"] = f"""
 WITH {raster_cells_cte()},
 {_tile_rollup.format(vexpr="v % 256")}"""
+
+    # raster_band_math (F11 oracle): quantized normalized band difference —
+    # both engines evaluate floor((SCALE * (v1 - v0)) / max(v1 + v0, 1)) in
+    # the identical double expression (exact int operands, one division)
+    from geotrellis_contrib_ray.pipelines.query_defs import NDVI_Q_SCALE
+
+    _ndvi = (f"CAST(floor((CAST({NDVI_Q_SCALE} AS DOUBLE) * (v1 - v0)) / "
+             f"greatest(v1 + v0, 1)) AS BIGINT)")
+    sql["raster_band_math"] = f"""
+WITH cells AS (
+    SELECT r.r AS row, c.c AS col,
+           (r.r * {RASTER_COLS} + c.c) % 32768 AS v0,
+           (r.r * {RASTER_COLS} + c.c + 1) % 32768 AS v1
+    FROM generate_series(0, {RASTER_ROWS - 1}) AS r(r)
+    CROSS JOIN generate_series(0, {RASTER_COLS - 1}) AS c(c)
+  ),
+{_tile_rollup.format(vexpr=_ndvi)}"""
 
     _ncols_layout = -(-RASTER_COLS // T)
     sql["raster_stride_windows"] = f"""

@@ -169,6 +169,12 @@ PARA_IDX_BITS = 20
 # sf0.01, ~13.5k at sf0.1)
 MIX_BUDGET_TOKENS = 800
 
+# local map algebra (F11 oracle): quantized normalized band difference
+# floor(SCALE * (b1 - b0) / max(b1 + b0, 1)) — floor (not round: numpy
+# rounds half-even, DuckDB half-away), identical double expression both
+# engines
+NDVI_Q_SCALE = 1 << 20
+
 # k-means over the embedding table: deterministic seeds = the first
 # KMEANS_K vectors by vec_id, KMEANS_ITERS Lloyd's rounds; assignment
 # tie-break (distance, cid) on both engines.

@@ -842,3 +842,32 @@ def polygonal_summary_tiles(tiles_ds, ring: np.ndarray, nodata_aware: bool = Tru
     )
     res["mean"] = res["sum"] / res["count"] if res["count"] else float("nan")
     return res
+
+
+def local_map_tiles(tiles_ds, fn, out_cell_type: CellType):
+    """F11 as a first-class TILE-TABLE op: per-cell local map algebra
+    (band math, classification, scaling) — ``fn((bands, r, c) ndarray) ->
+    (out_bands, r, c) | (r, c)`` applied per tile inside one narrow batch
+    pass (no shuffle; pixels decode as buffer views via _TileBatch)."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        tb = _TileBatch(batch)
+        out_px, out_bands = [], np.empty(tb.n, np.int16)
+        for i in range(tb.n):
+            o = np.asarray(fn(tb.pixels(i)))
+            if o.ndim == 2:
+                o = o[None]
+            out_bands[i] = o.shape[0]
+            out_px.append(np.ascontiguousarray(
+                o.astype(out_cell_type.np_dtype, copy=False)).tobytes())
+        names = batch.column_names
+        return (batch
+                .set_column(names.index("pixels"), "pixels",
+                            pa.array(out_px, pa.binary()))
+                .set_column(names.index("cell_type"), "cell_type",
+                            pa.array([out_cell_type.name] * tb.n, pa.string()))
+                .set_column(names.index("band_count"), "band_count",
+                            pa.array(out_bands, pa.int16())))
+
+    return tiles_ds.map_batches(apply, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
