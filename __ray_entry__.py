@@ -959,6 +959,24 @@ def q_mixture_sample(sf_dir: str):
     return mixture_sample(ds, budget_tokens=MIX_BUDGET_TOKENS)
 
 
+def q_dedup_delta(sf_dir: str):
+    """INCREMENTAL dedup (r4): delta docs (id >= DELTA_SPLIT_ID) kept iff
+    their text appears nowhere in the existing corpus (id < split) and they
+    are first among their own delta duplicates — the daily-ingest pattern,
+    ONE 32-byte/row shuffle, texts never move."""
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.pipelines.query_defs import DELTA_SPLIT_ID
+    from geotrellis_contrib_ray.stages.dedup import incremental_dedup_keep_first
+
+    path = f"{sf_dir}/documents.parquet"
+    existing = _read_pq(path, columns=["doc_id", "text"],
+                        filter=pc.field("doc_id") < DELTA_SPLIT_ID)
+    delta = _read_pq(path, columns=["doc_id", "text"],
+                     filter=pc.field("doc_id") >= DELTA_SPLIT_ID)
+    return incremental_dedup_keep_first(existing, delta)
+
+
 def q_quality_counts(sf_dir: str):
     """QualityScorer's integer building blocks (word/stopword/alpha/BPE-token
     counts) — hash-comparable against the DuckDB regexp_extract_all oracle;
@@ -2075,6 +2093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dup_ratio": q_paragraph_dup_ratio,
         "mixture_sample": q_mixture_sample,
         "raster_band_math": q_raster_band_math,
+        "dedup_delta": q_dedup_delta,
         # -- r3-green tail (refreshed last round; rotates forward in r5)
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
@@ -2919,6 +2938,18 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(isdup) AS BIGINT) AS n_dup_chunks,
        CAST(sum(isdup) AS BIGINT) / CAST(count(*) AS BIGINT) AS dup_ratio
 FROM flags GROUP BY doc_id"""
+
+    # dedup_delta: incremental ingest dedup — text-equality anti-join vs the
+    # existing corpus + delta keep-first, pure integer id output
+    from geotrellis_contrib_ray.pipelines.query_defs import DELTA_SPLIT_ID
+
+    sql["dedup_delta"] = f"""
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id >= {DELTA_SPLIT_ID}
+  AND NOT EXISTS (SELECT 1 FROM documents e
+                  WHERE e.doc_id < {DELTA_SPLIT_ID} AND e.text = d.text)
+  AND d.doc_id = (SELECT min(x.doc_id) FROM documents x
+                  WHERE x.doc_id >= {DELTA_SPLIT_ID} AND x.text = d.text)"""
 
     # mixture_sample: the shared split-hash order + a window cumsum replay
     # of the per-source token-budget prefix

@@ -175,6 +175,10 @@ MIX_BUDGET_TOKENS = 800
 # engines
 NDVI_Q_SCALE = 1 << 20
 
+# incremental dedup: docs below the split are the EXISTING corpus, at/above
+# are the newly ingested delta
+DELTA_SPLIT_ID = 250
+
 # k-means over the embedding table: deterministic seeds = the first
 # KMEANS_K vectors by vec_id, KMEANS_ITERS Lloyd's rounds; assignment
 # tie-break (distance, cid) on both engines.

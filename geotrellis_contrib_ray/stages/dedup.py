@@ -1922,3 +1922,75 @@ def paragraph_dup_ratio(ds, k_tokens: int = 10, drop_above: float | None = None,
 
     return scored.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def incremental_dedup_keep_first(existing, delta, id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 buckets: int | None = None):
+    """INCREMENTAL ingestion dedup — the daily-crawl pattern at corpus
+    scale: keep each ``delta`` row whose text appears nowhere in
+    ``existing`` and is the min-id first among its own delta duplicates.
+
+    ONE shuffle total: both sides project to (fingerprint, h2, id, side)
+    — 32 bytes/row, the text itself never moves — and hash-partition on
+    fingerprint % buckets; within a bucket every copy of a text is
+    present, so the winner rule is one lexsort + run masks.  A SECOND
+    independent 64-bit hash (h2) rides along and the op REFUSES on a
+    within-run mismatch (two distinct texts colliding in the primary
+    fingerprint — the exact_dedup_groups contract, combined miss ~2^-128).
+
+    Output: (doc_id) of kept delta rows."""
+    from .joins import default_join_partitions
+    from .text import add_fingerprint, hash_utf8_array
+
+    n_buckets = buckets if buckets is not None else default_join_partitions()
+
+    def project(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            from ..util import strip_schema_metadata
+
+            b = strip_schema_metadata(add_fingerprint(b))
+            h2 = hash_utf8_array(b[text_col], seed=0x9E3779B97F4A7C15)
+            fp = b["fingerprint"].to_numpy(zero_copy_only=False)
+            bucket = (fp.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+            return pa.table({
+                "fingerprint": pa.array(fp),
+                "_h2": pa.array(h2, pa.int64()),
+                id_col: b[id_col],
+                "_side": pa.array(np.full(len(b), side, np.int8)),
+                "_bucket": pa.array(bucket),
+            })
+
+        return f
+
+    tagged = (existing.map_batches(project(0), batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
+              .union(delta.map_batches(project(1), batch_format="pyarrow",
+                                       zero_copy_batch=True, batch_size=None)))
+    tagged = tagged.repartition(_shuffle_parts())
+
+    def winners(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        fp = g["fingerprint"].to_numpy(zero_copy_only=False)
+        h2 = g["_h2"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        fp_o, h2_o, id_o, sd_o = fp[order], h2[order], ids[order], side[order]
+        starts = np.nonzero(np.r_[True, fp_o[1:] != fp_o[:-1]])[0]
+        ends = np.r_[starts[1:], len(fp_o)]
+        # collision check: h2 must be constant within each fingerprint run
+        h2_min = np.minimum.reduceat(h2_o, starts)
+        h2_max = np.maximum.reduceat(h2_o, starts)
+        if (h2_min != h2_max).any():
+            raise ValueError(
+                "fingerprint collision: two distinct texts share a 64-bit "
+                "fingerprint — widen the fingerprint for this corpus")
+        # runs with NO existing row: min(side)=1; winner = first row (ids
+        # ascending within the run by the lexsort)
+        side_min = np.minimum.reduceat(sd_o, starts)
+        keep = starts[side_min == 1]
+        return pa.table({id_col: pa.array(np.sort(id_o[keep]))})
+
+    return tagged.groupby("_bucket").map_groups(winners, batch_format="pyarrow")

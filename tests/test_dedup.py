@@ -460,3 +460,25 @@ def test_paragraph_dedup_random_corpora_match_python_oracle(ray_session):
         got = [(int(r.doc_id), r.clean_text, int(r.n_kept), int(r.n_total))
                for r in out.itertuples()]
         assert sorted(got) == sorted(exp), f"trial {trial} k={k}"
+
+
+def test_incremental_dedup_keep_first_planted(ray_session):
+    """Delta rows drop when their text exists in the existing corpus; within
+    the delta the min-id copy wins; one 32-byte/row shuffle (ids only out)."""
+    import ray.data as rd
+
+    existing = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["old one", "old two", "shared text"], pa.string()),
+    })
+    delta = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": pa.array(["shared text",     # dup of existing -> drop
+                          "fresh a",
+                          "fresh b",
+                          "fresh a",         # delta-internal dup -> drop
+                          "old two"], pa.string()),  # dup of existing -> drop
+    })
+    out = dedup.incremental_dedup_keep_first(
+        rd.from_arrow(existing), rd.from_arrow(delta)).to_pandas()
+    assert sorted(out["doc_id"].astype(int)) == [11, 12]
