@@ -455,8 +455,14 @@ def mixture_sample(ds, budget_tokens: int, source_col: str = "source",
             "_chunk": pa.array(chunk),
         })
 
+    # the keyed projection feeds BOTH the totals rollup and the final
+    # groupby — materialize it so the corpus read+tokenize runs ONCE (a
+    # Dataset consumed by two plans re-executes its upstream).  The
+    # projection is narrow (4 int64 cols + source, ~40 B/doc) and the
+    # object store spills it; at extreme corpus scale prefer persisting it
+    # to parquet between the two passes instead.
     keyed = ds.map_batches(narrow, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None)
+                           zero_copy_batch=True, batch_size=None).materialize()
 
     def partial(b: pa.Table) -> pa.Table:
         g = (b.select([source_col, "_chunk", "n_tokens"])

@@ -36,6 +36,7 @@ CHECKS = [
         "paragraph_dedup",
         "paragraph_dup_ratio",
         "mixture_sample",
+        "dedup_delta",
         "vocab_coverage",
         "quantile_chars",
         "token_stats",
