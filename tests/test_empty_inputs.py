@@ -80,3 +80,41 @@ def test_windows_empty(ray_session):
     assert tumbling_window_agg(ev).count() == 0
     assert sessionize(ev).count() == 0
     assert window_distinct_users(ev).count() == 0
+
+
+def test_r4_ops_empty(ray_session):
+    """The r4 operators on zero-row corpora: typed empty outputs, no
+    None-buffer crashes."""
+    from geotrellis_contrib_ray.stages import dedup, pack
+
+    ds = _empty_docs()
+    assert dedup.paragraph_dedup(ds).count() == 0
+    assert dedup.paragraph_dup_ratio(ds).count() == 0
+    assert dedup.simhash_candidate_pairs(ds).count() == 0
+    assert dedup.incremental_dedup_keep_first(_empty_docs(), _empty_docs()).count() == 0
+
+    def add_source(b):
+        return b.append_column("source", pa.array(["s"] * len(b), pa.string()))
+
+    srcd = ds.map_batches(add_source, batch_format="pyarrow", batch_size=None)
+    assert pack.mixture_sample(srcd, budget_tokens=10).count() == 0
+
+
+def test_r4_ops_single_row(ray_session):
+    """One-doc corpora exercise the `lens==1` / single-run edges."""
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages import dedup, pack
+
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["solo words here"], pa.string()),
+                  "source": pa.array(["s0"], pa.string())})
+    ds = rd.from_arrow(t)
+    pd_out = dedup.paragraph_dedup(ds, k_tokens=2).to_pandas()
+    assert pd_out["clean_text"].tolist() == ["solo words here"]
+    pr = dedup.paragraph_dup_ratio(ds, k_tokens=2).to_pandas()
+    assert pr["n_dup_chunks"].tolist() == [0]
+    ms = pack.mixture_sample(ds, budget_tokens=1).to_pandas()
+    assert ms["doc_id"].tolist() == [7]
+    sp = dedup.simhash_candidate_pairs(ds).to_pandas()
+    assert len(sp) == 0
