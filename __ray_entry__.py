@@ -2025,6 +2025,47 @@ def q_span_table(sf_dir: str):
                           batch_size=None)
 
 
+def q_span_redact(sf_dir: str):
+    """Span-PRESERVING redaction over interleaved docs (r4): the PII scrub
+    applied inside the span model — only text-span texts change; media
+    spans, refs, offsets, span count and ORDER are untouched by
+    construction.  Output is the full exploded span table, so order, kinds,
+    refs, offsets AND the redacted halves all cross the value hash (the
+    north-rule invariant under an EDITING op, driver-checked)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.sources.documents import (
+        docs_to_spans,
+        redact_text_spans,
+    )
+    from geotrellis_contrib_ray.stages.text import REDACT_PATTERN, REDACT_TOKEN
+
+    def explode(b: pa.Table) -> pa.Table:
+        spans_t = redact_text_spans(docs_to_spans(b), REDACT_PATTERN, REDACT_TOKEN)
+        spans = spans_t["spans"].combine_chunks()
+        n = len(spans_t)
+        offs = spans.offsets.to_numpy()
+        sizes = offs[1:] - offs[:-1]
+        parent = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        ordinal = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1].astype(np.int64), sizes)
+        num_id = pc.cast(pc.utf8_slice_codeunits(spans_t["doc_id"].combine_chunks(), 4),
+                         pa.int64()).to_numpy(zero_copy_only=False)[parent]
+        v = spans.values
+        return pa.table({
+            "doc_id": pa.array(num_id),
+            "span_idx": pa.array(ordinal),
+            "kind": v.field("kind"),
+            "span_text": v.field("text"),
+            "media_ref": v.field("media_ref"),
+            "offset": pc.cast(v.field("offset"), pa.int32()),
+        })
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
 def entry() -> Any:
     """Flagship interleaved-corpus pipeline on sf0.001."""
     from geotrellis_contrib_ray.pipelines.flagship import flagship
@@ -2094,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "raster_band_math": q_raster_band_math,
         "dedup_delta": q_dedup_delta,
+        "span_redact": q_span_redact,
         # -- r3-green tail (refreshed last round; rotates forward in r5)
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
@@ -3270,6 +3312,31 @@ SELECT doc_id, CAST(1 AS BIGINT), 'media', '',
 FROM documents
 UNION ALL
 SELECT doc_id, CAST(2 AS BIGINT), 'text', substr(text, len(text) // 2 + 1),
+       '', CAST(len(text) // 2 + 2 AS INTEGER)
+FROM documents"""
+
+    # span_redact: the SAME span lift with the shared redact regex applied to
+    # the text HALVES only (media rows untouched) — the north-rule invariant
+    # under an editing op: order/kinds/refs/offsets hash along with the
+    # redacted text.  NOTE the regex runs on each HALF (post-split), exactly
+    # like the Ray side — a match straddling the midpoint is split on BOTH
+    # engines identically.
+    from geotrellis_contrib_ray.stages.text import REDACT_PATTERN as _RP
+    from geotrellis_contrib_ray.stages.text import REDACT_TOKEN as _RT
+
+    sql["span_redact"] = f"""
+SELECT doc_id, CAST(0 AS BIGINT) AS span_idx, 'text' AS kind,
+       regexp_replace(substr(text, 1, len(text) // 2), '{_RP}', '{_RT}', 'g') AS span_text,
+       '' AS media_ref, CAST(0 AS INTEGER) AS "offset"
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), 'media', '',
+       'media://bucket' || CAST(doc_id % 7 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR),
+       CAST(len(text) // 2 + 1 AS INTEGER)
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), 'text',
+       regexp_replace(substr(text, len(text) // 2 + 1), '{_RP}', '{_RT}', 'g'),
        '', CAST(len(text) // 2 + 2 AS INTEGER)
 FROM documents"""
 

@@ -273,3 +273,27 @@ def span_signature(batch: pa.Table) -> np.ndarray:
             h.update(b"\x01")
         out[i] = np.frombuffer(h.digest(), dtype=np.uint64)[0]
     return out
+
+
+def redact_text_spans(batch: pa.Table, pattern: str, token: str) -> pa.Table:
+    """Span-preserving PII scrub over INTERLEAVED documents: redacts the
+    ``text`` field of kind=='text' spans only — media spans, refs, offsets,
+    span COUNT and span ORDER are untouched, so the north-rule sequence
+    invariant holds by construction (only the edited field changes).
+    Vectorized: one RE2 replace over the flattened span-text child; the
+    list/struct skeleton (offsets, other children) is rebuilt as-is."""
+    spans = batch["spans"]
+    spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+    v = spans.values
+    kind = v.field("kind")
+    text = v.field("text")
+    is_text = pc.equal(kind, "text")
+    red = pc.replace_substring_regex(text, pattern, token)
+    new_text = pc.if_else(is_text, red, text)
+    new_vals = pa.StructArray.from_arrays(
+        [kind, new_text, v.field("media_ref"), v.field("offset")],
+        fields=list(SPAN_STRUCT),
+    )
+    new_spans = pa.ListArray.from_arrays(spans.offsets, new_vals)
+    return pa.Table.from_arrays([batch["doc_id"], new_spans],
+                                schema=DOCUMENTS_SCHEMA)

@@ -40,3 +40,25 @@ def test_guard_catches_mutation():
     mutated = pa.Table.from_pylist(rows, schema=schema)
     with pytest.raises(AssertionError, match="span-sequence invariant"):
         docs.verify_span_signature(mutated)
+
+
+def test_redact_text_spans_preserves_structure():
+    """The editing op changes ONLY text-span texts: media refs, offsets,
+    kinds, span counts and order are byte-identical before/after."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.sources import documents as docs
+
+    t = docs.synth_interleaved(40, seed=3)
+    red = docs.redact_text_spans(t, r"\b(alpha|beta)\b", "[X]")
+    a, b = t["spans"].combine_chunks(), red["spans"].combine_chunks()
+    assert a.offsets.equals(b.offsets)
+    va, vb = a.values, b.values
+    assert va.field("kind").equals(vb.field("kind"))
+    assert va.field("media_ref").equals(vb.field("media_ref"))
+    assert va.field("offset").equals(vb.field("offset"))
+    # media-span texts untouched; text spans may change
+    import pyarrow.compute as pc
+
+    is_media = pc.equal(va.field("kind"), "media")
+    assert va.field("text").filter(is_media).equals(vb.field("text").filter(is_media))
