@@ -645,6 +645,45 @@ def q_order_lineitem_join(sf_dir: str):
                                 ("pc", "sum", "n_items")])
 
 
+def q_skew_join(sf_dir: str):
+    """SKEW-AWARE join tier (r4): the same lineitem x orders rollup as
+    order_lineitem_join but through joins.skew_aware_join with a LOW hot
+    threshold, so the census + hot-key salting + right-replication path is
+    the one the driver actually checks (identical result multiset by
+    construction; shares order_lineitem_join's generated twin)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.joins import skew_aware_join
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"o_orderkey": b["l_orderkey"], "cents": cents})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    i64 = pa.int64()
+    joined = skew_aware_join(
+        li, orders, on="o_orderkey", hot_threshold=3, salt=4,
+        schemas=(pa.schema([("o_orderkey", i64), ("cents", i64)]),
+                 pa.schema([("o_orderkey", i64), ("o_orderpriority", pa.string())])),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["o_orderpriority", "cents"]).group_by("o_orderpriority", use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "ps", "pc"])
+
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
+    part = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return driver_group_rollup(part, ["o_orderpriority"],
+                               [("ps", "sum", "sum_price_cents"),
+                                ("pc", "sum", "n_items")])
+
+
 def _ann_query_matrix(sf_dir: str, vec_ids):
     """(queries, query_ids) selected in vec_id ORDER, not file order — the
     scorer labels query_id positionally (the q_ann_rank remap contract)."""
@@ -2136,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_band_math": q_raster_band_math,
         "dedup_delta": q_dedup_delta,
         "span_redact": q_span_redact,
+        "skew_join": q_skew_join,
         # -- r3-green tail (refreshed last round; rotates forward in r5)
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
@@ -2426,6 +2466,10 @@ SELECT o_orderpriority,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
+
+    # skew_join: the skew-aware salted tier must produce the identical
+    # multiset — same twin (the dual-plan precedent of knn_indexed/rtree)
+    sql["skew_join"] = sql["order_lineitem_join"]
 
     sql["knn_indexed"] = sql["knn"]
     sql["pip_zones_indexed"] = sql["pip_zones"]

@@ -528,3 +528,111 @@ def bloom_semi_join(left, right_keys, on: str, *, bits_log2: int = 23,
         survivors, distinct, on=on, buckets=buckets,
         schemas=(lschema, pa.schema([(on, key_type)])),
     )
+
+
+def skew_aware_join(left, right, on: str, *, hot_threshold: int = 100_000,
+                    salt: int = 16, buckets: int | None = None,
+                    schemas: tuple | None = None):
+    """Skew-ROBUST tier of the bucketed hash join (inner, int64 key): a
+    single hot key whose rows exceed a worker's share no longer serializes
+    in one bucket group.
+
+    1. DETECT — skew.detect_hot_keys census over the LEFT side: per-batch
+       partial counts, salted reduce, the ``n > hot_threshold`` filter runs
+       DISTRIBUTED so only the (tiny by definition) hot set reaches the
+       driver; broadcast via ray.put.
+    2. SPLIT+SALT — hot LEFT rows get ``_salt = arange % salt`` (any
+       assignment yields the same join RESULT SET — salt only spreads the
+       work); hot RIGHT rows REPLICATE once per salt value; cold rows carry
+       _salt 0 unreplicated.
+    3. ONE shuffle — the usual tagged union, bucketed on a mix of
+       (key, _salt) so a hot key's salt groups land on different reducers;
+       the per-bucket Arrow join keys on [on, _salt], which also prevents
+       cross-salt duplicate emission between replicas sharing a bucket.
+
+    Left side is consumed twice (census + join) — materialize upstream or
+    accept the rescan; at corpus scale the census would subsample.
+    Output: the inner join of left x right on ``on`` (column order: key,
+    left-only, right-only), identical row multiset to bucketed_hash_join."""
+    import ray
+
+    from .skew import detect_hot_keys
+
+    if buckets is None:
+        buckets = default_join_partitions()
+    hot = detect_hot_keys(left, [on], hot_threshold)
+    hot_ref = ray.put(np.sort(np.fromiter(hot, dtype=np.int64, count=len(hot))))
+
+    if schemas is not None:
+        lschema, rschema = schemas
+    else:
+        lschema, rschema = left.schema(), right.schema()
+    lonly = [n for n in lschema.names if n != on]
+    ronly = [n for n in rschema.names if n != on]
+    shared = set(lonly) & set(ronly)
+    if shared:
+        raise ValueError(f"rename shared non-key columns before joining: {sorted(shared)}")
+    type_of = dict(zip(list(lschema.names) + list(rschema.names),
+                       list(lschema.types) + list(rschema.types)))
+    all_cols = [on] + lonly + ronly
+
+    def is_hot(keys: np.ndarray) -> np.ndarray:
+        hk = ray.get(hot_ref)
+        if len(hk) == 0:
+            return np.zeros(len(keys), dtype=bool)
+        pos = np.searchsorted(hk, keys)
+        pos = np.clip(pos, 0, len(hk) - 1)
+        return hk[pos] == keys
+
+    def tag(side: int, missing: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            hotm = is_hot(keys)
+            n = len(batch)
+            if side == 0:
+                salts = np.where(hotm, np.arange(n, dtype=np.int64) % salt, 0)
+                idx = None
+            else:
+                # replicate hot right rows once per salt value
+                reps = np.where(hotm, salt, 1).astype(np.int64)
+                idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+                within = np.arange(len(idx)) - np.repeat(
+                    np.cumsum(reps) - reps, reps)
+                salts = within
+                keys = keys[idx]
+                batch = batch.take(pa.array(idx))
+            bucket = ((keys * np.int64(2654435761))
+                      + salts * np.int64(0x9E3779B9)) % np.int64(buckets)
+            cols = {}
+            for c in all_cols:
+                if c in missing:
+                    cols[c] = pa.nulls(len(batch), type_of[c])
+                else:
+                    cols[c] = batch[c]
+            t = pa.table(cols)
+            return (t.append_column("_salt", pa.array(salts))
+                    .append_column("_bucket", pa.array(bucket))
+                    .append_column("_side", pa.array(
+                        np.full(len(batch), side, dtype=np.int8))))
+
+        return f
+
+    tagged = (left.map_batches(tag(0, ronly), batch_format="pyarrow", batch_size=None)
+              .union(right.map_batches(tag(1, lonly), batch_format="pyarrow", batch_size=None)))
+    from .agg import _default_shuffle_partitions
+
+    tagged = tagged.repartition(_default_shuffle_partitions())
+    out_schema = pa.schema([(c, type_of[c]) for c in all_cols])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g["_side"]
+        lg = g.filter(pc.equal(side, 0)).select([on, "_salt"] + lonly)
+        rg = g.filter(pc.equal(side, 1)).select([on, "_salt"] + ronly)
+        if len(lg) == 0 or len(rg) == 0:
+            return out_schema.empty_table()
+        joined = lg.join(rg, keys=[on, "_salt"], join_type="inner")
+        return joined.select(all_cols)
+
+    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

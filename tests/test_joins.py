@@ -296,3 +296,47 @@ def test_interval_join_empty_intervals(ray_session):
     }))
     out = interval_join(pts, [], on="t")
     assert out.count() == 0
+
+
+def test_skew_aware_join_matches_bucketed(ray_session):
+    """Adversarially skewed key space (one key holds half the left rows):
+    the salted tier must produce the identical multiset to the plain
+    bucketed join, with the hot key's work spread across salt groups."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join, skew_aware_join
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 500, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(keys), "v": pa.array(np.arange(n, dtype=np.int64))})
+    rkeys = np.arange(0, 500, dtype=np.int64)
+    right = pa.table({"k": pa.array(rkeys), "w": pa.array(rkeys * 10)})
+
+    a = bucketed_hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k").to_pandas()
+    b = skew_aware_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                        hot_threshold=100, salt=8).to_pandas()
+    cols = ["k", "v", "w"]
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == n  # every left row matches exactly one right row
+    assert a.equals(b)
+
+
+def test_skew_aware_join_right_duplicates(ray_session):
+    """Hot keys with MULTIPLE right rows: each left row matches every right
+    row exactly once (replication must not double-emit across salts)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import skew_aware_join
+
+    left = pa.table({"k": pa.array([1] * 50 + [2] * 3, pa.int64()),
+                     "v": pa.array(np.arange(53, dtype=np.int64))})
+    right = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                      "w": pa.array([10, 11, 20], pa.int64())})
+    out = skew_aware_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                          hot_threshold=10, salt=4).to_pandas()
+    assert len(out) == 50 * 2 + 3
+    assert sorted(out[out["k"] == 1]["w"].tolist()) == [10] * 50 + [11] * 50
