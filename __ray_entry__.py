@@ -2115,13 +2115,27 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ROTATION POLICY (ADVICE r3): the driver's CORRECTNESS sampling
-        # checks the FIRST ~50 entries, so each round the queries whose
-        # LAST driver check is oldest rotate to the front — r4 leads with
-        # the 40 entries the r3 sample missed (their last green row is
-        # r1/r2), followed by the queries whose implementation CHANGED this
-        # round; the 50 r3-green rows ride at the tail and rotate back in
-        # next round.
-        # -- (a) last driver-checked in r1/r2 (oldest first)
+        # checks the FIRST ~50 entries.  Priority order: (a) queries NEVER
+        # driver-checked (new this round), (b) queries whose implementation
+        # CHANGED this round, (c) oldest-driver-checked first (the r1/r2
+        # tail the r3 sample missed); r3-green rows ride last and rotate
+        # forward next round.
+        # -- (a) new in r4 (never driver-checked)
+        "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_dup_ratio": q_paragraph_dup_ratio,
+        "mixture_sample": q_mixture_sample,
+        "raster_band_math": q_raster_band_math,
+        "dedup_delta": q_dedup_delta,
+        "span_redact": q_span_redact,
+        "skew_join": q_skew_join,
+        # -- (b) implementation changed in r4
+        "simhash_pairs": q_simhash_pairs,
+        "corpus_clean": q_corpus_clean,
+        "pack_sequences": q_pack_sequences,
+        "tfidf_terms": q_tfidf_terms,
+        "raster_hillshade": q_raster_hillshade,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
+        # -- (c) oldest driver check first (r1/r2), then the r3-green tail
         "pip_zones": q_pip_zones,
         "knn": q_knn,
         "zonal_summary": q_zonal_summary,
@@ -2156,27 +2170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q_orders_by_segment,
         "ann_rank": q_ann_rank,
         "jaccard_exact_pairs": q_jaccard_exact_pairs,
-        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "quality_counts": q_quality_counts,
         "raster_stride_windows": q_raster_stride_windows,
         "raster_convert": q_raster_convert,
         "raster_pyramid": q_raster_pyramid,
         "media_image_decode": q_media_image_decode,
-        # -- (b) implementation changed in r4 (re-verify under the gate)
-        "simhash_pairs": q_simhash_pairs,
-        "corpus_clean": q_corpus_clean,
-        "pack_sequences": q_pack_sequences,
-        "tfidf_terms": q_tfidf_terms,
-        "raster_hillshade": q_raster_hillshade,
-        # -- new in r4
-        "paragraph_dedup": q_paragraph_dedup,
-        "paragraph_dup_ratio": q_paragraph_dup_ratio,
-        "mixture_sample": q_mixture_sample,
-        "raster_band_math": q_raster_band_math,
-        "dedup_delta": q_dedup_delta,
-        "span_redact": q_span_redact,
-        "skew_join": q_skew_join,
-        # -- r3-green tail (refreshed last round; rotates forward in r5)
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
         "media_image_checksum": q_media_image_checksum,
