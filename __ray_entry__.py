@@ -645,6 +645,20 @@ def q_order_lineitem_join(sf_dir: str):
                                 ("pc", "sum", "n_items")])
 
 
+def q_quantile_price(sf_dir: str):
+    """EXACT quantile_disc over an UNBOUNDED float64 domain (r4):
+    l_extendedprice quantiles via radix refinement on the IEEE total-order
+    key — the tier for measure columns whose distinct count is corpus-scale
+    (grouped_quantiles' per-group histogram assumes it fits a worker).
+    Selected values are exact input members, so the float column
+    hash-matches quantile_disc."""
+    from geotrellis_contrib_ray.pipelines.query_defs import PRICE_QS
+    from geotrellis_contrib_ray.stages.stats import exact_quantiles_unbounded
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return exact_quantiles_unbounded(ds, "l_extendedprice", PRICE_QS)
+
+
 def q_skew_join(sf_dir: str):
     """SKEW-AWARE join tier (r4): the same lineitem x orders rollup as
     order_lineitem_join but through joins.skew_aware_join with a LOW hot
@@ -2128,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_delta": q_dedup_delta,
         "span_redact": q_span_redact,
         "skew_join": q_skew_join,
+        "quantile_price": q_quantile_price,
         # -- (b) implementation changed in r4
         "simhash_pairs": q_simhash_pairs,
         "corpus_clean": q_corpus_clean,
@@ -2468,6 +2483,16 @@ GROUP BY o_orderpriority"""
     # skew_join: the skew-aware salted tier must produce the identical
     # multiset — same twin (the dual-plan precedent of knn_indexed/rtree)
     sql["skew_join"] = sql["order_lineitem_join"]
+
+    # quantile_price: quantile_disc replay — selected values are exact input
+    # members, so the float column hash-matches
+    from geotrellis_contrib_ray.pipelines.query_defs import PRICE_QS
+
+    _pq_rows = " UNION ALL ".join(
+        f"SELECT CAST({q!r} AS DOUBLE) AS q, "
+        f"quantile_disc(l_extendedprice, {q!r}) AS value FROM lineitem"
+        for q in PRICE_QS)
+    sql["quantile_price"] = f"SELECT q, value FROM ({_pq_rows}) ORDER BY q"
 
     sql["knn_indexed"] = sql["knn"]
     sql["pip_zones_indexed"] = sql["pip_zones"]

@@ -179,6 +179,9 @@ NDVI_Q_SCALE = 1 << 20
 # are the newly ingested delta
 DELTA_SPLIT_ID = 250
 
+# unbounded-domain exact quantiles over l_extendedprice (quantile_disc)
+PRICE_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
 # k-means over the embedding table: deterministic seeds = the first
 # KMEANS_K vectors by vec_id, KMEANS_ITERS Lloyd's rounds; assignment
 # tie-break (distance, cid) on both engines.

@@ -219,3 +219,147 @@ def grouped_count_distinct_hll(ds, group_col: str, value_col: str, p: int = 12):
     part = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
     return part.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+def exact_quantiles_unbounded(ds, value_col: str, qs: tuple[float, ...],
+                              coarse_bits: int = 16, pull_limit: int = 262_144):
+    """EXACT quantile_disc over an UNBOUNDED float64 domain — the tier for
+    value spaces whose DISTINCT count is corpus-scale (grouped_quantiles'
+    per-group histogram assumes it fits a worker; a float measure column at
+    corpus scale does not).
+
+    Radix refinement over the IEEE-754 TOTAL-ORDER key (bits(f) with the
+    sign-dependent flip: ascending uint64 order == ascending float order,
+    NaNs sort last):
+      1. one distributed counting pass over the top ``coarse_bits`` of the
+         order key -> <= 2^coarse_bits partial rows reach the driver;
+      2. the driver locates each target rank's bin (rank = ceil(q*n), the
+         quantile_disc index) and either
+           a. pulls that bin's values if its count <= pull_limit (exact
+              select by rank-within-bin), or
+           b. recurses: another counting pass over the NEXT coarse_bits of
+              only the rows in unresolved bins (a narrow distributed
+              filter) — at most ceil(64/coarse_bits) levels total, so even
+              a single repeated value (one bin holding the whole corpus)
+              resolves after 4 passes + one bounded pull.
+
+    Deterministic, exact, driver state <= 2^coarse_bits rows per level.
+    Output: (q: float64, value: float64) — values are exact input members,
+    so the twin (quantile_disc) hash-matches."""
+    import pyarrow.compute as pc
+
+    from .agg import salted_group_reduce
+
+    def order_key(vals: np.ndarray) -> np.ndarray:
+        b = vals.astype(np.float64).view(np.uint64)
+        flip = np.where(b >> np.uint64(63) == 1,
+                        np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(1) << np.uint64(63))
+        return b ^ flip
+
+    def count_level(src, shift: int, prefix_mask: dict | None):
+        """Counting pass: rows (optionally restricted to prefix bins) ->
+        (bin, cnt) table on the driver, plus nothing else moving."""
+        def partial(b: pa.Table) -> pa.Table:
+            vals = b[value_col].to_numpy(zero_copy_only=False)
+            k = order_key(vals)
+            if prefix_mask is not None:
+                pshift, pbins = prefix_mask["shift"], prefix_mask["bins"]
+                sel = np.isin(k >> np.uint64(pshift), pbins)
+                k = k[sel]
+            binv = (k >> np.uint64(shift)).view(np.int64)
+            u, c = np.unique(binv, return_counts=True)
+            return pa.table({"bin": pa.array(u), "pcnt": pa.array(c.astype(np.int64))})
+
+        red = salted_group_reduce(
+            src.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None),
+            ["bin"], [("pcnt", "sum", "cnt")], salt=64)
+        t = pa.concat_tables(red.iter_batches(batch_size=None, batch_format="pyarrow"))
+        bins = t["bin"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bins)
+        return bins[order], cnts[order]
+
+    shift = 64 - coarse_bits
+    bins, cnts = count_level(ds, shift, None)
+    n = int(cnts.sum())
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    # target ranks (1-based): ceil(q*n), clamped to [1, n]
+    targets = {float(q): min(max(int(-(-q * n // 1)), 1), n) for q in qs}
+
+    results: dict[float, float] = {}
+    # per-level state: for each unresolved q, (rank within the current
+    # restriction, the prefix bins of its restriction)
+    pend = {q: (r, None) for q, r in targets.items()}
+    while pend:
+        # group unresolved qs by their restriction so one level pass serves all
+        # (level-0: restriction None for everyone)
+        # locate each q's bin at THIS level
+        level_prefixes = {}
+        for q, (rank, restrict) in list(pend.items()):
+            if restrict is None:
+                b_l, c_l = bins, cnts
+            else:
+                b_l, c_l = restrict["bins_counts"]
+            cum = np.cumsum(c_l)
+            i = int(np.searchsorted(cum, rank))
+            within = rank - (int(cum[i - 1]) if i else 0)
+            level_prefixes[q] = (b_l[i], int(c_l[i]), within,
+                                 restrict["shift"] if restrict else shift)
+        # a bin at shift 0 IS the full 64-bit order key: every member is the
+        # same float — invert the key directly, no pull needed (covers the
+        # all-equal-values corpus whose one bin never shrinks)
+        def key_to_float(k: np.uint64) -> float:
+            k = np.uint64(k)
+            if (k >> np.uint64(63)) == 1:
+                raw = k ^ (np.uint64(1) << np.uint64(63))
+            else:
+                raw = ~k
+            return float(np.array([raw], np.uint64).view(np.float64)[0])
+
+        # resolve bins small enough to pull; recurse on the rest
+        pull_bins: dict[tuple, list] = {}
+        for q, (binv, cnt, within, sh) in level_prefixes.items():
+            if sh == 0:
+                results[q] = key_to_float(binv)
+                del pend[q]
+            elif cnt <= pull_limit:
+                pull_bins.setdefault((int(binv), sh), []).append((q, within))
+        if pull_bins:
+            pb = {sh: np.array([b for (b, s) in pull_bins if s == sh], dtype=np.uint64)
+                  for sh in {s for (_, s) in pull_bins}}
+
+            def grab(b: pa.Table) -> pa.Table:
+                vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+                k = order_key(vals)
+                keep = np.zeros(len(vals), dtype=bool)
+                for sh, arr in pb.items():
+                    keep |= np.isin(k >> np.uint64(sh), arr)
+                return pa.table({value_col: pa.array(vals[keep])})
+
+            pulled = pa.concat_tables(
+                ds.map_batches(grab, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+                .iter_batches(batch_size=None, batch_format="pyarrow"))
+            pv = pulled[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            pk = order_key(pv)
+            for (binv, sh), lst in pull_bins.items():
+                sel = pv[(pk >> np.uint64(sh)) == np.uint64(binv)]
+                sel = np.sort(sel)
+                for q, within in lst:
+                    results[q] = float(sel[within - 1])
+                    del pend[q]
+        # recurse the rest one radix level down
+        next_pend = {}
+        for q, (rank, restrict) in pend.items():
+            binv, cnt, within, sh = level_prefixes[q]
+            nsh = max(0, sh - coarse_bits)
+            nb, nc = count_level(ds, nsh, {"shift": sh, "bins": np.array([binv], np.uint64)})
+            next_pend[q] = (within, {"shift": nsh, "bins_counts": (nb, nc)})
+        pend = next_pend
+
+    out_q = sorted(results)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array([results[q] for q in out_q], pa.float64())})

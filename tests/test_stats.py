@@ -113,3 +113,35 @@ def test_hll_grouped_count_distinct_accuracy(ray_session):
         assert rel < 0.05, (g, exact, got[g], rel)
     # tiny groups hit the linear-counting regime and should be near-exact
     assert abs(got[0] - truth[0]) <= 1
+
+
+def test_exact_quantiles_unbounded_matches_duckdb(ray_session):
+    """Radix-refinement quantiles over an unbounded float64 domain: exact
+    quantile_disc parity incl. forced recursion (tiny pull_limit), negative
+    values, duplicates, and the all-equal corpus (the bin that never
+    shrinks resolves from the full order key, no pull)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.stats import exact_quantiles_unbounded
+
+    rng = np.random.default_rng(3)
+    cases = {
+        "mixed": np.concatenate([rng.standard_normal(5000) * 1e6,
+                                 -rng.random(1000), np.repeat(3.25, 500)]),
+        "all_equal": np.repeat(-7.5, 2000),
+        "two_values": np.r_[np.repeat(1.0, 999), np.repeat(2.0, 1)],
+    }
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    con = duckdb.connect()
+    for name, vals in cases.items():
+        t = pa.table({"v": pa.array(vals, pa.float64())})
+        out = exact_quantiles_unbounded(rd.from_arrow(t), "v", qs,
+                                        pull_limit=64).to_pandas()
+        got = dict(zip(out["q"], out["value"]))
+        con.register("tv", t)
+        for q in qs:
+            exp = con.execute(f"SELECT quantile_disc(v, {q}) FROM tv").fetchone()[0]
+            assert got[q] == exp, (name, q, got[q], exp)
+        con.unregister("tv")
