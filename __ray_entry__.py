@@ -659,6 +659,28 @@ def q_quantile_price(sf_dir: str):
     return exact_quantiles_unbounded(ds, "l_extendedprice", PRICE_QS)
 
 
+def q_rollup_lang_source(sf_dir: str):
+    """GROUPING-SETS rollup (r4): per-(lang, source) doc counts + n_chars
+    sums with (lang) and grand-total subtotal rows — one shuffle, every
+    level pre-aggregated per batch.  Sentinel '__all__' stands in for the
+    rolled-up key (the twin coalesces the GROUPING SETS NULLs to it)."""
+    from geotrellis_contrib_ray.stages.agg import rollup_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["lang", "source", "n_chars"])
+    return rollup_counts(ds, ["lang", "source"], value_col="n_chars")
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode/whitespace normalization pass (r4): casefold + collapse
+    whitespace runs + trim; exact string output and per-doc collapsed-run
+    counts hash against the regexp_replace twin (both engines embed RE2)."""
+    from geotrellis_contrib_ray.stages.text import normalize_text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_text(ds)
+
+
 def q_skew_join(sf_dir: str):
     """SKEW-AWARE join tier (r4): the same lineitem x orders rollup as
     order_lineitem_join but through joins.skew_aware_join with a LOW hot
@@ -2143,6 +2165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_redact": q_span_redact,
         "skew_join": q_skew_join,
         "quantile_price": q_quantile_price,
+        "rollup_lang_source": q_rollup_lang_source,
+        "normalize_text": q_normalize_text,
         # -- (b) implementation changed in r4
         "simhash_pairs": q_simhash_pairs,
         "corpus_clean": q_corpus_clean,
@@ -2493,6 +2517,22 @@ GROUP BY o_orderpriority"""
         f"quantile_disc(l_extendedprice, {q!r}) AS value FROM lineitem"
         for q in PRICE_QS)
     sql["quantile_price"] = f"SELECT q, value FROM ({_pq_rows}) ORDER BY q"
+
+    # rollup_lang_source: GROUPING SETS with the sentinel coalesce
+    sql["rollup_lang_source"] = """
+SELECT coalesce(lang, '__all__') AS lang,
+       coalesce(source, '__all__') AS source,
+       count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())"""
+
+    # normalize_text: lower + RE2 whitespace collapse + trim, exact strings
+    sql["normalize_text"] = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       CAST(len(regexp_extract_all(lower(text), '\s+')) AS BIGINT) AS n_collapsed
+FROM documents"""
 
     sql["knn_indexed"] = sql["knn"]
     sql["pip_zones_indexed"] = sql["pip_zones"]

@@ -247,3 +247,51 @@ def salted_group_reduce(ds, keys: list[str],
         .groupby("_gsalt")
         .map_groups(reduce_groups, batch_format="pandas")
     )
+
+
+def rollup_counts(ds, keys: list[str], value_col: str | None = None,
+                  total_label: str = "__all__"):
+    """GROUPING-SETS rollup — the warehouse subtotal op: counts (and an
+    optional value sum) for every PREFIX of ``keys``: (k1, k2, ..., kn),
+    (k1, ..., k(n-1)), ..., (k1), ().  Coarser levels replace the rolled-up
+    key with ``total_label`` (Arrow groupbys drop null keys; a sentinel
+    keeps every subtotal row addressable and matches the twin's coalesce).
+
+    ONE shuffle: each batch pre-aggregates every level locally (n+1 tiny
+    group_bys over the already-reduced finest level), the tagged rows ride
+    one bounded-salt reduce.  Output: keys..., n (count)[, sum_<value_col>]."""
+    aggs = [([], "count_all")] if value_col is None else [([], "count_all"), (value_col, "sum")]
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = keys + ([value_col] if value_col else [])
+        finest = (b.select(sel).group_by(keys, use_threads=False)
+                  .aggregate(aggs))
+        names = keys + ["pn"] + (["ps"] if value_col else [])
+        finest = finest.rename_columns(names)
+        outs = [finest]
+        cur = finest
+        for lvl in range(len(keys) - 1, -1, -1):
+            gk = keys[:lvl]
+            sub_aggs = [("pn", "sum")] + ([("ps", "sum")] if value_col else [])
+            if gk:
+                g = cur.group_by(gk, use_threads=False).aggregate(sub_aggs)
+                g = g.rename_columns(gk + ["pn"] + (["ps"] if value_col else []))
+            else:
+                g = pa.table({
+                    "pn": pa.array([int(pc.sum(cur["pn"]).as_py() or 0)], pa.int64()),
+                    **({"ps": pa.array([pc.sum(cur["ps"]).as_py() or 0])} if value_col else {}),
+                })
+            for k in keys[lvl:]:
+                g = g.append_column(k, pa.array([total_label] * len(g), pa.string()))
+            outs.append(g.select(keys + ["pn"] + (["ps"] if value_col else [])))
+            cur = outs[-1] if gk else cur
+        aligned = [t.select(keys + ["pn"] + (["ps"] if value_col else [])) for t in outs]
+        return pa.concat_tables(aligned)
+
+    specs = [("pn", "sum", "n")] + ([("ps", "sum", f"sum_{value_col}")] if value_col else [])
+    return salted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        keys, specs, salt=64)

@@ -450,3 +450,25 @@ def quality_score(ds, *, batch_size=None, concurrency=None):
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def normalize_text(ds, text_col: str = "text"):
+    """Unicode/whitespace normalization — the standard first cleaning pass:
+    casefold (lower), collapse whitespace runs to one space, strip ends.
+    Pure narrow map (Arrow utf8 kernels + one RE2 replace); output replaces
+    ``text`` with ``norm_text`` plus ``n_collapsed`` (count of collapsed
+    runs, the observable for how dirty the source was).
+    SQL twin: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
+    import pyarrow.compute as pc
+
+    def norm(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b[text_col])
+        runs = pc.cast(pc.count_substring_regex(low, r"\s+"), pa.int64())
+        squashed = pc.replace_substring_regex(low, r"\s+", " ")
+        out = pc.utf8_trim_whitespace(squashed)
+        return (b.drop_columns([text_col])
+                .append_column("norm_text", out)
+                .append_column("n_collapsed", runs))
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

@@ -137,3 +137,28 @@ def test_driver_rollup_refuses_nullable_int_keys(ray_session):
                   "v": pa.array([1, 2, 3], pa.int64())})
     with pytest.raises(ValueError, match="integer with"):
         driver_group_rollup(rd.from_arrow(t), ["k"], [("v", "sum", "s")])
+
+
+def test_rollup_counts_levels(ray_session):
+    """Rollup emits every key-prefix level with correct subtotal arithmetic
+    and the sentinel label on rolled-up keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.agg import rollup_counts
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "x", "y"], pa.string()),
+        "b": pa.array(["p", "p", "q", "p"], pa.string()),
+        "v": pa.array([1, 2, 4, 8], pa.int64()),
+    })
+    out = (rollup_counts(rd.from_arrow(t), ["a", "b"], value_col="v")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    got = {(r.a, r.b): (int(r.n), int(r.sum_v)) for r in out.itertuples()}
+    assert got[("x", "p")] == (2, 3)
+    assert got[("x", "q")] == (1, 4)
+    assert got[("y", "p")] == (1, 8)
+    assert got[("x", "__all__")] == (3, 7)
+    assert got[("y", "__all__")] == (1, 8)
+    assert got[("__all__", "__all__")] == (4, 15)
+    assert len(got) == 6
