@@ -659,6 +659,99 @@ def q_quantile_price(sf_dir: str):
     return exact_quantiles_unbounded(ds, "l_extendedprice", PRICE_QS)
 
 
+def q_orders_no_lineitem(sf_dir: str):
+    """LEFT ANTI join (r4): orders with NO lineitems, rolled up by priority
+    — the relational complement of the semi tier; one bucketed shuffle,
+    right side ships distinct keys only."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+    from geotrellis_contrib_ray.stages.joins import bucketed_anti_join
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_orderpriority"])
+    li = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+
+    def li_key(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["l_orderkey"]})
+
+    li = li.map_batches(li_key, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    i64 = pa.int64()
+    anti = bucketed_anti_join(
+        orders, li, on="o_orderkey",
+        schemas=(pa.schema([("o_orderkey", i64), ("o_orderpriority", pa.string())]),
+                 pa.schema([("o_orderkey", i64)])))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["o_orderpriority"]).group_by("o_orderpriority", use_threads=False)
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["o_orderpriority", "pn"])
+
+    part = anti.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    return driver_group_rollup(part, ["o_orderpriority"],
+                               [("pn", "sum", "n_orders")])
+
+
+def q_customer_order_totals(sf_dir: str):
+    """THREE-way chain join (r4): customer ⋈ orders ⋈ lineitem, rolled up
+    per market segment — two composed bucketed joins (segment rides the
+    first join as a carried column; integer cents only cross the hash)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_mktsegment"])
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["c_custkey"],
+                         "c_mktsegment": b["c_mktsegment"]})
+
+    cust = cust.map_batches(cust_prep, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+    i64 = pa.int64()
+    ord_seg = bucketed_hash_join(
+        orders, cust, on="o_custkey",
+        schemas=(pa.schema([("o_custkey", i64), ("o_orderkey", i64)]),
+                 pa.schema([("o_custkey", i64), ("c_mktsegment", pa.string())])))
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "c_mktsegment": b["c_mktsegment"]})
+
+    ord_seg = ord_seg.map_batches(ord_prep, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_extendedprice"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"o_orderkey": b["l_orderkey"], "cents": cents})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    joined = bucketed_hash_join(
+        li, ord_seg, on="o_orderkey",
+        schemas=(pa.schema([("o_orderkey", i64), ("cents", i64)]),
+                 pa.schema([("o_orderkey", i64), ("c_mktsegment", pa.string())])))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["c_mktsegment", "cents"]).group_by("c_mktsegment", use_threads=False)
+             .aggregate([("cents", "sum"), ("cents", "count")]))
+        return g.rename_columns(["c_mktsegment", "ps", "pc"])
+
+    part = joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return driver_group_rollup(part, ["c_mktsegment"],
+                               [("ps", "sum", "sum_price_cents"),
+                                ("pc", "sum", "n_items")])
+
+
 def q_rollup_lang_source(sf_dir: str):
     """GROUPING-SETS rollup (r4): per-(lang, source) doc counts + n_chars
     sums with (lang) and grand-total subtotal rows — one shuffle, every
@@ -2167,6 +2260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_price": q_quantile_price,
         "rollup_lang_source": q_rollup_lang_source,
         "normalize_text": q_normalize_text,
+        "orders_no_lineitem": q_orders_no_lineitem,
+        "customer_order_totals": q_customer_order_totals,
         # -- (b) implementation changed in r4
         "simhash_pairs": q_simhash_pairs,
         "corpus_clean": q_corpus_clean,
@@ -2517,6 +2612,23 @@ GROUP BY o_orderpriority"""
         f"quantile_disc(l_extendedprice, {q!r}) AS value FROM lineitem"
         for q in PRICE_QS)
     sql["quantile_price"] = f"SELECT q, value FROM ({_pq_rows}) ORDER BY q"
+
+    # orders_no_lineitem: NOT EXISTS anti-join rollup
+    sql["orders_no_lineitem"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority"""
+
+    # customer_order_totals: 3-way chain join rollup (integer cents)
+    sql["customer_order_totals"] = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
 
     # rollup_lang_source: GROUPING SETS with the sentinel coalesce
     sql["rollup_lang_source"] = """

@@ -636,3 +636,61 @@ def skew_aware_join(left, right, on: str, *, hot_threshold: int = 100_000,
         return joined.select(all_cols)
 
     return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def bucketed_anti_join(left, right, on: str, *, buckets: int | None = None,
+                       schemas: tuple | None = None):
+    """LEFT ANTI join (int64 key): left rows whose key appears NOWHERE on
+    the right — the relational complement of the semi tier (semi_bloom).
+    Same one-shuffle shape as bucketed_hash_join: both sides project and
+    hash-partition on the key; within a bucket every occurrence of a key is
+    present, so survival is one vectorized is_in.  Right side ships only
+    its DISTINCT keys per batch (pre-deduped projection).  Output: the left
+    columns."""
+    if buckets is None:
+        buckets = default_join_partitions()
+    if schemas is not None:
+        lschema, _rschema = schemas
+    else:
+        lschema = left.schema()
+    lcols = list(lschema.names)
+    type_of = dict(zip(lschema.names, lschema.types))
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            if side == 1:
+                keys = np.unique(keys)  # per-batch distinct: 8 bytes/key ships
+                t = pa.table({on: pa.array(keys)})
+                for c in lcols:
+                    if c != on:
+                        t = t.append_column(c, pa.nulls(len(keys), type_of[c]))
+                t = t.select(lcols)
+            else:
+                t = batch.select(lcols)
+            bucket = (keys * np.int64(2654435761)) % np.int64(buckets)
+            return (t.append_column("_bucket", pa.array(bucket))
+                    .append_column("_side", pa.array(np.full(len(t), side, np.int8))))
+
+        return f
+
+    tagged = (left.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+              .union(right.map_batches(tag(1), batch_format="pyarrow", batch_size=None)))
+    from .agg import _default_shuffle_partitions
+
+    tagged = tagged.repartition(_default_shuffle_partitions())
+    out_schema = pa.schema([(c, type_of[c]) for c in lcols])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lk = g[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        rkeys = np.unique(lk[side == 1])
+        lrows = g.filter(pa.array(side == 0)).select(lcols)
+        if len(lrows) == 0:
+            return out_schema.empty_table()
+        keep = ~np.isin(lrows[on].to_numpy(zero_copy_only=False).astype(np.int64), rkeys)
+        return lrows.filter(pa.array(keep))
+
+    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")

@@ -340,3 +340,18 @@ def test_skew_aware_join_right_duplicates(ray_session):
                           hot_threshold=10, salt=4).to_pandas()
     assert len(out) == 50 * 2 + 3
     assert sorted(out[out["k"] == 1]["w"].tolist()) == [10] * 50 + [11] * 50
+
+
+def test_bucketed_anti_join_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import bucketed_anti_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+                     "v": pa.array([10, 20, 30, 40, 21], pa.int64())})
+    right = pa.table({"k": pa.array([2, 4, 4, 9], pa.int64())})
+    out = (bucketed_anti_join(rd.from_arrow(left), rd.from_arrow(right), on="k")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 3]
+    assert out["v"].tolist() == [10, 30]
