@@ -659,6 +659,19 @@ def q_quantile_price(sf_dir: str):
     return exact_quantiles_unbounded(ds, "l_extendedprice", PRICE_QS)
 
 
+def q_quantile_price_cont(sf_dir: str):
+    """percentile_cont semantics over the unbounded float domain (r4):
+    interpolated quantiles of l_extendedprice — both bracketing order
+    statistics resolve through one shared radix refinement and the
+    interpolation is the identical double expression the generated twin
+    replays (not the builtin, whose association may differ)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import PRICE_QS
+    from geotrellis_contrib_ray.stages.stats import exact_quantiles_cont
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return exact_quantiles_cont(ds, "l_extendedprice", PRICE_QS)
+
+
 def q_orders_no_lineitem(sf_dir: str):
     """LEFT ANTI join (r4): orders with NO lineitems, rolled up by priority
     — the relational complement of the semi tier; one bucketed shuffle,
@@ -2258,6 +2271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_redact": q_span_redact,
         "skew_join": q_skew_join,
         "quantile_price": q_quantile_price,
+        "quantile_price_cont": q_quantile_price_cont,
         "rollup_lang_source": q_rollup_lang_source,
         "normalize_text": q_normalize_text,
         "orders_no_lineitem": q_orders_no_lineitem,
@@ -2612,6 +2626,23 @@ GROUP BY o_orderpriority"""
         f"quantile_disc(l_extendedprice, {q!r}) AS value FROM lineitem"
         for q in PRICE_QS)
     sql["quantile_price"] = f"SELECT q, value FROM ({_pq_rows}) ORDER BY q"
+
+    # quantile_price_cont: percentile_cont replayed as order statistics +
+    # the IDENTICAL interpolation expression (lo + (hi-lo)*frac) — the
+    # builtin quantile_cont may associate the formula differently
+    _pc_rows = " UNION ALL ".join(
+        f"""SELECT CAST({q!r} AS DOUBLE) AS q,
+       (SELECT v FROM os WHERE r = CAST(floor(CAST({q!r} AS DOUBLE) * (c.n - 1)) AS BIGINT) + 1)
+       + ((SELECT v FROM os WHERE r = least(CAST(floor(CAST({q!r} AS DOUBLE) * (c.n - 1)) AS BIGINT) + 2, c.n))
+          - (SELECT v FROM os WHERE r = CAST(floor(CAST({q!r} AS DOUBLE) * (c.n - 1)) AS BIGINT) + 1))
+         * (CAST({q!r} AS DOUBLE) * (c.n - 1) - floor(CAST({q!r} AS DOUBLE) * (c.n - 1))) AS value
+FROM c"""
+        for q in PRICE_QS)
+    sql["quantile_price_cont"] = f"""
+WITH s AS (SELECT l_extendedprice AS v FROM lineitem),
+c AS (SELECT count(*) AS n FROM s),
+os AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM s)
+SELECT q, value FROM ({_pc_rows}) ORDER BY q"""
 
     # orders_no_lineitem: NOT EXISTS anti-join rollup
     sql["orders_no_lineitem"] = """

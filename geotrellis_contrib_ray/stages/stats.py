@@ -221,33 +221,13 @@ def grouped_count_distinct_hll(ds, group_col: str, value_col: str, p: int = 12):
     return part.groupby(group_col).map_groups(merge, batch_format="pandas")
 
 
-def exact_quantiles_unbounded(ds, value_col: str, qs: tuple[float, ...],
-                              coarse_bits: int = 16, pull_limit: int = 262_144):
-    """EXACT quantile_disc over an UNBOUNDED float64 domain — the tier for
-    value spaces whose DISTINCT count is corpus-scale (grouped_quantiles'
-    per-group histogram assumes it fits a worker; a float measure column at
-    corpus scale does not).
-
-    Radix refinement over the IEEE-754 TOTAL-ORDER key (bits(f) with the
-    sign-dependent flip: ascending uint64 order == ascending float order,
-    NaNs sort last):
-      1. one distributed counting pass over the top ``coarse_bits`` of the
-         order key -> <= 2^coarse_bits partial rows reach the driver;
-      2. the driver locates each target rank's bin (rank = ceil(q*n), the
-         quantile_disc index) and either
-           a. pulls that bin's values if its count <= pull_limit (exact
-              select by rank-within-bin), or
-           b. recurses: another counting pass over the NEXT coarse_bits of
-              only the rows in unresolved bins (a narrow distributed
-              filter) — at most ceil(64/coarse_bits) levels total, so even
-              a single repeated value (one bin holding the whole corpus)
-              resolves after 4 passes + one bounded pull.
-
-    Deterministic, exact, driver state <= 2^coarse_bits rows per level.
-    Output: (q: float64, value: float64) — values are exact input members,
-    so the twin (quantile_disc) hash-matches."""
-    import pyarrow.compute as pc
-
+def _resolve_order_stats(ds, value_col: str, ranks_of_n, coarse_bits: int,
+                         pull_limit: int):
+    """Shared radix-refinement engine: resolve arbitrary ORDER STATISTICS of
+    an unbounded float64 column exactly.  ``ranks_of_n(n) -> {label: rank}``
+    (1-based ranks) is called after the first counting pass; returns
+    ``(n, {label: value})``.  See exact_quantiles_unbounded for the
+    algorithm description."""
     from .agg import salted_group_reduce
 
     def order_key(vals: np.ndarray) -> np.ndarray:
@@ -284,12 +264,10 @@ def exact_quantiles_unbounded(ds, value_col: str, qs: tuple[float, ...],
     bins, cnts = count_level(ds, shift, None)
     n = int(cnts.sum())
     if n == 0:
-        return pa.table({"q": pa.array([], pa.float64()),
-                         "value": pa.array([], pa.float64())})
-    # target ranks (1-based): ceil(q*n), clamped to [1, n]
-    targets = {float(q): min(max(int(-(-q * n // 1)), 1), n) for q in qs}
+        return 0, {}
+    targets = ranks_of_n(n)
 
-    results: dict[float, float] = {}
+    results: dict = {}
     # per-level state: for each unresolved q, (rank within the current
     # restriction, the prefix bins of its restriction)
     pend = {q: (r, None) for q, r in targets.items()}
@@ -360,6 +338,77 @@ def exact_quantiles_unbounded(ds, value_col: str, qs: tuple[float, ...],
             next_pend[q] = (within, {"shift": nsh, "bins_counts": (nb, nc)})
         pend = next_pend
 
-    out_q = sorted(results)
+    return n, results
+
+
+def exact_quantiles_unbounded(ds, value_col: str, qs: tuple[float, ...],
+                              coarse_bits: int = 16, pull_limit: int = 262_144):
+    """EXACT quantile_disc over an UNBOUNDED float64 domain — the tier for
+    value spaces whose DISTINCT count is corpus-scale (grouped_quantiles'
+    per-group histogram assumes it fits a worker; a float measure column at
+    corpus scale does not).
+
+    Radix refinement over the IEEE-754 TOTAL-ORDER key (bits(f) with the
+    sign-dependent flip: ascending uint64 order == ascending float order,
+    NaNs sort last):
+      1. one distributed counting pass over the top ``coarse_bits`` of the
+         order key -> <= 2^coarse_bits partial rows reach the driver;
+      2. the driver locates each target rank's bin (rank = ceil(q*n), the
+         quantile_disc index) and either
+           a. pulls that bin's values if its count <= pull_limit (exact
+              select by rank-within-bin), or
+           b. recurses: another counting pass over the NEXT coarse_bits of
+              only the rows in unresolved bins (a narrow distributed
+              filter) — at most ceil(64/coarse_bits) levels total, so even
+              a single repeated value (one bin holding the whole corpus)
+              resolves after 4 passes + one bounded pull.
+
+    Deterministic, exact, driver state <= 2^coarse_bits rows per level.
+    Output: (q: float64, value: float64) — values are exact input members,
+    so the twin (quantile_disc) hash-matches."""
+
+    def ranks(n: int) -> dict:
+        # quantile_disc index: ceil(q*n), clamped to [1, n]
+        return {float(q): min(max(int(-(-q * n // 1)), 1), n) for q in qs}
+
+    _n, res = _resolve_order_stats(ds, value_col, ranks, coarse_bits, pull_limit)
+    out_q = sorted(res)
     return pa.table({"q": pa.array(out_q, pa.float64()),
-                     "value": pa.array([results[q] for q in out_q], pa.float64())})
+                     "value": pa.array([res[q] for q in out_q], pa.float64())})
+
+
+def exact_quantiles_cont(ds, value_col: str, qs: tuple[float, ...],
+                         coarse_bits: int = 16, pull_limit: int = 262_144):
+    """INTERPOLATED quantiles (percentile_cont semantics) over an unbounded
+    float64 domain: idx = q*(n-1) (0-based), value = lo + (hi-lo)*frac with
+    lo/hi the order statistics at floor(idx)/ceil(idx).  Both bracketing
+    order statistics resolve through ONE shared radix-refinement resolution
+    (deduped rank set), and the interpolation is a single fixed double
+    expression — the generated twin evaluates the IDENTICAL formula over
+    the same two exact member values, so the float column hash-matches
+    (DuckDB's builtin quantile_cont may associate differently; the twin
+    replays the expression instead of calling it)."""
+
+    def ranks(n: int) -> dict:
+        out = {}
+        for q in qs:
+            idx = float(q) * (n - 1)
+            lo = int(np.floor(idx))
+            out[("lo", float(q))] = lo + 1
+            out[("hi", float(q))] = min(lo + 2, n) if idx > lo else lo + 1
+        return out
+
+    n, res = _resolve_order_stats(ds, value_col, ranks, coarse_bits, pull_limit)
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    out_q, out_v = [], []
+    for q in sorted({float(q) for q in qs}):
+        idx = q * (n - 1)
+        lo_v = res[("lo", q)]
+        hi_v = res[("hi", q)]
+        frac = idx - np.floor(idx)
+        out_q.append(q)
+        out_v.append(lo_v + (hi_v - lo_v) * frac)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})

@@ -145,3 +145,28 @@ def test_exact_quantiles_unbounded_matches_duckdb(ray_session):
             exp = con.execute(f"SELECT quantile_disc(v, {q}) FROM tv").fetchone()[0]
             assert got[q] == exp, (name, q, got[q], exp)
         con.unregister("tv")
+
+
+def test_exact_quantiles_cont_matches_formula(ray_session):
+    """percentile_cont parity against a numpy replay of the shared
+    interpolation expression (NOT np.quantile, whose formula may associate
+    differently) on mixed data with forced radix recursion."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.stats import exact_quantiles_cont
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.standard_normal(3000) * 100, np.repeat(1.5, 300)])
+    qs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    out = exact_quantiles_cont(rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})),
+                               "v", qs, pull_limit=64).to_pandas()
+    got = dict(zip(out["q"], out["value"]))
+    sv = np.sort(vals)
+    n = len(sv)
+    for q in qs:
+        idx = q * (n - 1)
+        lo = sv[int(np.floor(idx))]
+        hi = sv[min(int(np.floor(idx)) + 1, n - 1)]
+        exp = lo + (hi - lo) * (idx - np.floor(idx))
+        assert got[q] == exp, (q, got[q], exp)
