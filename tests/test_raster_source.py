@@ -307,3 +307,58 @@ def test_reproject_error_threshold_zero_is_exact():
     a = s.reproject(EPSG_4326).read()
     b = s.reproject(EPSG_4326, error_threshold=0.0).read()
     assert np.array_equal(a.pixels, b.pixels)
+
+
+def test_aaigrid_source_roundtrip(tmp_path, ray_session):
+    """THIRD real on-disk format through the SPI registry: ESRI ASCII grid.
+    Int sniffing, NODATA, xllcenter variant, windowed reads, parse-once,
+    and tile_dataset consumption."""
+    from geotrellis_contrib_ray.core.grid import LayoutDefinition
+    from geotrellis_contrib_ray.sources.aaigrid import (
+        AsciiGridRasterSource,
+        write_aaigrid,
+    )
+    from geotrellis_contrib_ray.sources.raster_source import InMemoryRasterSource
+    from geotrellis_contrib_ray.sources.registry import source_for_uri
+    from geotrellis_contrib_ray.stages import raster as rst
+
+    grid = GridExtent(Extent(10.0, 20.0, 10.0 + 40 * 0.5, 20.0 + 30 * 0.5),
+                      0.5, 0.5, 40, 30)
+    vals = (np.arange(30 * 40).reshape(30, 40) % 97).astype(np.int32)
+    vals[0, 0] = -9999
+    path = str(tmp_path / "dem.asc")
+    write_aaigrid(path, vals, grid, nodata=-9999)
+
+    src = AsciiGridRasterSource(path)
+    assert src.cell_type.dtype == "int32" and src.cell_type.nodata == -9999
+    assert src.dimensions == (40, 30)
+    assert src.grid.extent == grid.extent
+    r = src.read()
+    assert np.array_equal(r.pixels[0], vals)
+    w = src.read_bounds(GridBounds(5, 5, 15, 12))
+    assert np.array_equal(w.pixels[0], vals[5:13, 5:16])
+    assert src.parse_count == 1  # memoized
+
+    # registry + tile_dataset parity with the in-memory source
+    via_uri = source_for_uri(f"asc://{path}")
+    assert np.array_equal(via_uri.read().pixels, r.pixels)
+    layout = LayoutDefinition.floating(grid, 16)
+    got = rst.tile_dataset([src], layout, concurrency=2).to_pandas()
+    exp = rst.tile_dataset(
+        [InMemoryRasterSource(vals[None], grid, "EPSG:4326", src.cell_type)],
+        layout, concurrency=2).to_pandas()
+    key = ["tile_col", "tile_row"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert all(a == b for a, b in zip(got["pixels"], exp["pixels"]))
+
+    # float values + xllcenter header variant
+    p2 = str(tmp_path / "f.asc")
+    with open(p2, "w") as f:
+        f.write("ncols 3\nnrows 2\nxllcenter 0.25\nyllcenter 0.25\n"
+                "cellsize 0.5\n1.5 2 3\n4 5 6.25\n")
+    s2 = AsciiGridRasterSource(p2)
+    assert s2.cell_type.dtype == "float64"
+    assert s2.grid.extent.xmin == 0.0 and s2.grid.extent.ymin == 0.0
+    assert s2.read().pixels[0].tolist() == [[1.5, 2.0, 3.0], [4.0, 5.0, 6.25]]
