@@ -937,10 +937,14 @@ def q_simhash_pairs(sf_dir: str):
     # uncapped buckets so the exact SQL twin matches at every SF (the
     # operator's default cap dropped a hot chunk at sf0.1).  input_blocks
     # splits the single small-SF read block so the bandwidth-bound signature
-    # stage parallelizes (the result set is banding-scheme-independent, so
-    # the SQL twin is untouched by the r4 two-level-sharding rework).
+    # stage parallelizes.  n_shards="auto" (r5): the occupancy census sizes
+    # the shard count so per-task run length stays bounded as the corpus
+    # grows — 7-bit chunks make bucket occupancy structurally linear in n,
+    # so any FIXED shard constant eventually serializes a task.  The result
+    # set is banding/sharding-scheme-independent, so the SQL twin is
+    # untouched (r4 comment still applies).
     return dedup.simhash_candidate_pairs(ds, max_hamming=8, bands=9,
-                                         max_bucket=1_000_000, n_shards=8,
+                                         max_bucket=1_000_000, n_shards="auto",
                                          input_blocks=_default_shuffle_partitions())
 
 
@@ -3238,6 +3242,7 @@ FROM flags GROUP BY doc_id"""
     sql["dedup_delta"] = f"""
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id >= {DELTA_SPLIT_ID}
+  AND d.text IS NOT NULL
   AND NOT EXISTS (SELECT 1 FROM documents e
                   WHERE e.doc_id < {DELTA_SPLIT_ID} AND e.text = d.text)
   AND d.doc_id = (SELECT min(x.doc_id) FROM documents x

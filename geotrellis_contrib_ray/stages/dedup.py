@@ -504,10 +504,76 @@ def _simhash_blocked_pairs(sigA, idsA, sigB, idsB, max_h: int, triangular: bool,
             np.concatenate(hd_out))
 
 
+def _simhash_occupancy_shards(signed, bands: int, width: int, mask: np.uint64,
+                              target_run: int, spill_dir: str | None):
+    """Occupancy census -> adaptive shard count for simhash banding.
+
+    Spills the narrow (doc_id, simhash) projection of valid rows to parquet
+    under /tmp so the SimHash signature stage runs ONCE — the census and the
+    banding stage both stream the spill (no whole-corpus object-store pin;
+    the spill is ~16 B/doc vs ~KB/doc of text, and parquet reads split into
+    parallel blocks automatically).  The census itself is shuffle-light:
+    per-batch ``np.bincount`` over the bands*2^width (band, chunk) bins
+    (<= 2 MB scratch at width<=16), a salted_group_reduce over the <= 2^width
+    * bands nonzero bins, then a per-block partial max — the driver receives
+    ONE scalar per block, never the histogram.
+
+    Returns (sig_dataset, n_shards, max_occupancy).  Per-task run length in
+    the pair stage is ~2*occ/n_shards (both shards of a pair group land in
+    one task), so n_shards = ceil(3*max_occ/target_run) keeps runs under
+    ``target_run`` with a 1.5x hash-imbalance margin, clamped to [1, 64]
+    (64 shards = 2080 shard-pair groups — the map_groups ~1 ms/group
+    overhead bound, CLAUDE.md)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .agg import salted_group_reduce
+
+    out_dir = spill_dir or tempfile.mkdtemp(prefix="simhash_sig_", dir="/tmp")
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "simhash"]).filter(b["sh_valid"])
+
+    signed.map_batches(project, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None).write_parquet(out_dir)
+    sig = ray.data.read_parquet(out_dir, columns=["doc_id", "simhash"])
+
+    nbins = bands << width
+
+    def partial(b: pa.Table) -> pa.Table:
+        sh = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        if len(sh) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"bidx": z, "pcnt": z})
+        idx = np.concatenate([
+            (band << width) + ((sh >> np.uint64(band * width)) & mask).astype(np.int64)
+            for band in range(bands)])
+        cnt = np.bincount(idx, minlength=nbins)
+        nzb = np.nonzero(cnt)[0]
+        return pa.table({"bidx": pa.array(nzb.astype(np.int64)),
+                         "pcnt": pa.array(cnt[nzb].astype(np.int64))})
+
+    occ = salted_group_reduce(
+        sig.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None),
+        ["bidx"], [("pcnt", "sum", "n")])
+    part_max = occ.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [int(pc.max(b["n"]).as_py() or 0) if len(b) else 0], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    max_occ = max((int(v) for v in part_max.to_pandas()["m"]), default=0)
+    n_shards = int(min(64, max(1, -(-3 * max_occ // max(1, target_run)))))
+    return sig, n_shards, max_occ
+
+
 def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
                             group_salt: int | None = None, max_bucket: int = 1000,
                             allow_partial_recall: bool = False,
-                            n_shards: int = 4, input_blocks: int | None = None):
+                            n_shards: int | str = 4, input_blocks: int | None = None,
+                            target_run: int = 2048, spill_dir: str | None = None,
+                            diag: dict | None = None):
     """SimHash near-dup: 64-bit signatures banded into ``64/bands``-bit
     chunks; docs sharing any chunk are candidates, verified by exact
     hamming distance.  BANDING COMPLETENESS: only pairs with hamming <
@@ -532,8 +598,23 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
     distinct/min-reduce shuffle (~7 rows/pair at max_hamming=8) is gone
     entirely — the pair stage output IS the result.
 
+    ``n_shards="auto"`` (occupancy-adaptive tier): a census pre-pass
+    measures the max (band, chunk) occupancy and sizes the shard count to
+    keep per-task run length under ``target_run`` — the signature stage
+    runs once (narrow parquet spill, see _simhash_occupancy_shards), so at
+    100x the corpus the per-task quadratic work stays bounded without
+    retuning a constant.  ``diag`` (optional dict) receives
+    {"n_shards", "max_occ"} for observability/tests.
+
     ``max_bucket`` caps the per-task run length (shard-local occupancy,
-    ~2*occ/n_shards), logged on drop.  ``input_blocks`` narrow-repartitions
+    ~2*occ/n_shards), logged on drop.  CAPPED-RECALL SEMANTICS: a pair is
+    emitted only in its FIRST colliding band, so a drop in that band loses
+    the pair even if a later, colder band also discovered it — capped
+    operation drops ALL pairs whose first colliding band is hot, not just
+    the hot band's share.  Oracle-profile callers pass an uncapped bound;
+    recall-sensitive capped callers should prefer ``n_shards="auto"``,
+    which sizes shards so runs stay under target_run and the cap never
+    triggers.  ``input_blocks`` narrow-repartitions
     the doc stream before the signature stage — the signature map is
     bandwidth-bound and a small-SF read often arrives as ONE block, which
     serializes it; production streams with natural block parallelism leave
@@ -543,20 +624,29 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
         raise ValueError(
             f"bands={bands} only guarantees pairs with hamming < {bands}; "
             f"raise bands to >= {max_hamming + 1} or pass allow_partial_recall=True")
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    if input_blocks:
+        ds = ds.repartition(input_blocks)
+    signed = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    if n_shards == "auto":
+        signed, n_shards, max_occ = _simhash_occupancy_shards(
+            signed, bands, width, mask, target_run, spill_dir)
+        if diag is not None:
+            diag["n_shards"] = n_shards
+            diag["max_occ"] = max_occ
     n_shards = max(1, int(n_shards))
     n_shard_pairs = n_shards * (n_shards + 1) // 2
     if group_salt is None:
         # bound TOTAL group count (bands x salt x shard-pairs) near ~512:
         # map_groups pays ~1 ms/group python overhead (CLAUDE.md)
         group_salt = max(1, 512 // max(1, bands * n_shard_pairs))
-    width = 64 // bands
-    mask = np.uint64((1 << width) - 1)
-    if input_blocks:
-        ds = ds.repartition(input_blocks)
-    signed = ds.map_batches(SimHash(), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        valid = batch["sh_valid"].to_numpy(zero_copy_only=False).astype(bool)
+        if "sh_valid" in batch.column_names:
+            valid = batch["sh_valid"].to_numpy(zero_copy_only=False).astype(bool)
+        else:  # spilled projection (auto tier) is pre-filtered to valid rows
+            valid = np.ones(len(batch), dtype=bool)
         sh = batch["simhash"].to_numpy(zero_copy_only=False)[valid].view(np.uint64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)[valid]
         n = len(ids)
@@ -1939,6 +2029,12 @@ def incremental_dedup_keep_first(existing, delta, id_col: str = "doc_id",
     within-run mismatch (two distinct texts colliding in the primary
     fingerprint — the exact_dedup_groups contract, combined miss ~2^-128).
 
+    NULL texts are dropped on BOTH sides before hashing: hash_utf8_array
+    maps NULL and '' to the same FNV basis, so without the filter a
+    NULL-text delta row would be kept/merged with empty-string rows while
+    the SQL twin's text-equality predicates drop NULL rows outright (the
+    same null-semantics gate corpus_clean applies).
+
     Output: (doc_id) of kept delta rows."""
     from .joins import default_join_partitions
     from .text import add_fingerprint, hash_utf8_array
@@ -1947,8 +2043,11 @@ def incremental_dedup_keep_first(existing, delta, id_col: str = "doc_id",
 
     def project(side: int):
         def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             from ..util import strip_schema_metadata
 
+            b = b.filter(pc.is_valid(b[text_col]))
             b = strip_schema_metadata(add_fingerprint(b))
             h2 = hash_utf8_array(b[text_col], seed=0x9E3779B97F4A7C15)
             fp = b["fingerprint"].to_numpy(zero_copy_only=False)

@@ -482,3 +482,65 @@ def test_incremental_dedup_keep_first_planted(ray_session):
     out = dedup.incremental_dedup_keep_first(
         rd.from_arrow(existing), rd.from_arrow(delta)).to_pandas()
     assert sorted(out["doc_id"].astype(int)) == [11, 12]
+
+
+def test_incremental_dedup_null_text_semantics(ray_session):
+    """NULL texts are dropped on BOTH sides (r5 ADVICE fix): hash_utf8_array
+    maps NULL and '' to the same FNV basis, so without the is_valid filter a
+    NULL-text delta row would merge with empty-string rows while the SQL
+    twin's text-equality predicates drop NULL rows outright."""
+    import ray.data as rd
+
+    existing = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([None, "keep me"], pa.string()),
+    })
+    delta = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array([None,        # NULL -> dropped (not matched vs '')
+                          "",          # empty string: real text, fresh -> kept
+                          None,        # NULL -> dropped (not a dup of 10)
+                          "keep me"],  # dup of existing -> dropped
+                         pa.string()),
+    })
+    out = dedup.incremental_dedup_keep_first(
+        rd.from_arrow(existing), rd.from_arrow(delta)).to_pandas()
+    # '' survives even though existing has a NULL (NULL != '' per SQL), and
+    # neither NULL delta row is emitted
+    assert sorted(out["doc_id"].astype(int)) == [11]
+
+
+def test_simhash_auto_shards_hot_bucket(ray_session, tmp_path):
+    """Adversarial hot bucket: many docs share one signature chunk. The
+    occupancy-adaptive tier (n_shards='auto') must (a) measure the hot
+    occupancy, (b) raise the shard count so per-task run length stays under
+    target_run, and (c) return the exact same pair set as the fixed tier /
+    brute force."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(77)
+    # 120 docs: 40 copies of one base text (identical signatures -> one hot
+    # chunk per band with occupancy >= 40) + 80 distinct randoms
+    base = " ".join(rng.choice(["alpha", "beta", "gamma", "delta"], 30))
+    texts = [base] * 40 + [
+        " ".join(rng.choice(["x%d" % k for k in range(50)], 30)) for _ in range(80)
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    diag: dict = {}
+    auto = dedup.simhash_candidate_pairs(
+        rd.from_arrow(t), max_hamming=3, bands=4, max_bucket=1_000_000,
+        n_shards="auto", target_run=20, spill_dir=str(tmp_path / "sig"),
+        diag=diag).to_pandas()
+    assert diag["max_occ"] >= 40
+    # ceil(3*max_occ/target_run) with max_occ>=40, target=20 -> >= 6 shards
+    assert diag["n_shards"] >= 6
+    fixed = dedup.simhash_candidate_pairs(
+        rd.from_arrow(t), max_hamming=3, bands=4, max_bucket=1_000_000,
+        n_shards=2).to_pandas()
+    key = lambda df: sorted(zip(df["id1"].astype(int), df["id2"].astype(int),
+                                df["hamming"].astype(int)))
+    assert key(auto) == key(fixed)
+    assert len(auto) >= 40 * 39 // 2  # the planted clique is all recovered
