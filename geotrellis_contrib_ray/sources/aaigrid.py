@@ -109,8 +109,20 @@ class AsciiGridRasterSource(RasterSource):
                     f"got {len(vals)}")
             px = vals.reshape(nrows, ncols)
             nodata = hdr.get("nodata_value")
-            integral = bool(np.all(np.mod(px[np.isfinite(px)], 1.0) == 0))
-            if integral and (nodata is None or float(nodata).is_integer()):
+            finite = px[np.isfinite(px)]
+            integral = bool(np.all(np.mod(finite, 1.0) == 0))
+            # int32 only when every value (and the nodata sentinel) FITS:
+            # out-of-range integral values would silently wrap on the cast
+            # (r5 ADVICE) — fall back to float64, which holds any AAIGrid
+            # value the float64 text parse produced in the first place
+            in_i32 = bool(
+                finite.size == 0
+                or (finite.min() >= np.iinfo(np.int32).min
+                    and finite.max() <= np.iinfo(np.int32).max))
+            nodata_ok = nodata is None or (
+                float(nodata).is_integer()
+                and np.iinfo(np.int32).min <= float(nodata) <= np.iinfo(np.int32).max)
+            if integral and in_i32 and nodata_ok:
                 px = px.astype(np.int32)
                 self._ct = CellType("int32", nodata)
             else:

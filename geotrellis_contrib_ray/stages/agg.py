@@ -265,6 +265,17 @@ def rollup_counts(ds, keys: list[str], value_col: str | None = None,
     def partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # the total_label sentinel is a string: non-string key columns would
+        # make coarser levels string-typed while the finest keeps the native
+        # type, and pa.concat_tables raises a confusing mixed-schema error —
+        # fail with the actual contract instead (cast keys upstream)
+        for k in keys:
+            kt = b.schema.field(k).type
+            if not (pa.types.is_string(kt) or pa.types.is_large_string(kt)):
+                raise TypeError(
+                    f"rollup_counts requires string-typed key columns (the "
+                    f"'{total_label}' subtotal sentinel is a string); column "
+                    f"{k!r} is {kt} — cast it before the rollup")
         sel = keys + ([value_col] if value_col else [])
         finest = (b.select(sel).group_by(keys, use_threads=False)
                   .aggregate(aggs))
@@ -279,10 +290,15 @@ def rollup_counts(ds, keys: list[str], value_col: str | None = None,
                 g = cur.group_by(gk, use_threads=False).aggregate(sub_aggs)
                 g = g.rename_columns(gk + ["pn"] + (["ps"] if value_col else []))
             else:
-                g = pa.table({
-                    "pn": pa.array([int(pc.sum(cur["pn"]).as_py() or 0)], pa.int64()),
-                    **({"ps": pa.array([pc.sum(cur["ps"]).as_py() or 0])} if value_col else {}),
-                })
+                cols = {"pn": pa.array([int(pc.sum(cur["pn"]).as_py() or 0)], pa.int64())}
+                if value_col:
+                    # keep the grand-total ps in the FINEST level's column
+                    # type: `as_py() or 0` would coerce a float 0.0 sum to
+                    # int 0 and split the concat schema int64-vs-float64
+                    ps_type = cur.schema.field("ps").type
+                    s = pc.sum(cur["ps"]).as_py()
+                    cols["ps"] = pa.array([0 if s is None else s], ps_type)
+                g = pa.table(cols)
             for k in keys[lvl:]:
                 g = g.append_column(k, pa.array([total_label] * len(g), pa.string()))
             outs.append(g.select(keys + ["pn"] + (["ps"] if value_col else [])))

@@ -538,7 +538,13 @@ def _simhash_occupancy_shards(signed, bands: int, width: int, mask: np.uint64,
 
     signed.map_batches(project, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None).write_parquet(out_dir)
-    sig = ray.data.read_parquet(out_dir, columns=["doc_id", "simhash"])
+    from ..util import strip_schema_metadata
+
+    # strip fused into the read: the spill carries write-time metadata that
+    # would defeat Ray's shuffle schema-dedup cache (CLAUDE.md rule)
+    sig = ray.data.read_parquet(out_dir, columns=["doc_id", "simhash"]).map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
 
     nbins = bands << width
 

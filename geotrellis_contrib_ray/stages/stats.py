@@ -329,13 +329,27 @@ def _resolve_order_stats(ds, value_col: str, ranks_of_n, coarse_bits: int,
                 for q, within in lst:
                     results[q] = float(sel[within - 1])
                     del pend[q]
-        # recurse the rest one radix level down
+        # recurse the rest one radix level down — ONE counting pass per level
+        # serves every unresolved q (r5 ADVICE fix: the old per-q call made k
+        # quantiles in distinct oversized bins cost k full scans per level):
+        # count the UNION of unresolved parent bins in a single prefix_mask
+        # (count_level's np.isin already takes multi-bin masks), then slice
+        # each q's child histogram back out by parent-prefix match.
         next_pend = {}
+        by_shift: dict[int, dict] = {}
         for q, (rank, restrict) in pend.items():
             binv, cnt, within, sh = level_prefixes[q]
+            by_shift.setdefault(sh, {})[q] = (binv, within)
+        for sh, qmap in by_shift.items():
             nsh = max(0, sh - coarse_bits)
-            nb, nc = count_level(ds, nsh, {"shift": sh, "bins": np.array([binv], np.uint64)})
-            next_pend[q] = (within, {"shift": nsh, "bins_counts": (nb, nc)})
+            parents = np.unique(np.array([b for b, _ in qmap.values()],
+                                         dtype=np.uint64))
+            nb, nc = count_level(ds, nsh, {"shift": sh, "bins": parents})
+            parent_of = nb >> np.uint64(sh - nsh)
+            for q, (binv, within) in qmap.items():
+                m = parent_of == np.uint64(binv)
+                next_pend[q] = (within, {"shift": nsh,
+                                         "bins_counts": (nb[m], nc[m])})
         pend = next_pend
 
     return n, results

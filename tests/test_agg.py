@@ -162,3 +162,31 @@ def test_rollup_counts_levels(ray_session):
     assert got[("y", "__all__")] == (1, 8)
     assert got[("__all__", "__all__")] == (4, 15)
     assert len(got) == 6
+
+
+def test_rollup_counts_float_zero_sum_and_key_typing(ray_session):
+    """r5 ADVICE: a float value column whose batch sum is exactly 0.0 must
+    keep the grand-total level float64 (the old `or 0` coerced it to int and
+    split the concat schema), and non-string keys fail fast with the actual
+    contract instead of a mixed-schema concat error."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.agg import rollup_counts
+
+    t = pa.table({
+        "a": pa.array(["x", "x"], pa.string()),
+        "v": pa.array([1.5, -1.5], pa.float64()),
+    })
+    out = rollup_counts(rd.from_arrow(t), ["a"], value_col="v").to_pandas()
+    got = {r.a: (int(r.n), float(r.sum_v)) for r in out.itertuples()}
+    assert got == {"x": (2, 0.0), "__all__": (2, 0.0)}
+
+    bad = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "v": pa.array([1.0, 2.0], pa.float64()),
+    })
+    with pytest.raises(Exception) as ei:
+        rollup_counts(rd.from_arrow(bad), ["k"], value_col="v").to_pandas()
+    assert "string-typed key columns" in str(ei.value)

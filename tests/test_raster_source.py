@@ -362,3 +362,28 @@ def test_aaigrid_source_roundtrip(tmp_path, ray_session):
     assert s2.cell_type.dtype == "float64"
     assert s2.grid.extent.xmin == 0.0 and s2.grid.extent.ymin == 0.0
     assert s2.read().pixels[0].tolist() == [[1.5, 2.0, 3.0], [4.0, 5.0, 6.25]]
+
+
+def test_aaigrid_int_outside_int32_stays_float64(tmp_path):
+    """r5 ADVICE: integral values beyond int32 range must NOT wrap via the
+    int32 sniff cast — they fall back to float64 (exact for the text parse's
+    own float64 values)."""
+    from geotrellis_contrib_ray.sources.aaigrid import (
+        AsciiGridRasterSource,
+        write_aaigrid,
+    )
+
+    grid = GridExtent(Extent(0.0, 0.0, 2.0, 1.0), 1.0, 1.0, 2, 1)
+    big = float(2**40)  # integral, far outside int32
+    vals = np.array([[big, 7.0]], dtype=np.float64)
+    path = str(tmp_path / "big.asc")
+    write_aaigrid(path, vals, grid, nodata=None)
+    src = AsciiGridRasterSource(path)
+    assert src.cell_type.dtype == "float64"
+    assert src.read().pixels[0, 0, 0] == big  # no wrap
+
+    # in-range integral corpus still sniffs to int32
+    small = np.array([[1.0, -2.0]], dtype=np.float64)
+    p2 = str(tmp_path / "small.asc")
+    write_aaigrid(p2, small, grid, nodata=None)
+    assert AsciiGridRasterSource(p2).cell_type.dtype == "int32"

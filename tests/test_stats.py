@@ -170,3 +170,41 @@ def test_exact_quantiles_cont_matches_formula(ray_session):
         hi = sv[min(int(np.floor(idx)) + 1, n - 1)]
         exp = lo + (hi - lo) * (idx - np.floor(idx))
         assert got[q] == exp, (q, got[q], exp)
+
+
+def test_quantile_refinement_one_scan_per_level(ray_session, monkeypatch):
+    """r5 ADVICE: k unresolved quantiles in DISTINCT oversized bins must
+    share one counting pass per radix level (multi-bin prefix_mask), not k
+    full scans per level.  Counts distributed passes by wrapping
+    salted_group_reduce, the only wide op count_level uses."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages import agg as aggmod
+    from geotrellis_contrib_ray.stages import stats as statsmod
+
+    rng = np.random.default_rng(11)
+    # four well-separated dense clusters -> the four target quantiles land
+    # in four distinct bins that each exceed pull_limit for several levels
+    vals = np.concatenate([rng.uniform(lo, lo + 1e-6, 400)
+                           for lo in (1.0, 100.0, 10_000.0, 1e6)])
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+
+    calls = {"n": 0}
+    real = aggmod.salted_group_reduce
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(aggmod, "salted_group_reduce", counting)
+    out = statsmod.exact_quantiles_unbounded(
+        rd.from_arrow(t), "v", (0.1, 0.4, 0.6, 0.9), pull_limit=16).to_pandas()
+    # exact parity with the sorted array (quantile_disc: ceil(q*n) 1-based)
+    sv = np.sort(vals)
+    n = len(sv)
+    for q, v in zip(out["q"], out["value"]):
+        assert v == sv[min(max(int(np.ceil(q * n)), 1), n) - 1], (q, v)
+    # 1 initial pass + <= ceil(64/16) refinement levels, NOT 1 + 4*levels
+    # (>= 2 proves the patch is live and recursion actually happened)
+    assert 2 <= calls["n"] <= 5, calls["n"]
