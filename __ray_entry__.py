@@ -1136,12 +1136,18 @@ def q_mixture_sample(sf_dir: str):
     equal-token-budget-per-source reweighting step of a pretraining mix.
     Exact integer math end-to-end (the shared split-hash + token count);
     presum replays as a SQL window cumsum."""
+    import pyarrow.parquet as _pq
+
     from geotrellis_contrib_ray.pipelines.query_defs import MIX_BUDGET_TOKENS
     from geotrellis_contrib_ray.stages.pack import mixture_sample
 
-    ds = _read_pq(f"{sf_dir}/documents.parquet",
-                  columns=["source", "doc_id", "text"])
-    return mixture_sample(ds, budget_tokens=MIX_BUDGET_TOKENS)
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["source", "doc_id", "text"])
+    # approx_rows from the parquet FOOTER (never ds.count(): that would
+    # execute the upstream once more) — past 50M rows the auto tier spills
+    # the keyed projection to parquet instead of pinning it object-store-wide
+    return mixture_sample(ds, budget_tokens=MIX_BUDGET_TOKENS,
+                          approx_rows=_pq.ParquetFile(path).metadata.num_rows)
 
 
 def q_dedup_delta(sf_dir: str):

@@ -413,7 +413,9 @@ MIX_CHUNKS = 256
 
 def mixture_sample(ds, budget_tokens: int, source_col: str = "source",
                    id_col: str = "doc_id", text_col: str = "text",
-                   n_chunks: int = MIX_CHUNKS):
+                   n_chunks: int = MIX_CHUNKS, approx_rows: int | None = None,
+                   materialize_limit: int = 50_000_000,
+                   tier: str = "auto", spill_dir: str | None = None):
     """Training-data MIXING sampler: per ``source``, take documents in the
     deterministic (hash(id), id) order until the source's running token
     total reaches ``budget_tokens`` (the boundary-crossing doc is included)
@@ -434,7 +436,20 @@ def mixture_sample(ds, budget_tokens: int, source_col: str = "source",
          bounded; group size is ~corpus/(sources*n_chunks).
 
     Output: (source, doc_id, n_tokens, presum) for kept docs — presum is
-    the source-wide exclusive token prefix (the SQL window replays it)."""
+    the source-wide exclusive token prefix (the SQL window replays it).
+
+    PERSISTENCE TIERS (r5: the keyed projection feeds BOTH the totals
+    rollup and the final groupby, so it must run once — but a Dataset
+    consumed by two plans re-executes its upstream):
+      - ``materialize`` (default for small corpora): pin the narrow
+        projection (~40 B/doc) in the object store;
+      - ``parquet``: write the projection to parquet under /tmp between the
+        two passes and stream both consumers from disk — no corpus-wide
+        object-store pin (at 10^12 docs the materialized projection would
+        be ~40 TB of object store).
+    ``tier="auto"`` picks parquet when ``approx_rows`` (caller-supplied,
+    e.g. from the input's parquet footer — never ds.count(), which would
+    execute the upstream an extra time) exceeds ``materialize_limit``."""
     import ray
 
     from .agg import driver_group_rollup
@@ -456,13 +471,30 @@ def mixture_sample(ds, budget_tokens: int, source_col: str = "source",
         })
 
     # the keyed projection feeds BOTH the totals rollup and the final
-    # groupby — materialize it so the corpus read+tokenize runs ONCE (a
-    # Dataset consumed by two plans re-executes its upstream).  The
-    # projection is narrow (4 int64 cols + source, ~40 B/doc) and the
-    # object store spills it; at extreme corpus scale prefer persisting it
-    # to parquet between the two passes instead.
-    keyed = ds.map_batches(narrow, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None).materialize()
+    # groupby — persist it so the corpus read+tokenize runs ONCE (a Dataset
+    # consumed by two plans re-executes its upstream).  The projection is
+    # narrow (4 int64 cols + source, ~40 B/doc); the tier decides object
+    # store vs parquet spill (see docstring).
+    if tier not in ("auto", "materialize", "parquet"):
+        raise ValueError(f"unknown tier {tier!r}")
+    use_parquet = (tier == "parquet"
+                   or (tier == "auto" and approx_rows is not None
+                       and approx_rows > materialize_limit))
+    projected = ds.map_batches(narrow, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    if use_parquet:
+        import tempfile
+
+        from ..util import strip_schema_metadata
+
+        out_dir = spill_dir or tempfile.mkdtemp(prefix="mixture_keyed_", dir="/tmp")
+        projected.write_parquet(out_dir)
+        # strip fused into the spill read (shuffle schema-dedup cache rule)
+        keyed = ray.data.read_parquet(out_dir).map_batches(
+            strip_schema_metadata, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None)
+    else:
+        keyed = projected.materialize()
 
     def partial(b: pa.Table) -> pa.Table:
         g = (b.select([source_col, "_chunk", "n_tokens"])

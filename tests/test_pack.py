@@ -218,3 +218,44 @@ def test_mixture_sample_budget_prefix(ray_session):
         kept = out[out["source"] == src]
         tot = int(kept["n_tokens"].sum())
         assert tot >= min(budget, sum(nt for _, _, nt in by_src[src]))
+
+
+def test_mixture_sample_parquet_tier_parity(ray_session, tmp_path):
+    """r5: the parquet-persist tier (large-scale path, no corpus-wide
+    object-store pin) must return byte-identical results to the materialize
+    tier, and the auto tier must select by approx_rows vs materialize_limit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.pack import mixture_sample
+
+    rng = np.random.default_rng(29)
+    n = 150
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array([f"s{int(i) % 4}" for i in range(n)], pa.string()),
+        "text": pa.array([" ".join(["tok"] * int(rng.integers(1, 9)))
+                          for _ in range(n)], pa.string()),
+    })
+    budget = 40
+
+    def run(**kw):
+        return (mixture_sample(rd.from_arrow(t), budget_tokens=budget, **kw)
+                .to_pandas().sort_values(["source", "doc_id"])
+                .reset_index(drop=True))
+
+    mat = run(tier="materialize")
+    par = run(tier="parquet", spill_dir=str(tmp_path / "spill"))
+    assert mat.equals(par)
+    # auto tier: approx_rows above the limit routes to parquet (observable
+    # via the spill dir being populated), below keeps the object store
+    auto_dir = tmp_path / "auto_spill"
+    auto = run(tier="auto", approx_rows=10_000, materialize_limit=100,
+               spill_dir=str(auto_dir))
+    assert auto.equals(mat)
+    assert any(auto_dir.iterdir())
+    small_dir = tmp_path / "small_spill"
+    small = run(tier="auto", approx_rows=10, materialize_limit=100,
+                spill_dir=str(small_dir))
+    assert small.equals(mat)
+    assert not small_dir.exists() or not any(small_dir.iterdir())
