@@ -532,7 +532,9 @@ def bloom_semi_join(left, right_keys, on: str, *, bits_log2: int = 23,
 
 def skew_aware_join(left, right, on: str, *, hot_threshold: int = 100_000,
                     salt: int = 16, buckets: int | None = None,
-                    schemas: tuple | None = None):
+                    schemas: tuple | None = None,
+                    census_sample_every: int | None = None,
+                    hot_keys: set | None = None):
     """Skew-ROBUST tier of the bucketed hash join (inner, int64 key): a
     single hot key whose rows exceed a worker's share no longer serializes
     in one bucket group.
@@ -550,8 +552,20 @@ def skew_aware_join(left, right, on: str, *, hot_threshold: int = 100_000,
        the per-bucket Arrow join keys on [on, _salt], which also prevents
        cross-salt duplicate emission between replicas sharing a bucket.
 
-    Left side is consumed twice (census + join) — materialize upstream or
-    accept the rescan; at corpus scale the census would subsample.
+    CENSUS COST (r5 subsampled tier): the census is a second pass over the
+    left stream, but by default it now counts only every k-th row
+    (deterministic prime-stride sample, k auto-picked = 97 when
+    hot_threshold >= 10_000) with the threshold scaled to
+    ``hot_threshold / (2k)`` — a 2x safety margin, so a truly-hot key's
+    expected sampled count sits 2x above the cut (relative sampling noise
+    at the cut is ~sqrt(2k/hot_threshold), i.e. ~4% at the defaults).  The
+    census group_by + shuffle volume drops by k; hot-set errors in EITHER
+    direction never change the result set (salting only redistributes
+    work), so the margin trades a little extra replication for never
+    serializing a genuinely hot key.  ``census_sample_every=1`` forces the
+    exact census; ``hot_keys`` (precomputed set) skips the census pass
+    entirely — the true one-scan path for callers with expensive upstreams
+    (pair it with a materialized/persisted left or a known hot set).
     Output: the inner join of left x right on ``on`` (column order: key,
     left-only, right-only), identical row multiset to bucketed_hash_join."""
     import ray
@@ -560,7 +574,16 @@ def skew_aware_join(left, right, on: str, *, hot_threshold: int = 100_000,
 
     if buckets is None:
         buckets = default_join_partitions()
-    hot = detect_hot_keys(left, [on], hot_threshold)
+    if hot_keys is not None:
+        hot = set(hot_keys)
+    else:
+        k = census_sample_every
+        if k is None:
+            # sampling noise at the scaled cut must stay small relative to
+            # the 2x margin: with k=97 that needs hot_threshold >> 2k
+            k = 97 if hot_threshold >= 10_000 else 1
+        thr = hot_threshold if k == 1 else max(1, hot_threshold // (2 * k))
+        hot = detect_hot_keys(left, [on], thr, sample_every=k)
     hot_ref = ray.put(np.sort(np.fromiter(hot, dtype=np.int64, count=len(hot))))
 
     if schemas is not None:

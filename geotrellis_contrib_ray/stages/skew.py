@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow as pa
 
 
-def detect_hot_keys(ds, keys: list[str], threshold: int) -> set:
+def detect_hot_keys(ds, keys: list[str], threshold: int,
+                    sample_every: int = 1) -> set:
     """Cheap skew census: partial per-batch counts, tiny final groupby,
     return the key tuples whose total count exceeds ``threshold``.
 
@@ -34,10 +35,22 @@ def detect_hot_keys(ds, keys: list[str], threshold: int) -> set:
     reduced stream) before anything reaches the driver: a census over
     corpus-scale keys has billions of distinct rows, but the hot set is
     tiny by definition — the driver only ever receives keys above
-    threshold."""
+    threshold.
+
+    ``sample_every > 1`` (subsampled census, r5): count only every k-th row
+    of each batch — a deterministic, RNG-free row sample that cuts the
+    census group_by + shuffle volume by k.  The CALLER scales the threshold
+    (sampled count ~ true/k with relative noise ~ sqrt(k/true)); a key with
+    >= threshold*k true rows contributes >= threshold expected sampled
+    rows.  Use a PRIME stride so periodic key layouts don't alias.  Note
+    hot-set accuracy only affects WORK DISTRIBUTION in the salting callers,
+    never the result set — a miss costs balance, not correctness."""
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
+        if sample_every > 1:
+            batch = batch.take(
+                pa.array(np.arange(0, len(batch), sample_every, dtype=np.int64)))
         g = batch.select(keys).group_by(keys, use_threads=False).aggregate(
             [(keys[0], "count")]
         )

@@ -355,3 +355,51 @@ def test_bucketed_anti_join_planted(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert out["k"].tolist() == [1, 3]
     assert out["v"].tolist() == [10, 30]
+
+
+def test_skew_join_subsampled_census_tolerance(ray_session):
+    """r5: the subsampled census (deterministic prime-stride row sample +
+    scaled threshold) must still catch a genuinely hot key, and hot-set
+    errors in EITHER direction must never change the result multiset —
+    salting only redistributes work."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join, skew_aware_join
+    from geotrellis_contrib_ray.stages.skew import detect_hot_keys
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    # key 7 holds ~half the rows; everything else is spread over 1000 keys
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 1000, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(keys), "v": pa.array(np.arange(n, dtype=np.int64))})
+    rkeys = np.arange(0, 1000, dtype=np.int64)
+    right = pa.table({"k": pa.array(rkeys), "w": pa.array(rkeys * 10)})
+
+    # the sampled census catches the planted hot key with the caller's
+    # scaled threshold (hot_threshold=10_000 -> stride 97, cut ~51)
+    hot = detect_hot_keys(rd.from_arrow(left), ["k"], max(1, 10_000 // (2 * 97)),
+                          sample_every=97)
+    assert 7 in hot
+
+    cols = ["k", "v", "w"]
+
+    def norm(df):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    base = norm(bucketed_hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                                   on="k").to_pandas())
+    # default auto-subsampled census path
+    sampled = norm(skew_aware_join(rd.from_arrow(left), rd.from_arrow(right),
+                                   on="k", hot_threshold=10_000, salt=8).to_pandas())
+    assert base.equals(sampled)
+    # deliberately WRONG hot sets: empty (hot key missed) and a cold key
+    # marked hot (false positive) — identical results both ways
+    missed = norm(skew_aware_join(rd.from_arrow(left), rd.from_arrow(right),
+                                  on="k", hot_threshold=10_000, salt=8,
+                                  hot_keys=set()).to_pandas())
+    assert base.equals(missed)
+    wrong = norm(skew_aware_join(rd.from_arrow(left), rd.from_arrow(right),
+                                 on="k", hot_threshold=10_000, salt=8,
+                                 hot_keys={3, 11}).to_pandas())
+    assert base.equals(wrong)
