@@ -341,6 +341,12 @@ class _DistReplicate:
         return pa.table({k: np.concatenate(v) for k, v in outs.items()})
 
 
+# dense distance-kernel scratch bound: left-chunk x |right| doubles per
+# block (~16 MB at 2M cells) — shared by the J3 kernels here and in
+# stages/vector.py
+_DIST_KERNEL_CELLS = 2_000_000
+
+
 def distance_join(ds, theta: float, id_col: str = "doc_id"):
     """All pairs (id1 < id2) with euclidean distance < theta.
 
@@ -353,19 +359,10 @@ def distance_join(ds, theta: float, id_col: str = "doc_id"):
     )
 
     def _empty():
-        import pandas as pd
-
-        return pd.DataFrame(
-            {
-                "id1": pd.Series([], dtype=np.int64),
-                "id2": pd.Series([], dtype=np.int64),
-                "dist": pd.Series([], dtype=np.float64),
-            }
-        )
+        z = pa.array([], pa.int64())
+        return pa.table({"id1": z, "id2": z, "dist": pa.array([], pa.float64())})
 
     def per_cell(g):
-        import pandas as pd
-
         left = g[g["side"] == 0]
         right = g[g["side"] == 1]
         if len(left) == 0 or len(right) == 0:
@@ -376,17 +373,26 @@ def distance_join(ds, theta: float, id_col: str = "doc_id"):
         rx = right["lon"].to_numpy()
         ry = right["lat"].to_numpy()
         rid = right["id"].to_numpy()
-        d = np.sqrt((lx[:, None] - rx[None, :]) * (lx[:, None] - rx[None, :]) + (ly[:, None] - ry[None, :]) * (ly[:, None] - ry[None, :]))
-        ii, jj = np.nonzero((d < theta) & (lid[:, None] < rid[None, :]))
-        if len(ii) == 0:
+        # CHUNKED kernel (r5): fixed left row-blocks x full right bounds the
+        # dense scratch to ~_DIST_KERNEL_CELLS doubles per block, so a hot
+        # cell (dense urban cluster at 100x) can't spike a worker's memory.
+        # The distance expression is unchanged — identical doubles to the
+        # SQL twin chunk-independently (per-element math).
+        step = max(1, _DIST_KERNEL_CELLS // max(1, len(rid)))
+        out1, out2, outd = [], [], []
+        for s in range(0, len(lid), step):
+            lxs, lys, lids = lx[s:s + step], ly[s:s + step], lid[s:s + step]
+            d = np.sqrt((lxs[:, None] - rx[None, :]) * (lxs[:, None] - rx[None, :]) + (lys[:, None] - ry[None, :]) * (lys[:, None] - ry[None, :]))
+            ii, jj = np.nonzero((d < theta) & (lids[:, None] < rid[None, :]))
+            if len(ii):
+                out1.append(lids[ii].astype(np.int64))
+                out2.append(rid[jj].astype(np.int64))
+                outd.append(d[ii, jj].astype(np.float64))
+        if not out1:
             return _empty()
-        return pd.DataFrame(
-            {
-                "id1": lid[ii].astype(np.int64),
-                "id2": rid[jj].astype(np.int64),
-                "dist": d[ii, jj].astype(np.float64),
-            }
-        )
+        return pa.table({"id1": pa.array(np.concatenate(out1)),
+                         "id2": pa.array(np.concatenate(out2)),
+                         "dist": pa.array(np.concatenate(outd))})
 
     return pairs_src.groupby("cell").map_groups(per_cell, batch_format="pandas")
 

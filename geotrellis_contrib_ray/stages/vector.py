@@ -124,31 +124,46 @@ def distance_join_formatted(ds, theta: float, name_col: str = "name", id_col: st
         batch_size=None,
     )
 
-    def per_cell(g):
-        import pandas as pd
+    def _empty():
+        z = pa.array([], pa.string())
+        return pa.table({"n1": z, "n2": z, "dist": pa.array([], pa.string())})
 
+    def per_cell(g):
         left = g[g["side"] == 0]
         right = g[g["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return _empty()
+        lx = left["lon"].to_numpy()
+        ly = left["lat"].to_numpy()
+        rx = right["lon"].to_numpy()
+        ry = right["lat"].to_numpy()
+        lid = left["id"].to_numpy()
+        rid = right["id"].to_numpy()
+        lname = left["name"].to_numpy()
+        rname = right["name"].to_numpy()
+        # CHUNKED kernel (r5, same bound as spatial.distance_join): fixed
+        # left row-blocks x full right — a hot cell can't spike worker
+        # memory; the distance doubles and "%1.4f" formatting are unchanged
+        step = max(1, sp._DIST_KERNEL_CELLS // max(1, len(rid)))
         out = {"n1": [], "n2": [], "dist": []}
-        if len(left) and len(right):
-            lx = left["lon"].to_numpy()
-            ly = left["lat"].to_numpy()
-            rx = right["lon"].to_numpy()
-            ry = right["lat"].to_numpy()
-            d = np.sqrt((lx[:, None] - rx[None, :]) ** 2 + (ly[:, None] - ry[None, :]) ** 2)
-            lid = left["id"].to_numpy()
-            rid = right["id"].to_numpy()
-            lname = left["name"].to_numpy()
-            rname = right["name"].to_numpy()
-            ii, jj = np.nonzero((d < theta) & (lid[:, None] != rid[None, :]))
-            for i, j in zip(ii, jj):
-                if lname[i] != rname[j]:
-                    out["n1"].append(lname[i])
-                    out["n2"].append(rname[j])
-                    out["dist"].append(f"{d[i, j]:.4f}")
-        return pd.DataFrame(out, dtype=object) if out["n1"] else pd.DataFrame(
-            {"n1": pd.Series([], dtype=object), "n2": pd.Series([], dtype=object), "dist": pd.Series([], dtype=object)}
-        )
+        for s in range(0, len(lid), step):
+            lxs, lys = lx[s:s + step], ly[s:s + step]
+            d = np.sqrt((lxs[:, None] - rx[None, :]) ** 2 + (lys[:, None] - ry[None, :]) ** 2)
+            ii, jj = np.nonzero((d < theta) & (lid[s:s + step, None] != rid[None, :]))
+            if len(ii) == 0:
+                continue
+            # vectorized name-inequality refine, then per-pair formatting
+            # over only the SURVIVING pairs (tiny by definition)
+            nm = lname[s + ii] != rname[jj]
+            ii, jj = ii[nm], jj[nm]
+            out["n1"].extend(lname[s + ii].tolist())
+            out["n2"].extend(rname[jj].tolist())
+            out["dist"].extend(f"{v:.4f}" for v in d[ii, jj])
+        if not out["n1"]:
+            return _empty()
+        return pa.table({"n1": pa.array(out["n1"], pa.string()),
+                         "n2": pa.array(out["n2"], pa.string()),
+                         "dist": pa.array(out["dist"], pa.string())})
 
     return pairs_src.groupby("cell").map_groups(per_cell, batch_format="pandas")
 

@@ -82,3 +82,49 @@ def test_fixed_width_parser():
 
     name, lon, lat = parse_city_line("[AOO]  40.65   75.43 Allentown,PA")
     assert name == "Allentown,PA" and (lon, lat) == (75.43, 40.65)
+
+
+def test_distance_kernels_chunked_hot_cell(ray_session, monkeypatch):
+    """r5: a planted hot cell (every point in one grid cell) must stream
+    through the chunked dense kernel — force tiny chunks and pin exact
+    parity with the single-shot brute force for both J3 kernels."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages import spatial as sp
+    from geotrellis_contrib_ray.stages.vector import distance_join_formatted
+
+    rng = np.random.default_rng(41)
+    n = 120
+    # all points inside a theta/10 box -> one hot cell holds everything
+    xs = rng.uniform(0.0, 0.05, n)
+    ys = rng.uniform(0.0, 0.05, n)
+    theta = 0.5
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lon": pa.array(xs), "lat": pa.array(ys),
+    })
+    # force many chunks: 200 matrix cells per block over a 120x120 cell
+    monkeypatch.setattr(sp, "_DIST_KERNEL_CELLS", 200)
+    out = sp.distance_join(rd.from_arrow(t), theta).to_pandas()
+    got = sorted(zip(out["id1"].astype(int), out["id2"].astype(int),
+                     np.round(out["dist"], 12)))
+    d = np.sqrt((xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2)
+    ii, jj = np.nonzero((d < theta) & (np.arange(n)[:, None] < np.arange(n)[None, :]))
+    exp = sorted(zip(ii, jj, np.round(d[ii, jj], 12)))
+    assert got == exp and len(got) == n * (n - 1) // 2
+
+    # formatted variant (name-inequality refine) under the same tiny chunks
+    tf = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "name": pa.array([f"p{int(i) % 7}" for i in range(n)], pa.string()),
+        "x": pa.array(xs), "y": pa.array(ys),
+    })
+    outf = distance_join_formatted(rd.from_arrow(tf), theta, name_col="name",
+                                   id_col="id").to_pandas()
+    names = np.array([f"p{int(i) % 7}" for i in range(n)], dtype=object)
+    iif, jjf = np.nonzero((d < theta) & (np.arange(n)[:, None] != np.arange(n)[None, :]))
+    expf = sorted((names[i], names[j], f"{d[i, j]:.4f}")
+                  for i, j in zip(iif, jjf) if names[i] != names[j])
+    gotf = sorted(zip(outf["n1"], outf["n2"], outf["dist"]))
+    assert gotf == expf
