@@ -254,8 +254,34 @@ def run_scaling() -> dict:
     }
 
 
+def _compact_line(rec: dict) -> dict:
+    """The driver captures only the LAST ~2000 chars of stdout and
+    json.loads the final line — the full ~90-query record (~3.4 KB) has been
+    truncated (and unparseable) since r3.  Emit a compact line that always
+    fits: headline fields + the 15 slowest queries + roll-up fields; the
+    complete record is written to BENCH_FULL.json beside this script."""
+    compact = dict(rec)
+    q = compact.pop("queries", {})
+    stages = compact.pop("flagship_stages", {})
+    compact["queries"] = dict(sorted(q.items(), key=lambda kv: -kv[1])[:15])
+    compact["n_queries"] = len(q)
+    compact["sum_query_sec"] = round(sum(q.values()), 2)
+    if "total_udf_sec" in stages:
+        compact["flagship_total_udf_sec"] = stages["total_udf_sec"]
+    compact["queries_full"] = "BENCH_FULL.json"
+    return compact
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        rec = run_bench()
+        if rec.get("queries"):  # headline-only (scaling children) skip the file
+            full_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+            with open(full_path, "w") as f:
+                json.dump(rec, f, indent=1)
+            print(json.dumps(_compact_line(rec)))
+        else:
+            print(json.dumps(rec))
