@@ -2269,31 +2269,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROTATION POLICY (ADVICE r3): the driver's CORRECTNESS sampling
         # checks the FIRST ~50 entries.  Priority order: (a) queries NEVER
         # driver-checked (new this round), (b) queries whose implementation
-        # CHANGED this round, (c) oldest-driver-checked first (the r1/r2
-        # tail the r3 sample missed); r3-green rows ride last and rotate
-        # forward next round.
-        # -- (a) new in r4 (never driver-checked)
-        "paragraph_dedup": q_paragraph_dedup,
-        "paragraph_dup_ratio": q_paragraph_dup_ratio,
-        "mixture_sample": q_mixture_sample,
-        "raster_band_math": q_raster_band_math,
+        # CHANGED this round, (c) oldest-driver-checked first; recently
+        # green rows ride last and rotate forward next round.
+        # -- (b) implementation changed in r5 (adaptive simhash sharding,
+        #    NULL-text delta filter, mixture persist tiers, subsampled skew
+        #    census, chunked distance kernels, rollup typing, shared
+        #    quantile level passes)
+        "simhash_pairs": q_simhash_pairs,
         "dedup_delta": q_dedup_delta,
-        "span_redact": q_span_redact,
+        "mixture_sample": q_mixture_sample,
         "skew_join": q_skew_join,
+        "distance_pairs": q_distance_pairs,
+        "distinct_lang_source": q_distinct_lang_source,
+        "rollup_lang_source": q_rollup_lang_source,
         "quantile_price": q_quantile_price,
         "quantile_price_cont": q_quantile_price_cont,
-        "rollup_lang_source": q_rollup_lang_source,
-        "normalize_text": q_normalize_text,
-        "orders_no_lineitem": q_orders_no_lineitem,
-        "customer_order_totals": q_customer_order_totals,
-        # -- (b) implementation changed in r4
-        "simhash_pairs": q_simhash_pairs,
-        "corpus_clean": q_corpus_clean,
-        "pack_sequences": q_pack_sequences,
-        "tfidf_terms": q_tfidf_terms,
-        "raster_hillshade": q_raster_hillshade,
-        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
-        # -- (c) oldest driver check first (r1/r2), then the r3-green tail
+        "quantile_chars": q_quantile_chars,
+        "quantile_filter": q_quantile_filter,
+        # -- (c) the 8 queries whose latest driver check is r1/r2 (VERDICT
+        #    r4 #5) — rotated into the checked window
+        "ann_rank": q_ann_rank,
+        "jaccard_exact_pairs": q_jaccard_exact_pairs,
+        "media_image_decode": q_media_image_decode,
+        "orders_by_segment": q_orders_by_segment,
+        "quality_counts": q_quality_counts,
+        "raster_convert": q_raster_convert,
+        "raster_pyramid": q_raster_pyramid,
+        "raster_stride_windows": q_raster_stride_windows,
+        # -- (c cont.) r3-checked rows oldest-first; the r4-checked block
+        #    rides at the end
         "pip_zones": q_pip_zones,
         "knn": q_knn,
         "zonal_summary": q_zonal_summary,
@@ -2303,7 +2307,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_mosaic": q_raster_mosaic,
         "order_lineitem_join": q_order_lineitem_join,
         "hilbert_key": q_hilbert_key,
-        "distance_pairs": q_distance_pairs,
         "rasterize": q_rasterize,
         "raster_summary": q_raster_summary,
         "token_stats": q_token_stats,
@@ -2316,7 +2319,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": q_lineitem_pricing,
         "zone_anti_join": q_zone_anti_join,
         "top_chars": q_top_chars,
-        "distinct_lang_source": q_distinct_lang_source,
         "stride_sample": q_stride_sample,
         "knn_indexed": q_knn_indexed,
         "knn_many": q_knn_many,
@@ -2325,21 +2327,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_rtree": q_knn_rtree,
         "box_join": q_box_join,
         "asof_join": q_asof_join,
-        "orders_by_segment": q_orders_by_segment,
-        "ann_rank": q_ann_rank,
-        "jaccard_exact_pairs": q_jaccard_exact_pairs,
-        "quality_counts": q_quality_counts,
-        "raster_stride_windows": q_raster_stride_windows,
-        "raster_convert": q_raster_convert,
-        "raster_pyramid": q_raster_pyramid,
-        "media_image_decode": q_media_image_decode,
         "media_audio_frames": q_media_audio_frames,
         "audio_energy": q_audio_energy,
         "media_image_checksum": q_media_image_checksum,
         "dedup_apply": q_dedup_apply,
         "media_video_frames": q_media_video_frames,
-        "quantile_chars": q_quantile_chars,
-        "quantile_filter": q_quantile_filter,
         "top_docs_per_lang": q_top_docs_per_lang,
         "chunk_docs": q_chunk_docs,
         "shuffle_head": q_shuffle_head,
@@ -2378,6 +2370,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": q_ann_cosine,
         "tile_assign": q_tile_assign,
         "cell_assign": q_cell_assign,
+        # -- r4-checked block (most recently green, rides last)
+        "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_dup_ratio": q_paragraph_dup_ratio,
+        "raster_band_math": q_raster_band_math,
+        "span_redact": q_span_redact,
+        "normalize_text": q_normalize_text,
+        "orders_no_lineitem": q_orders_no_lineitem,
+        "customer_order_totals": q_customer_order_totals,
+        "corpus_clean": q_corpus_clean,
+        "pack_sequences": q_pack_sequences,
+        "tfidf_terms": q_tfidf_terms,
+        "raster_hillshade": q_raster_hillshade,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     }
 
 
