@@ -769,7 +769,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
                         num_perm: int = 64, bands: int = 16,
-                        max_bucket: int = 1000):
+                        max_bucket: int = 1000, bloom_prefilter: bool = True):
     """n-gram Jaccard near-dup: MinHash-LSH candidates -> texts re-attached
     via a hash-partitioned SHUFFLE JOIN on doc_id (no driver-side corpus
     materialization, no ray.put of the text column) -> exact Jaccard per
@@ -777,13 +777,18 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
 
     Scale shape: the candidate side is tiny (near-dup pairs), the text side
     streams through a hash-partitioned join once; the inner join IS the
-    semi-join that drops non-candidate texts.  (At 100 TB a bloom-filter
-    pushdown on doc_id would additionally prune before the shuffle.)  The
-    bucketed tier is used rather than Dataset.join because this join sits
-    mid-pipeline between two other shuffles — the groupby-based bucket join
-    shares the sort-shuffle machinery instead of spawning a separate
-    aggregator-actor pool that competes for CPUs with the up/downstream
-    stages.  Output: id1 < id2, jaccard >= threshold (exact, float64)."""
+    semi-join that drops non-candidate texts.  ``bloom_prefilter`` (r5,
+    default on) additionally prunes BEFORE that shuffle: the probe rows
+    materialize once (bounded — two narrow rows per candidate pair), a
+    distributed bloom of their doc_ids broadcasts via ray.put, and
+    non-candidate texts die in a narrow vectorized pass (bloom + exact
+    verify, see joins.bloom_semi_join) — at 100 TB only candidate texts
+    ever enter the all-to-all.  The bucketed tier is used rather than
+    Dataset.join because this join sits mid-pipeline between two other
+    shuffles — the groupby-based bucket join shares the sort-shuffle
+    machinery instead of spawning a separate aggregator-actor pool that
+    competes for CPUs with the up/downstream stages.  Output: id1 < id2,
+    jaccard >= threshold (exact, float64)."""
     from .joins import bucketed_hash_join
 
     # distinct=False: the per-pair verify below already groups by pair, so
@@ -814,6 +819,16 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
     i64 = pa.int64()
     probe_schema = pa.schema([("doc_id", i64), ("id1", i64), ("id2", i64), ("slot", pa.int8())])
     text_schema = pa.schema([("doc_id", i64), ("text", pa.string())])
+    if bloom_prefilter:
+        from .joins import bloom_semi_join
+
+        # materialize the probe rows ONCE (bounded: two narrow rows per
+        # candidate pair) — the bloom build AND the verify join both
+        # consume them; without this each consumer would re-execute the
+        # entire LSH candidate pipeline
+        probes = probes.materialize()
+        texts = bloom_semi_join(texts, probes, on="doc_id",
+                                schemas=(text_schema, probe_schema))
     # static schemas: .schema() on the probes side would re-execute the
     # whole LSH candidate pipeline once more just for the column list
     # buckets ~ CPUs (not the 8x default): this is a small verify join and

@@ -37,6 +37,9 @@ CHECKS = [
         "paragraph_dup_ratio",
         "mixture_sample",
         "dedup_delta",
+        "rollup_lang_source",
+        "quantile_price",
+        "quantile_price_cont",
         "vocab_coverage",
         "quantile_chars",
         "token_stats",
@@ -97,10 +100,24 @@ def build_corpus(dst: str) -> None:
     })
     pq.write_table(out, f"{dst}/embeddings.parquet")
 
+    # lineitem replicates too (r5: the quantile_price/_cont decade checks
+    # read it) — exact row duplication with shifted orderkeys, which is the
+    # WORST case for the radix refinement: every value bin's occupancy
+    # grows 10x, forcing recursion through oversized duplicate-heavy bins
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    nk = np.asarray(li["l_orderkey"].to_pylist(), dtype=np.int64)
+    kmax = int(nk.max()) + 1 if len(nk) else 1
+    li_parts = []
+    for k in range(REPLICAS):
+        part = li.set_column(li.schema.get_field_index("l_orderkey"),
+                             "l_orderkey", pa.array(nk + k * kmax)) if k else li
+        li_parts.append(part)
+    pq.write_table(pa.concat_tables(li_parts), f"{dst}/lineitem.parquet")
+
     # other tables ride along unreplicated (none of the checked queries
     # read them, but _read_pq of a missing table would fail fast anyway)
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
+              "events"):
         src = f"{SRC}/{t}.parquet"
         if os.path.exists(src):
             pq.write_table(pq.read_table(src), f"{dst}/{t}.parquet")

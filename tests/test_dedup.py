@@ -544,3 +544,21 @@ def test_simhash_auto_shards_hot_bucket(ray_session, tmp_path):
                                 df["hamming"].astype(int)))
     assert key(auto) == key(fixed)
     assert len(auto) >= 40 * 39 // 2  # the planted clique is all recovered
+
+
+def test_ngram_jaccard_bloom_prefilter_parity(ray_session):
+    """r5: the bloom text-pushdown (prune non-candidate texts before the
+    re-attach shuffle) must return the identical pair set to the plain
+    bucketed-join path."""
+    import ray.data as rd
+
+    t, planted = _mk_texts()
+
+    def run(bloom):
+        out = dedup.ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.5,
+                                        bloom_prefilter=bloom).to_pandas()
+        return sorted(zip(out["id1"].astype(int), out["id2"].astype(int),
+                          np.round(out["jaccard"], 12)))
+
+    on, off = run(True), run(False)
+    assert on == off and len(on) > 0
