@@ -951,10 +951,18 @@ def q_simhash_pairs(sf_dir: str):
 def q_ngram_jaccard_pairs(sf_dir: str):
     """n-gram Jaccard near-dup: LSH candidates + exact Jaccard >= 0.5
     (rows-only; exact float verify happens Ray-side)."""
+    import pyarrow.parquet as _pq
+
     from geotrellis_contrib_ray.stages import dedup
 
-    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup.ngram_jaccard_pairs(ds, threshold=0.5, max_bucket=1_000_000)
+    path = f"{sf_dir}/documents.parquet"
+    ds = _read_pq(path, columns=["doc_id", "text"])
+    # approx_rows from the parquet FOOTER (never ds.count()): the "auto"
+    # bloom tier prunes texts before the re-attach shuffle only once the
+    # corpus is large enough for the pushdown's fixed cost to pay off
+    return dedup.ngram_jaccard_pairs(
+        ds, threshold=0.5, max_bucket=1_000_000,
+        approx_rows=_pq.ParquetFile(path).metadata.num_rows)
 
 
 def q_jaccard_exact_pairs(sf_dir: str):

@@ -767,9 +767,22 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, bands: int = 4,
             .groupby(["band_id", "gslot"]).map_groups(pairs, batch_format="pandas"))
 
 
+# Row count past which ngram_jaccard_pairs' bloom text-pushdown pays for
+# itself: the pushdown's fixed cost (probe materialize + distributed bloom
+# build + broadcast) is ~1.5 s on this host — about what the re-attach
+# shuffle pays to move ~100 MB of unpruned text — while its saving scales
+# with the NON-candidate text volume (linear in the corpus; candidates
+# grow like near-dup pairs).  Measured: sf0.1 (5k docs) bloom costs ~1.4 s
+# net, 10x-decade (50k docs) roughly break-even, so the row proxy for the
+# ~100 MB break-even at ~1 KB/doc is 100k rows.
+_BLOOM_PUSHDOWN_ROWS = 100_000
+
+
 def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
                         num_perm: int = 64, bands: int = 16,
-                        max_bucket: int = 1000, bloom_prefilter: bool = True):
+                        max_bucket: int = 1000,
+                        bloom_prefilter: bool | str = "auto",
+                        approx_rows: int | None = None):
     """n-gram Jaccard near-dup: MinHash-LSH candidates -> texts re-attached
     via a hash-partitioned SHUFFLE JOIN on doc_id (no driver-side corpus
     materialization, no ray.put of the text column) -> exact Jaccard per
@@ -777,19 +790,29 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
 
     Scale shape: the candidate side is tiny (near-dup pairs), the text side
     streams through a hash-partitioned join once; the inner join IS the
-    semi-join that drops non-candidate texts.  ``bloom_prefilter`` (r5,
-    default on) additionally prunes BEFORE that shuffle: the probe rows
+    semi-join that drops non-candidate texts.  ``bloom_prefilter`` (r5)
+    additionally prunes BEFORE that shuffle: the probe rows
     materialize once (bounded — two narrow rows per candidate pair), a
     distributed bloom of their doc_ids broadcasts via ray.put, and
     non-candidate texts die in a narrow vectorized pass (bloom + exact
     verify, see joins.bloom_semi_join) — at 100 TB only candidate texts
-    ever enter the all-to-all.  The bucketed tier is used rather than
+    ever enter the all-to-all.  ``bloom_prefilter="auto"`` (default) turns
+    the pushdown on when ``approx_rows`` (pass the input's parquet-FOOTER
+    row count, never ``ds.count()``) reaches ``_BLOOM_PUSHDOWN_ROWS``, and
+    off below it where the pushdown's fixed cost exceeds the unpruned
+    shuffle; the pair set is tier-independent (the bloom is an exact
+    prefilter — the verify join still decides membership).  The bucketed
+    tier is used rather than
     Dataset.join because this join sits mid-pipeline between two other
     shuffles — the groupby-based bucket join shares the sort-shuffle
     machinery instead of spawning a separate aggregator-actor pool that
     competes for CPUs with the up/downstream stages.  Output: id1 < id2,
     jaccard >= threshold (exact, float64)."""
     from .joins import bucketed_hash_join
+
+    if bloom_prefilter == "auto":
+        bloom_prefilter = (approx_rows is not None
+                           and approx_rows >= _BLOOM_PUSHDOWN_ROWS)
 
     # distinct=False: the per-pair verify below already groups by pair, so
     # the candidate-distinct barrier (a full extra all-to-all) is skipped;

@@ -562,3 +562,15 @@ def test_ngram_jaccard_bloom_prefilter_parity(ray_session):
 
     on, off = run(True), run(False)
     assert on == off and len(on) > 0
+
+    # the "auto" tier resolves from approx_rows against _BLOOM_PUSHDOWN_ROWS
+    # (small corpus -> pushdown off, big footer count -> on) and both
+    # resolutions return the same pair set
+    auto_small = dedup.ngram_jaccard_pairs(
+        rd.from_arrow(t), threshold=0.5, approx_rows=len(t)).to_pandas()
+    auto_big = dedup.ngram_jaccard_pairs(
+        rd.from_arrow(t), threshold=0.5,
+        approx_rows=dedup._BLOOM_PUSHDOWN_ROWS).to_pandas()
+    key = lambda df: sorted(zip(df["id1"].astype(int), df["id2"].astype(int),
+                                np.round(df["jaccard"], 12)))
+    assert key(auto_small) == off and key(auto_big) == on
