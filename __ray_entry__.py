@@ -319,6 +319,57 @@ def q_sessionize(sf_dir: str):
     return windows.sessionize(ds, gap_sec=SESSION_GAP_SEC)
 
 
+def q_window_funcs(sf_dir: str):
+    """Per-row SQL window functions (ROW_NUMBER / RANK / LAG gap / running
+    sum) per user over events — the full-output window surface next to the
+    winners-only top_k_per_group tier."""
+    from geotrellis_contrib_ray.pipelines.query_defs import WINDOW_GAP_NONE
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "value"])
+    return windows.window_functions(ds, gap_none=WINDOW_GAP_NONE)
+
+
+def q_mode_chars(sf_dir: str):
+    """Exact per-language MODE of n_chars (ties -> smallest value)."""
+    from geotrellis_contrib_ray.stages.stats import grouped_mode
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return grouped_mode(ds, "lang", "n_chars")
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-bin histogram of o_totalprice: bounded bins, driver rollup
+    (zero all-to-all)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import HIST_BIN_WIDTH, HIST_NBINS
+    from geotrellis_contrib_ray.stages.stats import value_histogram
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return value_histogram(ds, "o_totalprice", HIST_BIN_WIDTH, HIST_NBINS)
+
+
+def q_corr_stats(sf_dir: str):
+    """Exact bivariate moment sums + Pearson r per returnflag — the
+    distributed correlation building block (x = whole dollars of
+    l_extendedprice, y = whole pct points of l_discount; int64-exact)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.stages.stats import grouped_moments
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.floor(b["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return grouped_moments(prepped, "l_returnflag", "x", "y")
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style pricing rollup with exact integer-cent sums."""
     import pyarrow as pa
@@ -2279,6 +2330,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-checked (new this round), (b) queries whose implementation
         # CHANGED this round, (c) oldest-driver-checked first; recently
         # green rows ride last and rotate forward next round.
+        # -- (a) NEW this round, never driver-checked: per-row window
+        #    functions, grouped mode, fixed-bin histogram, moment sums
+        "window_funcs": q_window_funcs,
+        "mode_chars": q_mode_chars,
+        "price_histogram": q_price_histogram,
+        "corr_stats": q_corr_stats,
         # -- (b) implementation changed in r5 (adaptive simhash sharding,
         #    NULL-text delta filter, mixture persist tiers, subsampled skew
         #    census, chunked distance kernels, rollup typing, shared
@@ -2602,6 +2659,63 @@ sessions AS (
 )
 SELECT user_id, min(s) AS session_start, count(*) AS n_events
 FROM sessions GROUP BY user_id, sess"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        HIST_BIN_WIDTH,
+        HIST_NBINS,
+        WINDOW_GAP_NONE,
+        corr_sql_expr,
+    )
+    from geotrellis_contrib_ray.pipelines.query_defs import _dbl as _d
+
+    sql["window_funcs"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       rank() OVER (PARTITION BY user_id ORDER BY tus) AS rk,
+       COALESCE(tus - lag(tus) OVER w, {WINDOW_GAP_NONE}) AS gap_us,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)"""
+
+    sql["mode_chars"] = """
+WITH c AS (
+  SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY lang, n_chars
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, n_chars) AS rnum
+  FROM c
+)
+SELECT lang, CAST(cnt AS BIGINT) AS cnt, n_chars FROM r WHERE rnum = 1"""
+
+    sql["price_histogram"] = f"""
+SELECT LEAST(CAST(floor(o_totalprice / {_d(HIST_BIN_WIDTH)}) AS BIGINT),
+             {HIST_NBINS - 1}) AS bin,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(*) AS n_rows
+FROM orders GROUP BY bin"""
+
+    sql["corr_stats"] = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice) AS BIGINT) AS x,
+         CAST(floor(l_discount * 100.0) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, count(*) AS n_rows,
+         CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(y * y) AS BIGINT) AS sum_yy
+  FROM m GROUP BY l_returnflag
+)
+SELECT *, {corr_sql_expr()} AS corr_r FROM s"""
 
     sql["lineitem_pricing"] = """
 SELECT l_returnflag, l_linestatus,

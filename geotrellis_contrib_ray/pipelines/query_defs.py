@@ -104,6 +104,32 @@ SPLIT_VAL_BELOW = 20
 STRIDE_N = 5
 STRIDE_LIMIT = 100
 
+# per-row window functions over events (window_funcs query): ordering is
+# (epoch_us, event_id); the first-row LAG gap is this sentinel on BOTH
+# sides (no SQL NULLs — the driver's value hash must see identical values)
+WINDOW_GAP_NONE = -1
+
+# fixed-bin histogram over orders.o_totalprice (price_histogram query):
+# bin = min(floor(price / WIDTH), NBINS-1), shared float literal via _dbl
+HIST_BIN_WIDTH = 30000.0
+HIST_NBINS = 20
+
+
+def corr_sql_expr(n: str = "n_rows", sx: str = "sum_x", sy: str = "sum_y",
+                  sxx: str = "sum_xx", sxy: str = "sum_xy",
+                  syy: str = "sum_yy") -> str:
+    """Pearson r over exact integer moment sums — token-for-token the same
+    IEEE parse tree as stages/stats.py::corr_from_moments (cast each integer
+    to double FIRST, then (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) *
+    sqrt(n*syy - sy*sy))), so the float column hash-matches."""
+    def d(c: str) -> str:
+        return f"CAST({c} AS DOUBLE)"
+
+    return (f"(({d(n)} * {d(sxy)} - {d(sx)} * {d(sy)}) / "
+            f"(sqrt({d(n)} * {d(sxx)} - {d(sx)} * {d(sx)}) * "
+            f"sqrt({d(n)} * {d(syy)} - {d(sy)} * {d(sy)})))")
+
+
 # interval join: closed [lo, hi] ranges over events.value.  Integer-valued
 # doubles (no literal drift between numpy and DuckDB), step 3 / width 4 so
 # adjacent intervals overlap by 1.0 and a value can hit two intervals.

@@ -139,6 +139,116 @@ def grouped_quantiles(ds, value_col: str, qs: tuple[float, ...],
     )
 
 
+def grouped_mode(ds, group_col: str, value_col: str):
+    """Exact per-group MODE (most frequent value; ties -> smallest value):
+    per-batch (group, value) count partials, ONE bounded-salt shuffle to
+    total the histogram, then the top-k winner merge (k=1) — never a
+    per-group python pass at corpus-scale group counts, and the shuffle
+    moves one row per distinct (group, value) per block, not the corpus.
+
+    Same total order as the SQL twin
+    ``row_number() OVER (PARTITION BY g ORDER BY cnt DESC, value)``.
+    Output: (group_col, cnt, value_col)."""
+    from .agg import salted_group_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([group_col, value_col])
+            .group_by([group_col, value_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, value_col, "pcnt"])
+
+    hist = salted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        [group_col, value_col],
+        [("pcnt", "sum", "cnt")],
+    )
+    return top_k_per_group(hist, group_col, "cnt", 1, tie_col=value_col,
+                           ascending=False)
+
+
+def value_histogram(ds, value_col: str, width: float, nbins: int):
+    """Fixed-width-bin histogram with integer-cent value sums:
+    bin = min(floor(x / width), nbins - 1).  Bin count is a small constant,
+    so this is the BOUNDED-groups tier — per-batch bincount partials combine
+    on the driver with NO all-to-all at all (the total-reduce tier rule).
+    Empty bins are absent (GROUP BY semantics, same as the SQL twin).
+
+    Output: (bin:int64, sum_cents:int64, n_rows:int64)."""
+    from .agg import driver_group_rollup
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[value_col].to_numpy(zero_copy_only=False)
+        binv = np.minimum(np.floor(x / width).astype(np.int64), nbins - 1)
+        cents = np.floor(x * 100.0).astype(np.int64)
+        t = pa.table({"bin": pa.array(binv), "c": pa.array(cents)})
+        g = t.group_by("bin", use_threads=False).aggregate(
+            [("c", "sum"), ("c", "count")])
+        return g.rename_columns(["bin", "ps", "pc"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return driver_group_rollup(
+        part, ["bin"],
+        [("ps", "sum", "sum_cents"), ("pc", "sum", "n_rows")])
+
+
+def corr_from_moments(n, sx, sy, sxx, sxy, syy):
+    """Pearson r from exact integer moment sums — ONE fixed double
+    expression, mirrored token-for-token by query_defs.corr_sql_expr so the
+    float column hash-matches the DuckDB twin (the quantile_cont replay
+    precedent: both engines evaluate the identical IEEE parse tree over the
+    same exact integers)."""
+    fn = n.astype(np.float64)
+    fsx = sx.astype(np.float64)
+    fsy = sy.astype(np.float64)
+    fsxx = sxx.astype(np.float64)
+    fsxy = sxy.astype(np.float64)
+    fsyy = syy.astype(np.float64)
+    return (fn * fsxy - fsx * fsy) / (
+        np.sqrt(fn * fsxx - fsx * fsx) * np.sqrt(fn * fsyy - fsy * fsy))
+
+
+def grouped_moments(ds, group_col: str, x_col: str, y_col: str):
+    """Distributed bivariate moment sums per group — the exact building
+    block of COUNT/COV/CORR at any scale: per-batch integer partials of
+    (n, Σx, Σy, Σx², Σxy, Σy²), driver rollup (bounded groups, NO
+    all-to-all), then Pearson r via one shared double expression.
+
+    ``x_col``/``y_col`` must already be int64 (callers floor-scale their
+    doubles); int64 is exact while per-group Σx² < 2^63 — with x < 10^5
+    (whole dollars) that is ~10^9 rows per group, beyond which callers
+    rescale x (the twin shares the scale constant either way).
+
+    Output: (group_col, n_rows, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
+    corr_r:float64)."""
+    from .agg import driver_group_rollup
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            group_col: b[group_col],
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "xy": pa.array(x * y),
+            "yy": pa.array(y * y),
+        })
+        g = t.group_by(group_col, use_threads=False).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"),
+             ("xy", "sum"), ("yy", "sum"), ("x", "count")])
+        return g.rename_columns([group_col, "px", "py", "pxx", "pxy", "pyy", "pn"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = driver_group_rollup(
+        part, [group_col],
+        [("pn", "sum", "n_rows"), ("px", "sum", "sum_x"), ("py", "sum", "sum_y"),
+         ("pxx", "sum", "sum_xx"), ("pxy", "sum", "sum_xy"), ("pyy", "sum", "sum_yy")])
+    r = corr_from_moments(
+        out["n_rows"].to_numpy(), out["sum_x"].to_numpy(), out["sum_y"].to_numpy(),
+        out["sum_xx"].to_numpy(), out["sum_xy"].to_numpy(), out["sum_yy"].to_numpy())
+    return out.append_column("corr_r", pa.array(r, pa.float64()))
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog — the APPROXIMATE tier next to the exact pair-shuffle distinct
 # ---------------------------------------------------------------------------

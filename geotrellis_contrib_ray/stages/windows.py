@@ -137,6 +137,71 @@ def sliding_window_agg(ds, size_sec: int = 3600, hop_sec: int = 1800):
     )
 
 
+def window_functions(ds, gap_none: int = -1, group_salt: int = 64):
+    """Per-row SQL window functions over events, per user ordered by
+    (epoch_us, event_id): ROW_NUMBER, RANK (ties on the timestamp), the
+    LAG time gap, and a running integer-cent sum — one salted-group
+    vectorized pass (sessionize's plan: users are salted into bounded
+    groups, equal users never split across groups, so results equal the
+    per-user SQL window exactly).
+
+    Unlike ``top_k_per_group`` (winners only) this emits EVERY input row
+    with its window values; the per-row output never re-shuffles (the one
+    wide step is the salt groupby).  ``gap_none`` is the first-row LAG
+    sentinel — no SQL NULLs, so the oracle hash sees identical values.
+    Partitioning assumption: one salted group (~rows/group_salt) fits a
+    worker — scale group_salt with the corpus.
+
+    Output: event_id, user_id, rn, rk, gap_us, cum_cents (all int64)."""
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = (uid * np.int64(2654435761)) % group_salt
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from .agg import _default_shuffle_partitions
+
+    salted = salted.repartition(_default_shuffle_partitions())
+
+    def per_salt(g):
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"event_id": z, "user_id": z, "rn": z, "rk": z,
+                             "gap_us": z, "cum_cents": z})
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((eid, tus, uid))
+        u, t, e, c = uid[order], tus[order], eid[order], cents[order]
+        idx = np.arange(n, dtype=np.int64)
+        grp_new = np.r_[True, u[1:] != u[:-1]]
+        gstart = np.maximum.accumulate(np.where(grp_new, idx, 0))
+        rn = idx - gstart + 1
+        # RANK: first index of this (user, ts) run, relative to group start
+        key_new = grp_new.copy()
+        key_new[1:] |= t[1:] != t[:-1]
+        first_same = np.maximum.accumulate(np.where(key_new, idx, 0))
+        rk = first_same - gstart + 1
+        gap = np.where(grp_new, np.int64(gap_none), t - np.r_[t[:1], t[:-1]])
+        cs = np.cumsum(c)
+        pre = cs - c  # exclusive prefix sum
+        cum = cs - pre[gstart]
+        return pa.table({
+            "event_id": pa.array(e), "user_id": pa.array(u),
+            "rn": pa.array(rn), "rk": pa.array(rk),
+            "gap_us": pa.array(gap.astype(np.int64)),
+            "cum_cents": pa.array(cum),
+        })
+
+    return salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
+
+
 def window_distinct_users(ds, window_sec: int = 3600):
     """EXACT count-distinct per tumbling window — the two-level distinct
     shape: per-batch collapse to distinct (window, user) pairs (narrow),

@@ -208,3 +208,68 @@ def test_quantile_refinement_one_scan_per_level(ray_session, monkeypatch):
     # 1 initial pass + <= ceil(64/16) refinement levels, NOT 1 + 4*levels
     # (>= 2 proves the patch is live and recursion actually happened)
     assert 2 <= calls["n"] <= 5, calls["n"]
+
+
+def test_grouped_mode_ties_smallest_value(ray_session):
+    import ray.data as rd
+
+    # 'en': 7 appears 3x, 9 appears 3x (tie -> smallest = 7); 'fr': 4 wins
+    t = pa.table({
+        "lang": pa.array(["en"] * 8 + ["fr"] * 3, pa.string()),
+        "v": pa.array([7, 7, 7, 9, 9, 9, 5, 8, 4, 4, 1], pa.int64()),
+    })
+    out = (
+        __import__("geotrellis_contrib_ray.stages.stats", fromlist=["grouped_mode"])
+        .grouped_mode(rd.from_arrow(t), "lang", "v")
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    )
+    assert out["lang"].tolist() == ["en", "fr"]
+    assert out["v"].tolist() == [7, 4]
+    assert out["cnt"].tolist() == [3, 2]
+
+
+def test_value_histogram_clamps_top_bin(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.stats import value_histogram
+
+    x = np.array([0.5, 9.9, 10.0, 25.0, 99.0, 1000.0])  # width 10, 4 bins
+    t = pa.table({"x": pa.array(x, pa.float64())})
+    out = value_histogram(rd.from_arrow(t), "x", 10.0, 4).to_pandas()
+    out = out.sort_values("bin").reset_index(drop=True)
+    # 0: [0.5, 9.9]; 1: [10.0]; 2: [25.0]; 3 (clamped): [99.0, 1000.0]
+    assert out["bin"].tolist() == [0, 1, 2, 3]
+    assert out["n_rows"].tolist() == [2, 1, 1, 2]
+    assert out["sum_cents"].tolist() == [1040, 1000, 2500, 109900]
+
+
+def test_grouped_moments_exact_and_corr_expr(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.pipelines.query_defs import corr_sql_expr
+    from geotrellis_contrib_ray.stages.stats import grouped_moments
+
+    rng = np.random.default_rng(7)
+    g = np.array(["A", "B"])[rng.integers(0, 2, 400)]
+    x = rng.integers(0, 100_000, 400).astype(np.int64)
+    y = (x // 1000 + rng.integers(0, 50, 400)).astype(np.int64)  # correlated
+    t = pa.table({"g": pa.array(g.tolist(), pa.string()),
+                  "x": pa.array(x), "y": pa.array(y)})
+    out = grouped_moments(rd.from_arrow(t), "g", "x", "y").to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(f"""
+        WITH s AS (SELECT g, count(*) AS n_rows,
+          CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+          CAST(sum(x*x) AS BIGINT) AS sum_xx, CAST(sum(x*y) AS BIGINT) AS sum_xy,
+          CAST(sum(y*y) AS BIGINT) AS sum_yy FROM t GROUP BY g)
+        SELECT *, {corr_sql_expr()} AS corr_r FROM s ORDER BY g""").df()
+    for c in ["n_rows", "sum_x", "sum_y", "sum_xx", "sum_xy", "sum_yy"]:
+        assert out[c].astype(np.int64).tolist() == exp[c].astype(np.int64).tolist()
+    # the shared double expression must be BIT-identical, not just close
+    assert out["corr_r"].values.tobytes() == exp["corr_r"].values.tobytes()
+    # sanity: the planted correlation is strong
+    assert (out["corr_r"] > 0.8).all()

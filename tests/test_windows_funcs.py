@@ -1,0 +1,59 @@
+"""Per-row window functions (stages/windows.py::window_functions):
+hand-computed tie/rank/gap/running-sum semantics + salt independence.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _events_table():
+    # two users; user 1 has a ts TIE (events 2 and 3 share t=100)
+    ts = pa.array(
+        np.array([100, 100, 250, 40, 90], dtype="datetime64[us]").astype("datetime64[us]")
+    )
+    return pa.table({
+        "event_id": pa.array([3, 2, 5, 10, 11], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, 0.5, 0.25], pa.float64()),
+    })
+
+
+def test_window_functions_hand_case(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import window_functions
+
+    out = (
+        window_functions(rd.from_arrow(_events_table()))
+        .to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True)
+    )
+    # user 1 order: (t=100,eid=2), (t=100,eid=3), (t=250,eid=5)
+    assert out["event_id"].tolist() == [2, 3, 5, 10, 11]
+    assert out["rn"].tolist() == [1, 2, 3, 1, 2]
+    # RANK ties on ts: both t=100 rows rank 1, t=250 ranks 3
+    assert out["rk"].tolist() == [1, 1, 3, 1, 2]
+    # LAG gap: first row sentinel -1; tie rows gap 0
+    assert out["gap_us"].tolist() == [-1, 0, 150, -1, 50]
+    # running cents per user in (ts, event_id) order
+    assert out["cum_cents"].tolist() == [200, 300, 600, 50, 75]
+
+
+def test_window_functions_salt_independent(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import window_functions
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 37, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 500, n).astype("datetime64[us]")),
+        "value": pa.array(rng.uniform(0, 10, n)),
+    })
+    a = (window_functions(rd.from_arrow(t), group_salt=1).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (window_functions(rd.from_arrow(t), group_salt=64).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    assert a.equals(b)
