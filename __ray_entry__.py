@@ -370,6 +370,15 @@ def q_corr_stats(sf_dir: str):
     return grouped_moments(prepped, "l_returnflag", "x", "y")
 
 
+def q_user_paths(sf_dir: str):
+    """Ordered event-type sequence per user (string_agg ORDER BY twin)."""
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+    return windows.user_paths(ds)
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style pricing rollup with exact integer-cent sums."""
     import pyarrow as pa
@@ -2333,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- (a) NEW this round, never driver-checked: per-row window
         #    functions, grouped mode, fixed-bin histogram, moment sums
         "window_funcs": q_window_funcs,
+        "user_paths": q_user_paths,
         "mode_chars": q_mode_chars,
         "price_histogram": q_price_histogram,
         "corr_stats": q_corr_stats,
@@ -2682,6 +2692,15 @@ SELECT event_id, user_id,
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)"""
+
+    sql["user_paths"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '->' ORDER BY tus, event_id) AS path,
+       count(*) AS n_events
+FROM e GROUP BY user_id"""
 
     sql["mode_chars"] = """
 WITH c AS (

@@ -202,6 +202,60 @@ def window_functions(ds, gap_none: int = -1, group_salt: int = 64):
     return salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
 
 
+def user_paths(ds, sep: str = "->", max_events: int | None = None,
+               group_salt: int = 64):
+    """Ordered sequence collection (SQL ``string_agg(... ORDER BY)``): each
+    user's event_type sequence in (epoch_us, event_id) order, joined with
+    ``sep`` — the behavioral-sequence builder a training-data pipeline uses
+    to turn event logs into path strings.
+
+    Same salted-group plan as sessionize/window_functions: the string build
+    is a per-user join over group boundaries (O(rows) total work inside the
+    vectorized sort).  ``max_events`` truncates each user's path to its
+    FIRST n events — the scale valve for hot users whose full path would be
+    one giant string (None = unbounded, matching the plain SQL twin).
+
+    Output: user_id, path (string), n_events (int64, pre-truncation)."""
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = (uid * np.int64(2654435761)) % group_salt
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from .agg import _default_shuffle_partitions
+
+    salted = salted.repartition(_default_shuffle_partitions())
+
+    def per_salt(g):
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "path": pa.array([], pa.string()),
+                             "n_events": z})
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy().astype(object)
+        order = np.lexsort((eid, tus, uid))
+        u, e = uid[order], et[order]
+        starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        bounds = np.r_[starts, n]
+        lens = np.diff(bounds)
+        cut = lens if max_events is None else np.minimum(lens, max_events)
+        paths = [sep.join(e[s:s + c]) for s, c in zip(bounds[:-1], cut)]
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "path": pa.array(paths, pa.string()),
+            "n_events": pa.array(lens.astype(np.int64)),
+        })
+
+    return salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
+
+
 def window_distinct_users(ds, window_sec: int = 3600):
     """EXACT count-distinct per tumbling window — the two-level distinct
     shape: per-batch collapse to distinct (window, user) pairs (narrow),

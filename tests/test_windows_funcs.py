@@ -57,3 +57,21 @@ def test_window_functions_salt_independent(ray_session):
     b = (window_functions(rd.from_arrow(t), group_salt=64).to_pandas()
          .sort_values("event_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_user_paths_order_and_cap(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import user_paths
+
+    t = _events_table().append_column(
+        "event_type", pa.array(["b", "a", "c", "x", "y"], pa.string()))
+    out = (user_paths(rd.from_arrow(t)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # user 1 tie at t=100 breaks on event_id (2 before 3): a, b, c
+    assert out["path"].tolist() == ["a->b->c", "x->y"]
+    assert out["n_events"].tolist() == [3, 2]
+    capped = (user_paths(rd.from_arrow(t), max_events=2).to_pandas()
+              .sort_values("user_id").reset_index(drop=True))
+    assert capped["path"].tolist() == ["a->b", "x->y"]
+    assert capped["n_events"].tolist() == [3, 2]  # count is pre-truncation
