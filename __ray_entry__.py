@@ -767,14 +767,101 @@ def q_orders_no_lineitem(sf_dir: str):
                                [("pn", "sum", "n_orders")])
 
 
-def q_customer_order_totals(sf_dir: str):
+# star-schema broadcast gate: both dimension-side parquet FOOTER row counts
+# (never ds.count()) must be under this for the zero-shuffle tier — the
+# classic broadcast-join threshold; past it the two-join chain runs
+_DIM_BROADCAST_ROWS = 2_000_000
+
+
+def q_customer_order_totals(sf_dir: str, tier: str = "auto"):
     """THREE-way chain join (r4): customer ⋈ orders ⋈ lineitem, rolled up
-    per market segment — two composed bucketed joins (segment rides the
-    first join as a carried column; integer cents only cross the hash)."""
+    per market segment.  Two tiers (r5), same result set:
+
+    - ``broadcast`` (auto when BOTH dimension sides' parquet footer row
+      counts are <= _DIM_BROADCAST_ROWS): the star-schema plan — the driver
+      composes the bounded orderkey→segment-code map from two direct
+      parquet reads, ``ray.put``s it once, and the lineitem fact stream
+      probes it inside map_batches with a bincount partial — ZERO shuffles
+      (the chain tier pays two).
+    - ``chain``: two composed bucketed joins (segment rides the first join
+      as a carried column; integer cents only cross the hash) — the plan
+      when orders/customer are themselves fact-scale."""
     import pyarrow as pa
+    import pyarrow.parquet as pq_
 
     from geotrellis_contrib_ray.stages.agg import driver_group_rollup
     from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    if tier == "auto":
+        n_c = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+        n_o = pq_.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+        tier = ("broadcast"
+                if max(n_c, n_o) <= _DIM_BROADCAST_ROWS else "chain")
+
+    if tier == "broadcast":
+        import ray
+
+        cust_t = pq_.read_table(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_mktsegment"])
+        ord_t = pq_.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+        ck = cust_t["c_custkey"].to_numpy()
+        corder = np.argsort(ck, kind="stable")
+        ck_sorted = ck[corder]
+        seg_np = cust_t["c_mktsegment"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(seg_np, return_inverse=True)
+        segs_uniq = [str(s) for s in uniq]
+        codes = inv.astype(np.int64)[corder]
+        ok = ord_t["o_custkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ck_sorted, ok), 0, len(ck_sorted) - 1)
+        hit = ck_sorted[pos] == ok  # INNER semantics: orphan orders drop
+        okeys = ord_t["o_orderkey"].to_numpy()[hit]
+        oseg = codes[pos][hit]
+        oorder = np.argsort(okeys, kind="stable")
+        lookup_ref = ray.put((okeys[oorder], oseg[oorder]))
+        nseg = len(segs_uniq)
+
+        li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_extendedprice"])
+        from geotrellis_contrib_ray.stages.text import _WORKER_SCORER_CACHE as _wc
+
+        def probe(b: pa.Table) -> pa.Table:
+            key = lookup_ref.hex()
+            entry = _wc.get(key)
+            if entry is None:
+                entry = ray.get(lookup_ref)
+                _wc[key] = entry
+            keys, segc = entry
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            p = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+            h = keys[p] == lk
+            code = segc[p][h]
+            cents = np.floor(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)[h] * 100.0
+            ).astype(np.int64)
+            # int64 accumulator, not float-weighted bincount — cents sums
+            # must stay exact past 2^53 at large block sizes
+            ps = np.zeros(nseg, np.int64)
+            np.add.at(ps, code, cents)
+            pc = np.bincount(code, minlength=nseg).astype(np.int64)
+            return pa.table({"code": pa.array(np.arange(nseg, dtype=np.int64)),
+                             "ps": pa.array(ps), "pc": pa.array(pc)})
+
+        part = li.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+        out = driver_group_rollup(part, ["code"],
+                                  [("ps", "sum", "sum_price_cents"),
+                                   ("pc", "sum", "n_items")])
+        code_np = out["code"].to_numpy()
+        # segments no lineitem ever hit must be ABSENT (join semantics),
+        # not zero rows — the broadcast partials emit every code per block
+        keep = out["n_items"].to_numpy() > 0
+        return pa.table({
+            "c_mktsegment": pa.array([segs_uniq[c] for c in code_np[keep]],
+                                     pa.string()),
+            "sum_price_cents": out["sum_price_cents"].to_numpy()[keep],
+            "n_items": out["n_items"].to_numpy()[keep],
+        })
 
     cust = _read_pq(f"{sf_dir}/customer.parquet",
                     columns=["c_custkey", "c_mktsegment"])

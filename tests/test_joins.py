@@ -403,3 +403,25 @@ def test_skew_join_subsampled_census_tolerance(ray_session):
                                  on="k", hot_threshold=10_000, salt=8,
                                  hot_keys={3, 11}).to_pandas())
     assert base.equals(wrong)
+
+
+def test_customer_order_totals_tier_parity(ray_session):
+    """r5: the star-schema broadcast tier (zero shuffles) must equal the
+    two-join chain tier row-for-row, and auto must pick broadcast under the
+    footer-row gate."""
+    import __ray_entry__ as e
+    from conftest import SF_DIR
+
+    def norm(res):
+        import pandas as pd
+        import pyarrow as pa
+
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        return (df[sorted(df.columns)]
+                .sort_values("c_mktsegment").reset_index(drop=True))
+
+    bc = norm(e.q_customer_order_totals(SF_DIR, tier="broadcast"))
+    ch = norm(e.q_customer_order_totals(SF_DIR, tier="chain"))
+    assert bc.equals(ch)
+    auto = norm(e.q_customer_order_totals(SF_DIR, tier="auto"))
+    assert auto.equals(ch)
