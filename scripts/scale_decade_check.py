@@ -31,6 +31,14 @@ SRC = "/root/testdata/sf0.1"
 # overrun into a recorded TIMEOUT instead of a wedged process
 CHECKS = [
     q for q in [
+        # r5-cont additions: window functions / sequences over 10x events,
+        # histogram + moments + star-join over 10x orders/lineitem
+        "window_funcs",
+        "user_paths",
+        "mode_chars",
+        "price_histogram",
+        "corr_stats",
+        "customer_order_totals",
         "pack_sequences",
         "corpus_clean",
         "paragraph_dedup",
@@ -103,21 +111,51 @@ def build_corpus(dst: str) -> None:
     # lineitem replicates too (r5: the quantile_price/_cont decade checks
     # read it) — exact row duplication with shifted orderkeys, which is the
     # WORST case for the radix refinement: every value bin's occupancy
-    # grows 10x, forcing recursion through oversized duplicate-heavy bins
+    # grows 10x, forcing recursion through oversized duplicate-heavy bins.
+    # r5-cont: orders replicates with the SAME shift base so the 10x corpus
+    # keeps referential integrity for the chain-join / histogram checks
+    # (o_custkey stays — customer is an unreplicated dimension).
     li = pq.read_table(f"{SRC}/lineitem.parquet")
+    orders = pq.read_table(f"{SRC}/orders.parquet")
     nk = np.asarray(li["l_orderkey"].to_pylist(), dtype=np.int64)
-    kmax = int(nk.max()) + 1 if len(nk) else 1
-    li_parts = []
+    ok_ = np.asarray(orders["o_orderkey"].to_pylist(), dtype=np.int64)
+    kmax = max(int(nk.max()) + 1 if len(nk) else 1,
+               int(ok_.max()) + 1 if len(ok_) else 1)
+    li_parts, ord_parts = [], []
     for k in range(REPLICAS):
         part = li.set_column(li.schema.get_field_index("l_orderkey"),
                              "l_orderkey", pa.array(nk + k * kmax)) if k else li
         li_parts.append(part)
+        opart = orders.set_column(orders.schema.get_field_index("o_orderkey"),
+                                  "o_orderkey", pa.array(ok_ + k * kmax)) if k else orders
+        ord_parts.append(opart)
     pq.write_table(pa.concat_tables(li_parts), f"{dst}/lineitem.parquet")
+    pq.write_table(pa.concat_tables(ord_parts), f"{dst}/orders.parquet")
 
-    # other tables ride along unreplicated (none of the checked queries
-    # read them, but _read_pq of a missing table would fail fast anyway)
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "events"):
+    # events replicate as REPLICAS independent user populations (user_id and
+    # event_id shifted, timestamps/values unchanged) — the window-function /
+    # sequence-collection checks see 10x users with identical per-user
+    # structure, so per-key window semantics are stressed at scale without
+    # changing any single user's stream
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    euid = np.asarray(ev["user_id"].to_pylist(), dtype=np.int64)
+    eeid = np.asarray(ev["event_id"].to_pylist(), dtype=np.int64)
+    ubase = int(euid.max()) + 1 if len(euid) else 1
+    ebase = int(eeid.max()) + 1 if len(eeid) else 1
+    ev_parts = []
+    for k in range(REPLICAS):
+        p = ev
+        if k:
+            p = p.set_column(p.schema.get_field_index("user_id"), "user_id",
+                             pa.array(euid + k * ubase))
+            p = p.set_column(p.schema.get_field_index("event_id"), "event_id",
+                             pa.array(eeid + k * ebase))
+        ev_parts.append(p)
+    pq.write_table(pa.concat_tables(ev_parts), f"{dst}/events.parquet")
+
+    # other tables ride along unreplicated (dimensions for the checked
+    # queries; _read_pq of a missing table would fail fast anyway)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         src = f"{SRC}/{t}.parquet"
         if os.path.exists(src):
             pq.write_table(pq.read_table(src), f"{dst}/{t}.parquet")
