@@ -379,6 +379,16 @@ def q_user_paths(sf_dir: str):
     return windows.user_paths(ds)
 
 
+def q_label_centroids(sf_dir: str):
+    """Grouped vector aggregate: exact fixed-point per-label centroid sums
+    over the embedding column (long format; vectors never cross a shuffle)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import CENTROID_QUANT_BITS
+    from geotrellis_contrib_ray.stages.cluster import grouped_vector_sum
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return grouped_vector_sum(ds, "label", quant_bits=CENTROID_QUANT_BITS)
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style pricing rollup with exact integer-cent sums."""
     import pyarrow as pa
@@ -2430,6 +2440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    functions, grouped mode, fixed-bin histogram, moment sums
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
+        "label_centroids": q_label_centroids,
         "mode_chars": q_mode_chars,
         "price_histogram": q_price_histogram,
         "corr_stats": q_corr_stats,
@@ -2788,6 +2799,24 @@ SELECT user_id,
        string_agg(event_type, '->' ORDER BY tus, event_id) AS path,
        count(*) AS n_events
 FROM e GROUP BY user_id"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import CENTROID_QUANT_BITS
+
+    _cq = float(1 << CENTROID_QUANT_BITS)
+    sql["label_centroids"] = f"""
+WITH u AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+s AS (
+  SELECT label, CAST(dim AS BIGINT) AS dim,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * {_d(_cq)}) AS BIGINT)) AS BIGINT) AS sum_q,
+         count(*) AS n_vecs
+  FROM u GROUP BY label, dim
+)
+SELECT *, (CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS mean_q FROM s"""
 
     sql["mode_chars"] = """
 WITH c AS (

@@ -115,6 +115,11 @@ HIST_BIN_WIDTH = 30000.0
 HIST_NBINS = 20
 
 
+# grouped vector aggregate (label_centroids): fixed-point quantization bits
+# shared by stages/cluster.py::grouped_vector_sum and the generated twin
+CENTROID_QUANT_BITS = 20
+
+
 def corr_sql_expr(n: str = "n_rows", sx: str = "sum_x", sy: str = "sum_y",
                   sxx: str = "sum_xx", sxy: str = "sum_xy",
                   syy: str = "sum_yy") -> str:

@@ -136,3 +136,54 @@ def kmeans_seed_plusplus(ds, k: int, sample_n: int = 2048,
             continue
         cents.append(X[int(rng.choice(len(X), p=d2 / total))])
     return np.asarray(cents)
+
+
+def grouped_vector_sum(ds, group_col: str, vec_col: str = "embedding",
+                       quant_bits: int = 20):
+    """Grouped VECTOR aggregate (class centroids): per group, exact
+    fixed-point component sums of the embedding column — the centroid
+    partial any embedding-class pipeline (balanced sampling, per-class
+    prototypes, drift monitors) reduces to.
+
+    Floats quantize as floor(x * 2^quant_bits) (floor, not round — the
+    CLAUDE.md rule numpy and DuckDB share), so sums are int64-exact and the
+    SQL twin replays them bit-identically; the mean component is ONE shared
+    double division over those exact integers.
+
+    Scale shape: each batch emits only (groups_in_batch x d) partial rows —
+    vectors never cross a shuffle; the total reduce is the bounded-groups
+    driver tier (labels x dims is a small constant).  Output long format:
+    (group_col, dim, sum_q, n_vecs, mean_q:float64)."""
+    from .agg import driver_group_rollup
+
+    scale = float(1 << quant_bits)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({group_col: pa.array([], b.schema.field(group_col).type),
+                             "dim": z, "ps": z, "pc": z})
+        X = _embedding_matrix(b[vec_col])
+        q = np.floor(X * scale).astype(np.int64)
+        uniq, inv = np.unique(g, return_inverse=True)
+        nu, d = len(uniq), q.shape[1]
+        sums = np.zeros((nu, d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=nu).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), nu)),
+            "ps": pa.array(sums.reshape(-1)),
+            "pc": pa.array(np.repeat(cnt, d)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    out = driver_group_rollup(
+        part, [group_col, "dim"],
+        [("ps", "sum", "sum_q"), ("pc", "sum", "n_vecs")])
+    sq = out["sum_q"].to_numpy()
+    nv = out["n_vecs"].to_numpy()
+    mean_q = sq.astype(np.float64) / nv.astype(np.float64)
+    return out.append_column("mean_q", pa.array(mean_q, pa.float64()))

@@ -70,3 +70,28 @@ def test_kmeans_plusplus_seeds_find_blobs(ray_session):
     # each true center has one learned centroid within 0.2
     d = np.sqrt(((C[:, None, :] - centers[None]) ** 2).sum(-1))
     assert (d.min(axis=0) < 0.2).all()
+
+
+def test_grouped_vector_sum_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.cluster import grouped_vector_sum
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 3, n).astype(np.int32)
+    t = pa.table({"label": pa.array(lab),
+                  "embedding": pa.array(list(X), pa.list_(pa.float32()))})
+    out = (grouped_vector_sum(rd.from_arrow(t), "label", quant_bits=20)
+           .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+    q = np.floor(X.astype(np.float64) * float(1 << 20)).astype(np.int64)
+    for g in range(3):
+        sel = out[out["label"] == g]
+        exp = q[lab == g].sum(axis=0)
+        assert sel["sum_q"].to_numpy().tolist() == exp.tolist()
+        assert (sel["n_vecs"] == (lab == g).sum()).all()
+        assert np.array_equal(sel["mean_q"].to_numpy(),
+                              exp.astype(np.float64) / float((lab == g).sum()))
