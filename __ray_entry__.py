@@ -320,15 +320,20 @@ def q_sessionize(sf_dir: str):
 
 
 def q_window_funcs(sf_dir: str):
-    """Per-row SQL window functions (ROW_NUMBER / RANK / LAG gap / running
-    sum) per user over events — the full-output window surface next to the
-    winners-only top_k_per_group tier."""
-    from geotrellis_contrib_ray.pipelines.query_defs import WINDOW_GAP_NONE
+    """Per-row SQL window functions (ROW_NUMBER / RANK / DENSE_RANK /
+    LAG+LEAD gaps / NTILE / partition count / running sum) per user over
+    events — the full-output window surface next to the winners-only
+    top_k_per_group tier."""
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        WINDOW_GAP_NONE,
+        WINDOW_NTILE_K,
+    )
     from geotrellis_contrib_ray.stages import windows
 
     ds = _read_pq(f"{sf_dir}/events.parquet",
                   columns=["event_id", "user_id", "ts", "value"])
-    return windows.window_functions(ds, gap_none=WINDOW_GAP_NONE)
+    return windows.window_functions(ds, gap_none=WINDOW_GAP_NONE,
+                                    ntile_k=WINDOW_NTILE_K)
 
 
 def q_mode_chars(sf_dir: str):
@@ -2772,6 +2777,7 @@ FROM sessions GROUP BY user_id, sess"""
         HIST_BIN_WIDTH,
         HIST_NBINS,
         WINDOW_GAP_NONE,
+        WINDOW_NTILE_K,
         corr_sql_expr,
     )
     from geotrellis_contrib_ray.pipelines.query_defs import _dbl as _d
@@ -2785,7 +2791,11 @@ WITH e AS (
 SELECT event_id, user_id,
        row_number() OVER w AS rn,
        rank() OVER (PARTITION BY user_id ORDER BY tus) AS rk,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY tus) AS dense_rk,
        COALESCE(tus - lag(tus) OVER w, {WINDOW_GAP_NONE}) AS gap_us,
+       COALESCE(lead(tus) OVER w - tus, {WINDOW_GAP_NONE}) AS lead_gap_us,
+       ntile({WINDOW_NTILE_K}) OVER w AS tile,
+       count(*) OVER (PARTITION BY user_id) AS grp_n,
        CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY tus, event_id
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
 FROM e

@@ -105,9 +105,11 @@ STRIDE_N = 5
 STRIDE_LIMIT = 100
 
 # per-row window functions over events (window_funcs query): ordering is
-# (epoch_us, event_id); the first-row LAG gap is this sentinel on BOTH
-# sides (no SQL NULLs — the driver's value hash must see identical values)
+# (epoch_us, event_id); the first-row LAG / last-row LEAD gap is this
+# sentinel on BOTH sides (no SQL NULLs — the driver's value hash must see
+# identical values); NTILE tile count shared by stage and twin
 WINDOW_GAP_NONE = -1
+WINDOW_NTILE_K = 4
 
 # fixed-bin histogram over orders.o_totalprice (price_histogram query):
 # bin = min(floor(price / WIDTH), NBINS-1), shared float literal via _dbl

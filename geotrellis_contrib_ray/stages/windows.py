@@ -137,22 +137,27 @@ def sliding_window_agg(ds, size_sec: int = 3600, hop_sec: int = 1800):
     )
 
 
-def window_functions(ds, gap_none: int = -1, group_salt: int = 64):
+def window_functions(ds, gap_none: int = -1, group_salt: int = 64,
+                     ntile_k: int = 4):
     """Per-row SQL window functions over events, per user ordered by
-    (epoch_us, event_id): ROW_NUMBER, RANK (ties on the timestamp), the
-    LAG time gap, and a running integer-cent sum — one salted-group
+    (epoch_us, event_id): ROW_NUMBER, RANK and DENSE_RANK (ties on the
+    timestamp), the LAG and LEAD time gaps, NTILE(``ntile_k``), the
+    partition row count, and a running integer-cent sum — one salted-group
     vectorized pass (sessionize's plan: users are salted into bounded
     groups, equal users never split across groups, so results equal the
     per-user SQL window exactly).
 
     Unlike ``top_k_per_group`` (winners only) this emits EVERY input row
     with its window values; the per-row output never re-shuffles (the one
-    wide step is the salt groupby).  ``gap_none`` is the first-row LAG
-    sentinel — no SQL NULLs, so the oracle hash sees identical values.
+    wide step is the salt groupby).  ``gap_none`` is the first-row LAG /
+    last-row LEAD sentinel — no SQL NULLs, so the oracle hash sees
+    identical values.  NTILE follows the SQL standard: the first
+    ``n % k`` tiles get ``ceil(n/k)`` rows, the rest ``floor(n/k)``.
     Partitioning assumption: one salted group (~rows/group_salt) fits a
     worker — scale group_salt with the corpus.
 
-    Output: event_id, user_id, rn, rk, gap_us, cum_cents (all int64)."""
+    Output: event_id, user_id, rn, rk, dense_rk, gap_us, lead_gap_us,
+    tile, grp_n, cum_cents (all int64)."""
 
     def add_salt(b: pa.Table) -> pa.Table:
         from ..util import strip_schema_metadata
@@ -173,7 +178,8 @@ def window_functions(ds, gap_none: int = -1, group_salt: int = 64):
         if n == 0:
             z = pa.array([], pa.int64())
             return pa.table({"event_id": z, "user_id": z, "rn": z, "rk": z,
-                             "gap_us": z, "cum_cents": z})
+                             "dense_rk": z, "gap_us": z, "lead_gap_us": z,
+                             "tile": z, "grp_n": z, "cum_cents": z})
         tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = g["event_id"].to_numpy().astype(np.int64)
         cents = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
@@ -188,14 +194,34 @@ def window_functions(ds, gap_none: int = -1, group_salt: int = 64):
         key_new[1:] |= t[1:] != t[:-1]
         first_same = np.maximum.accumulate(np.where(key_new, idx, 0))
         rk = first_same - gstart + 1
+        # DENSE_RANK: distinct-key ordinal within the group (cumsum of
+        # key-run starts, rebased at the group start which is itself a run)
+        kcum = np.cumsum(key_new.astype(np.int64))
+        dense = kcum - kcum[gstart] + 1
         gap = np.where(grp_new, np.int64(gap_none), t - np.r_[t[:1], t[:-1]])
+        next_new = np.r_[grp_new[1:], True]
+        lead_gap = np.where(next_new, np.int64(gap_none),
+                            np.r_[t[1:], t[-1:]] - t)
+        # NTILE(k), SQL standard: first n%k tiles get ceil(n/k) rows
+        i0 = idx - gstart
+        starts = np.nonzero(grp_new)[0]
+        lens = np.diff(np.r_[starts, n])
+        gsize = np.repeat(lens, lens)
+        q, r = gsize // ntile_k, gsize % ntile_k
+        cut = r * (q + 1)
+        tile = np.where(i0 < cut, i0 // np.maximum(q + 1, 1) + 1,
+                        r + (i0 - cut) // np.maximum(q, 1) + 1)
         cs = np.cumsum(c)
         pre = cs - c  # exclusive prefix sum
         cum = cs - pre[gstart]
         return pa.table({
             "event_id": pa.array(e), "user_id": pa.array(u),
             "rn": pa.array(rn), "rk": pa.array(rk),
+            "dense_rk": pa.array(dense),
             "gap_us": pa.array(gap.astype(np.int64)),
+            "lead_gap_us": pa.array(lead_gap.astype(np.int64)),
+            "tile": pa.array(tile.astype(np.int64)),
+            "grp_n": pa.array(gsize.astype(np.int64)),
             "cum_cents": pa.array(cum),
         })
 

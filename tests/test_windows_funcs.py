@@ -33,8 +33,15 @@ def test_window_functions_hand_case(ray_session):
     assert out["rn"].tolist() == [1, 2, 3, 1, 2]
     # RANK ties on ts: both t=100 rows rank 1, t=250 ranks 3
     assert out["rk"].tolist() == [1, 1, 3, 1, 2]
+    # DENSE_RANK: tie rows share 1, next distinct ts is 2
+    assert out["dense_rk"].tolist() == [1, 1, 2, 1, 2]
     # LAG gap: first row sentinel -1; tie rows gap 0
     assert out["gap_us"].tolist() == [-1, 0, 150, -1, 50]
+    # LEAD gap: last row of each partition gets the sentinel
+    assert out["lead_gap_us"].tolist() == [0, 150, -1, 50, -1]
+    # NTILE(4) with n < k: first n tiles get one row each
+    assert out["tile"].tolist() == [1, 2, 3, 1, 2]
+    assert out["grp_n"].tolist() == [3, 3, 3, 2, 2]
     # running cents per user in (ts, event_id) order
     assert out["cum_cents"].tolist() == [200, 300, 600, 50, 75]
 
