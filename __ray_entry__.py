@@ -336,6 +336,28 @@ def q_window_funcs(sf_dir: str):
                                     ntile_k=WINDOW_NTILE_K)
 
 
+def q_moving_stats(sf_dir: str):
+    """Bounded ROWS-frame window aggregates (moving count/sum/min over
+    ROWS BETWEEN k PRECEDING AND CURRENT ROW) per user over events."""
+    from geotrellis_contrib_ray.pipelines.query_defs import FRAME_PRECEDING_ROWS
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "value"])
+    return windows.window_frame_agg(ds, frame_rows=FRAME_PRECEDING_ROWS)
+
+
+def q_funnel_stages(sf_dir: str):
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    increasing timestamps) — per-stage user counts."""
+    from geotrellis_contrib_ray.pipelines.query_defs import FUNNEL_STAGES
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type"])
+    return windows.funnel_counts(ds, stages=FUNNEL_STAGES)
+
+
 def q_mode_chars(sf_dir: str):
     """Exact per-language MODE of n_chars (ties -> smallest value)."""
     from geotrellis_contrib_ray.stages.stats import grouped_mode
@@ -2443,6 +2465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green rows ride last and rotate forward next round.
         # -- (a) NEW this round, never driver-checked: per-row window
         #    functions, grouped mode, fixed-bin histogram, moment sums
+        "moving_stats": q_moving_stats,
+        "funnel_stages": q_funnel_stages,
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
         "label_centroids": q_label_centroids,
@@ -2800,6 +2824,44 @@ SELECT event_id, user_id,
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        FRAME_PRECEDING_ROWS,
+        FUNNEL_STAGES,
+    )
+
+    sql["moving_stats"] = f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w AS mv_n,
+       CAST(sum(cents) OVER w AS BIGINT) AS mv_sum_cents,
+       CAST(min(cents) OVER w AS BIGINT) AS mv_min_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN {FRAME_PRECEDING_ROWS} PRECEDING AND CURRENT ROW)"""
+
+    # staged funnel: stage i+1 must be strictly later than the user's first
+    # qualifying stage-i event (same constants as the Ray stage)
+    _fs = FUNNEL_STAGES
+    _funnel_ctes = ["e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events)",
+                    f"s1 AS (SELECT user_id, min(tus) AS t FROM e "
+                    f"WHERE event_type = '{_fs[0]}' GROUP BY user_id)"]
+    for i in range(1, len(_fs)):
+        _funnel_ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(e.tus) AS t FROM e "
+            f"JOIN s{i} ON e.user_id = s{i}.user_id "
+            f"WHERE e.event_type = '{_fs[i]}' AND e.tus > s{i}.t "
+            f"GROUP BY e.user_id)")
+    _funnel_selects = [
+        f"SELECT CAST({i + 1} AS BIGINT) AS stage, '{name}' AS stage_name, "
+        f"count(*) AS n_users FROM s{i + 1}"
+        for i, name in enumerate(_fs)]
+    sql["funnel_stages"] = ("WITH " + ",\n".join(_funnel_ctes) + "\n"
+                            + "\nUNION ALL ".join(_funnel_selects))
 
     sql["user_paths"] = """
 WITH e AS (

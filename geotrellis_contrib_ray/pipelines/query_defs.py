@@ -111,6 +111,15 @@ STRIDE_LIMIT = 100
 WINDOW_GAP_NONE = -1
 WINDOW_NTILE_K = 4
 
+# bounded ROWS frame for moving_stats (ROWS BETWEEN k PRECEDING AND
+# CURRENT ROW) — shared by stage and twin
+FRAME_PRECEDING_ROWS = 2
+
+# ordered conversion funnel stages (funnel_stages query): stage i+1 must
+# occur strictly later (epoch_us) than the user's first qualifying stage-i
+# event; shared by stage and generated twin
+FUNNEL_STAGES = ("view", "click", "purchase")
+
 # fixed-bin histogram over orders.o_totalprice (price_histogram query):
 # bin = min(floor(price / WIDTH), NBINS-1), shared float literal via _dbl
 HIST_BIN_WIDTH = 30000.0

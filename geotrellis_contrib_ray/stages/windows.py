@@ -228,6 +228,133 @@ def window_functions(ds, gap_none: int = -1, group_salt: int = 64,
     return salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
 
 
+def window_frame_agg(ds, frame_rows: int = 2, group_salt: int = 64):
+    """Bounded ROWS-frame window aggregates per user over events: moving
+    count / sum / min of integer cents over ``ROWS BETWEEN frame_rows
+    PRECEDING AND CURRENT ROW`` in (epoch_us, event_id) order — the frame
+    surface next to window_functions' unbounded running sum.
+
+    Same salted-group single-pass plan as window_functions.  The moving sum
+    is exact via inclusive/exclusive prefix-sum differences (frame start
+    clamps at the partition start); the moving min is an elementwise min of
+    ``frame_rows`` shifted copies masked at partition boundaries — O(k*n)
+    vectorized, fine for the small frames this models (k is a constant,
+    not data-sized).  Partitioning assumption: one salted group fits a
+    worker — scale group_salt with the corpus.
+
+    Output: event_id, user_id, mv_n, mv_sum_cents, mv_min_cents (int64)."""
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = (uid * np.int64(2654435761)) % group_salt
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from .agg import _default_shuffle_partitions
+
+    salted = salted.repartition(_default_shuffle_partitions())
+
+    def per_salt(g):
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"event_id": z, "user_id": z, "mv_n": z,
+                             "mv_sum_cents": z, "mv_min_cents": z})
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((eid, tus, uid))
+        u, e, c = uid[order], eid[order], cents[order]
+        idx = np.arange(n, dtype=np.int64)
+        grp_new = np.r_[True, u[1:] != u[:-1]]
+        gstart = np.maximum.accumulate(np.where(grp_new, idx, 0))
+        i0 = idx - gstart
+        w = np.minimum(i0, frame_rows) + 1  # frame length = mv_n
+        cs = np.cumsum(c)
+        cse = cs - c  # exclusive prefix sum
+        mv_sum = cs - cse[idx - w + 1]
+        mv_min = c.copy()
+        for k in range(1, frame_rows + 1):
+            shifted = np.empty_like(c)
+            shifted[k:] = c[:-k]
+            shifted[:k] = 0
+            in_frame = i0 >= k
+            mv_min = np.where(in_frame, np.minimum(mv_min, shifted), mv_min)
+        return pa.table({
+            "event_id": pa.array(e), "user_id": pa.array(u),
+            "mv_n": pa.array(w.astype(np.int64)),
+            "mv_sum_cents": pa.array(mv_sum),
+            "mv_min_cents": pa.array(mv_min),
+        })
+
+    return salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
+
+
+def funnel_counts(ds, stages: tuple[str, ...] = ("view", "click", "purchase"),
+                  group_salt: int = 64) -> pa.Table:
+    """Ordered conversion funnel over events: per user, stage i+1 counts
+    only if an event of that type occurs STRICTLY LATER (epoch_us) than the
+    user's earliest qualifying stage-i event — the product-analytics
+    "view -> click -> purchase" sequence match.
+
+    One salted-group pass computes every user's per-stage first-qualifying
+    timestamp with masked segment minima (per-user ``np.minimum.reduceat``
+    over non-empty segments — safe: every user segment has >= 1 row), then
+    emits ``len(stages)`` partial count rows per group; the final combine
+    is the bounded-group driver rollup (no second all-to-all, per the
+    total-reduce tier rule).
+
+    Returns a pa.Table: stage (1-based int64), stage_name, n_users."""
+    from .agg import _default_shuffle_partitions, driver_group_rollup
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = (uid * np.int64(2654435761)) % group_salt
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    salted = salted.repartition(_default_shuffle_partitions())
+    NOTYET = np.iinfo(np.int64).max
+
+    def per_salt(g):
+        stage_ids = np.arange(1, len(stages) + 1, dtype=np.int64)
+        names = pa.array(list(stages), pa.string())
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"stage": pa.array(stage_ids),
+                             "stage_name": names,
+                             "p": pa.array(np.zeros(len(stages), np.int64))})
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy().astype(object)
+        order = np.lexsort((tus, uid))
+        u, t, e = uid[order], tus[order], et[order]
+        starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        seg = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        prev_t = np.full(len(starts), np.int64(-(2 ** 62)))  # before all ts
+        counts = np.zeros(len(stages), dtype=np.int64)
+        for si, name in enumerate(stages):
+            mask = (e == name) & (t > prev_t[seg])
+            vals = np.where(mask, t, NOTYET)
+            cur = np.minimum.reduceat(vals, starts)
+            counts[si] = int((cur < NOTYET).sum())
+            prev_t = cur
+        return pa.table({"stage": pa.array(stage_ids), "stage_name": names,
+                         "p": pa.array(counts)})
+
+    part = salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
+    out = driver_group_rollup(part, ["stage", "stage_name"],
+                              [("p", "sum", "n_users")])
+    return out.sort_by("stage")
+
+
 def user_paths(ds, sep: str = "->", max_events: int | None = None,
                group_salt: int = 64):
     """Ordered sequence collection (SQL ``string_agg(... ORDER BY)``): each

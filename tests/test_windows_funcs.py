@@ -82,3 +82,41 @@ def test_user_paths_order_and_cap(ray_session):
               .sort_values("user_id").reset_index(drop=True))
     assert capped["path"].tolist() == ["a->b", "x->y"]
     assert capped["n_events"].tolist() == [3, 2]  # count is pre-truncation
+
+
+def test_window_frame_agg_hand_case(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import window_frame_agg
+
+    out = (
+        window_frame_agg(rd.from_arrow(_events_table()), frame_rows=2)
+        .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    )
+    # user 1 order: eid2(c=200), eid3(c=100), eid5(c=300); user 2: eid10(50), eid11(25)
+    assert out["event_id"].tolist() == [2, 3, 5, 10, 11]
+    assert out["mv_n"].tolist() == [1, 2, 3, 1, 2]
+    assert out["mv_sum_cents"].tolist() == [200, 300, 600, 50, 75]
+    assert out["mv_min_cents"].tolist() == [200, 100, 100, 50, 25]
+
+
+def test_funnel_counts_hand_case(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import funnel_counts
+
+    ts = pa.array(np.array([10, 20, 30, 5, 10, 10, 15, 1, 50],
+                           dtype="datetime64[us]"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 2, 3, 3], pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(
+            ["view", "click", "purchase",       # user 1: full funnel
+             "click", "view", "click", "click",  # user 2: tie click@10 must
+             "purchase", "view"],                # NOT count (strict >); u3
+            pa.string()),                        # purchase BEFORE view: no
+    })
+    out = funnel_counts(rd.from_arrow(t)).to_pandas()
+    assert out["stage"].tolist() == [1, 2, 3]
+    assert out["stage_name"].tolist() == ["view", "click", "purchase"]
+    assert out["n_users"].tolist() == [3, 2, 1]
