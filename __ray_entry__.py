@@ -358,6 +358,21 @@ def q_funnel_stages(sf_dir: str):
     return windows.funnel_counts(ds, stages=FUNNEL_STAGES)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by first-signup day, one
+    count per (cohort_day, day_offset) distinct-activity cell."""
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        COHORT_DAY_US,
+        COHORT_SIGNUP_TYPE,
+    )
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type"])
+    return windows.cohort_retention(ds, signup_type=COHORT_SIGNUP_TYPE,
+                                    day_us=COHORT_DAY_US)
+
+
 def q_mode_chars(sf_dir: str):
     """Exact per-language MODE of n_chars (ties -> smallest value)."""
     from geotrellis_contrib_ray.stages.stats import grouped_mode
@@ -2467,6 +2482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    functions, grouped mode, fixed-bin histogram, moment sums
         "moving_stats": q_moving_stats,
         "funnel_stages": q_funnel_stages,
+        "cohort_retention": q_cohort_retention,
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
         "label_centroids": q_label_centroids,
@@ -2862,6 +2878,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
         for i, name in enumerate(_fs)]
     sql["funnel_stages"] = ("WITH " + ",\n".join(_funnel_ctes) + "\n"
                             + "\nUNION ALL ".join(_funnel_selects))
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        COHORT_DAY_US,
+        COHORT_SIGNUP_TYPE,
+    )
+
+    sql["cohort_retention"] = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // {COHORT_DAY_US} AS day
+  FROM events
+),
+c AS (
+  SELECT user_id, min(day) AS cohort_day FROM e
+  WHERE event_type = '{COHORT_SIGNUP_TYPE}' GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id, c.cohort_day, e.day - c.cohort_day AS day_offset
+  FROM e JOIN c ON e.user_id = c.user_id WHERE e.day >= c.cohort_day
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM a GROUP BY cohort_day, day_offset"""
 
     sql["user_paths"] = """
 WITH e AS (

@@ -120,6 +120,11 @@ FRAME_PRECEDING_ROWS = 2
 # event; shared by stage and generated twin
 FUNNEL_STAGES = ("view", "click", "purchase")
 
+# cohort_retention: the event type that starts a user's cohort; day length
+# in epoch micros shared by stage and twin (UTC-day floor division)
+COHORT_SIGNUP_TYPE = "signup"
+COHORT_DAY_US = 86_400_000_000
+
 # fixed-bin histogram over orders.o_totalprice (price_histogram query):
 # bin = min(floor(price / WIDTH), NBINS-1), shared float literal via _dbl
 HIST_BIN_WIDTH = 30000.0

@@ -355,6 +355,71 @@ def funnel_counts(ds, stages: tuple[str, ...] = ("view", "click", "purchase"),
     return out.sort_by("stage")
 
 
+def cohort_retention(ds, signup_type: str = "signup",
+                     day_us: int = 86_400_000_000, group_salt: int = 64):
+    """Cohort retention matrix over events: users are cohorted by the UTC
+    day of their FIRST ``signup_type`` event; for every later (or same) day
+    on which the user has ANY event, the (cohort_day, day_offset) cell
+    counts that user once — the classic day-N retention table.
+
+    One salted-group pass per user: cohort day via a masked per-user
+    segment min, per-user distinct activity days via run-starts over the
+    (user, day) sort, then per-group (cohort_day, offset) count partials.
+    The final combine is the bounded-group driver rollup — the cell count
+    is bounded by the SQUARE of the stream's day span (calendar-bounded,
+    not corpus-bounded), so no second all-to-all.
+
+    Returns a pa.Table: cohort_day (epoch days), day_offset, n_users."""
+    from .agg import _default_shuffle_partitions, driver_group_rollup
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = (uid * np.int64(2654435761)) % group_salt
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    salted = salted.repartition(_default_shuffle_partitions())
+    NOTYET = np.iinfo(np.int64).max
+
+    def per_salt(g):
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        n = len(uid)
+        z = pa.array([], pa.int64())
+        empty = pa.table({"cohort_day": z, "day_offset": z, "p": z})
+        if n == 0:
+            return empty
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy().astype(object)
+        day = tus // day_us
+        order = np.lexsort((day, uid))
+        u, d, e = uid[order], day[order], et[order]
+        grp_new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.nonzero(grp_new)[0]
+        seg = np.cumsum(grp_new) - 1
+        vals = np.where(e == signup_type, d, NOTYET)
+        cohort = np.minimum.reduceat(vals, starts)  # segments non-empty
+        row_cohort = cohort[seg]
+        # distinct (user, day) activity cells at/after the cohort day
+        day_new = grp_new | np.r_[True, d[1:] != d[:-1]]
+        keep = day_new & (row_cohort < NOTYET) & (d >= row_cohort)
+        if not keep.any():
+            return empty
+        t = pa.table({"cohort_day": pa.array(row_cohort[keep]),
+                      "day_offset": pa.array((d - row_cohort)[keep])})
+        out = t.group_by(["cohort_day", "day_offset"],
+                         use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["cohort_day", "day_offset", "p"])
+
+    part = salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
+    out = driver_group_rollup(part, ["cohort_day", "day_offset"],
+                              [("p", "sum", "n_users")])
+    return out.sort_by([("cohort_day", "ascending"),
+                        ("day_offset", "ascending")])
+
+
 def user_paths(ds, sep: str = "->", max_events: int | None = None,
                group_salt: int = 64):
     """Ordered sequence collection (SQL ``string_agg(... ORDER BY)``): each

@@ -34,6 +34,9 @@ CHECKS = [
         # r5-cont additions: window functions / sequences over 10x events,
         # histogram + moments + star-join over 10x orders/lineitem
         "window_funcs",
+        "moving_stats",
+        "funnel_stages",
+        "cohort_retention",
         "user_paths",
         "mode_chars",
         "price_histogram",

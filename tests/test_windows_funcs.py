@@ -120,3 +120,25 @@ def test_funnel_counts_hand_case(ray_session):
     assert out["stage"].tolist() == [1, 2, 3]
     assert out["stage_name"].tolist() == ["view", "click", "purchase"]
     assert out["n_users"].tolist() == [3, 2, 1]
+
+
+def test_cohort_retention_hand_case(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import cohort_retention
+
+    # day_us=100: t//100 is the "day".  u1 cohort day 0, active days {0,1,3};
+    # u2 signs up day 2 (its day-1 view is BEFORE the cohort -> excluded),
+    # active days {2,3}; u3 never signs up -> excluded entirely.
+    ts = pa.array(np.array([50, 150, 160, 350, 10, 250, 120, 320, 70],
+                           dtype="datetime64[us]"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2, 3], pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(
+            ["signup", "view", "click", "view",
+             "view", "signup", "view", "purchase", "view"], pa.string()),
+    })
+    out = cohort_retention(rd.from_arrow(t), day_us=100).to_pandas()
+    cells = list(zip(out["cohort_day"], out["day_offset"], out["n_users"]))
+    assert cells == [(0, 0, 1), (0, 1, 1), (0, 3, 1), (2, 0, 1), (2, 1, 1)]
