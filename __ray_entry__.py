@@ -373,6 +373,53 @@ def q_cohort_retention(sf_dir: str):
                                     day_us=COHORT_DAY_US)
 
 
+def q_user_actions_outer(sf_dir: str):
+    """FULL OUTER tier of the bucketed hash join, with BOTH sides'
+    per-key aggregation fused into the join's single shuffle
+    (left_pre_agg + right_pre_agg): per-user purchase counts vs per-user
+    error counts — users on only one side keep a row with the sentinel
+    count -1 (no SQL NULLs crosses the driver's value hash)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.pipelines.query_defs import OUTER_NONE
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type"])
+
+    def side(event_type: str, out_col: str):
+        def partial(b: pa.Table) -> pa.Table:
+            keep = b.filter(pc.equal(b["event_type"], event_type))
+            g = keep.select(["user_id"]).group_by(
+                "user_id", use_threads=False).aggregate([([], "count_all")])
+            return g.rename_columns(["user_id", out_col])
+
+        return ev.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    joined = bucketed_hash_join(
+        side("purchase", "n_purchase"), side("error", "n_error"),
+        on="user_id", how="outer",
+        left_pre_agg={"n_purchase": "sum"},
+        right_pre_agg={"n_error": "sum"},
+        schemas=(pa.schema([("user_id", pa.int64()),
+                            ("n_purchase", pa.int64())]),
+                 pa.schema([("user_id", pa.int64()),
+                            ("n_error", pa.int64())])),
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_purchase": pc.fill_null(b["n_purchase"], OUTER_NONE),
+            "n_error": pc.fill_null(b["n_error"], OUTER_NONE),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+
 def q_mode_chars(sf_dir: str):
     """Exact per-language MODE of n_chars (ties -> smallest value)."""
     from geotrellis_contrib_ray.stages.stats import grouped_mode
@@ -2483,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_stats": q_moving_stats,
         "funnel_stages": q_funnel_stages,
         "cohort_retention": q_cohort_retention,
+        "user_actions_outer": q_user_actions_outer,
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
         "label_centroids": q_label_centroids,
@@ -2900,6 +2948,22 @@ a AS (
 )
 SELECT cohort_day, day_offset, count(*) AS n_users
 FROM a GROUP BY cohort_day, day_offset"""
+
+    from geotrellis_contrib_ray.pipelines.query_defs import OUTER_NONE
+
+    sql["user_actions_outer"] = f"""
+WITH p AS (
+  SELECT user_id, count(*) AS np FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+x AS (
+  SELECT user_id, count(*) AS ne FROM events
+  WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT COALESCE(p.user_id, x.user_id) AS user_id,
+       COALESCE(p.np, {OUTER_NONE}) AS n_purchase,
+       COALESCE(x.ne, {OUTER_NONE}) AS n_error
+FROM p FULL OUTER JOIN x ON p.user_id = x.user_id"""
 
     sql["user_paths"] = """
 WITH e AS (

@@ -125,6 +125,11 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 COHORT_SIGNUP_TYPE = "signup"
 COHORT_DAY_US = 86_400_000_000
 
+# user_actions_outer: sentinel for "no rows on this side" in the FULL
+# OUTER join (no SQL NULLs — the driver's value hash must see identical
+# typed values on both engines)
+OUTER_NONE = -1
+
 # fixed-bin histogram over orders.o_totalprice (price_histogram query):
 # bin = min(floor(price / WIDTH), NBINS-1), shared float literal via _dbl
 HIST_BIN_WIDTH = 30000.0

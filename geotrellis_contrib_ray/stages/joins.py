@@ -52,6 +52,7 @@ def default_join_partitions(factor: int = 8, floor: int = 16, cap: int = 512) ->
 
 def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how: str = "inner",
                        schemas: tuple | None = None,
+                       left_pre_agg: dict[str, str] | None = None,
                        right_pre_agg: dict[str, str] | None = None,
                        narrow_repartition: int | bool | None = None):
     """Tier-3 portable partitioned hash join.
@@ -74,7 +75,10 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
     partial-aggregate rows (possibly several per key); they are combined
     per key inside each bucket group BEFORE the merge.  This fuses the
     "groupby(key).aggregate -> join" pattern into the join's single
-    shuffle — one all-to-all instead of two.
+    shuffle — one all-to-all instead of two.  ``left_pre_agg`` is the
+    symmetric knob for the left side: with BOTH set, two per-key
+    aggregations AND their (full-outer/left/inner) join ride one shuffle
+    instead of three.
 
     ``narrow_repartition``: the sort-shuffle's fixed cost scales with the
     BLOCK count of its input (measured here: the same sf0.1 join runs
@@ -109,6 +113,8 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
 
     if right_pre_agg is not None and sorted(right_pre_agg) != ronly:
         raise ValueError(f"right_pre_agg must cover exactly the right-only columns {ronly}")
+    if left_pre_agg is not None and sorted(left_pre_agg) != lonly:
+        raise ValueError(f"left_pre_agg must cover exactly the left-only columns {lonly}")
 
     str_key = pa.types.is_string(type_of[on]) or pa.types.is_large_string(type_of[on])
 
@@ -165,6 +171,13 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
             ).rename_columns([on] + [c for c in right_pre_agg])
             rg = rg.select([on] + ronly).cast(
                 pa.schema([(c, type_of[c]) for c in [on] + ronly])
+            )
+        if left_pre_agg and len(lg):
+            lg = lg.group_by(on, use_threads=False).aggregate(
+                [(c, fn) for c, fn in left_pre_agg.items()]
+            ).rename_columns([on] + [c for c in left_pre_agg])
+            lg = lg.select([on] + lonly).cast(
+                pa.schema([(c, type_of[c]) for c in [on] + lonly])
             )
         joined = lg.join(rg, keys=on, join_type=arrow_how)
         return joined.select(all_cols)

@@ -37,6 +37,7 @@ CHECKS = [
         "moving_stats",
         "funnel_stages",
         "cohort_retention",
+        "user_actions_outer",
         "user_paths",
         "mode_chars",
         "price_histogram",

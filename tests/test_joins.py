@@ -425,3 +425,41 @@ def test_customer_order_totals_tier_parity(ray_session):
     assert bc.equals(ch)
     auto = norm(e.q_customer_order_totals(SF_DIR, tier="auto"))
     assert auto.equals(ch)
+
+
+def test_full_outer_with_both_side_pre_agg(ray_session):
+    """how='outer' + left_pre_agg + right_pre_agg: per-key partials from
+    MULTIPLE batches combine per side before the merge; exclusive keys on
+    either side survive with typed nulls on the other side's columns."""
+    import pandas as pd
+    import ray.data as rd
+
+    # left keys {1,2,3}, right keys {2,3,4}; partials split across blocks
+    left = pa.table({"k": pa.array([1, 2, 2, 3], pa.int64()),
+                     "a": pa.array([10, 1, 2, 5], pa.int64())})
+    right = pa.table({"k": pa.array([2, 3, 3, 4], pa.int64()),
+                      "b": pa.array([7, 100, 200, 9], pa.int64())})
+    lds = rd.from_arrow(left).repartition(3)
+    rds = rd.from_arrow(right).repartition(3)
+    got = (bucketed_hash_join(
+        lds, rds, on="k", how="outer", buckets=4,
+        left_pre_agg={"a": "sum"}, right_pre_agg={"b": "sum"},
+        schemas=(left.schema, right.schema))
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "a": [10.0, 3.0, 5.0, np.nan],
+        "b": [np.nan, 7.0, 300.0, 9.0],
+    })
+    assert got["k"].tolist() == exp["k"].tolist()
+    for c in ("a", "b"):
+        assert np.array_equal(got[c].astype(np.float64).to_numpy(),
+                              exp[c].to_numpy(), equal_nan=True), c
+
+
+def test_left_pre_agg_validation(ray_session):
+    lds, rds, lt, rt = _sides()
+    with pytest.raises(ValueError, match="left_pre_agg"):
+        bucketed_hash_join(lds, rds, on="k",
+                           left_pre_agg={"nope": "sum"},
+                           schemas=(lt.schema, rt.schema))
