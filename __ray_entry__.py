@@ -1023,6 +1023,21 @@ def q_rollup_lang_source(sf_dir: str):
     return rollup_counts(ds, ["lang", "source"], value_col="n_chars")
 
 
+def q_cube_lang_source(sf_dir: str):
+    """Full CUBE over (lang, source): every subset of the keys gets its
+    subtotal rows — the grouping-sets generalization of the r4 prefix
+    rollup, still one shuffle (every set pre-aggregated per batch from the
+    local finest level)."""
+    from geotrellis_contrib_ray.stages.agg import grouping_sets_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["lang", "source", "n_chars"])
+    return grouping_sets_counts(
+        ds, ["lang", "source"],
+        sets=[("lang", "source"), ("lang",), ("source",), ()],
+        value_col="n_chars")
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode/whitespace normalization pass (r4): casefold + collapse
     whitespace runs + trim; exact string output and per-doc collapsed-run
@@ -2531,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": q_funnel_stages,
         "cohort_retention": q_cohort_retention,
         "user_actions_outer": q_user_actions_outer,
+        "cube_lang_source": q_cube_lang_source,
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
         "label_centroids": q_label_centroids,
@@ -3115,6 +3131,14 @@ SELECT coalesce(lang, '__all__') AS lang,
        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
 FROM documents
 GROUP BY GROUPING SETS ((lang, source), (lang), ())"""
+
+    sql["cube_lang_source"] = """
+SELECT coalesce(lang, '__all__') AS lang,
+       coalesce(source, '__all__') AS source,
+       count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY CUBE (lang, source)"""
 
     # normalize_text: lower + RE2 whitespace collapse + trim, exact strings
     sql["normalize_text"] = r"""

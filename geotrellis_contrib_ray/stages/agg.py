@@ -311,3 +311,72 @@ def rollup_counts(ds, keys: list[str], value_col: str | None = None,
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None),
         keys, specs, salt=64)
+
+
+def grouping_sets_counts(ds, keys: list[str], sets: list[tuple[str, ...]],
+                         value_col: str | None = None,
+                         total_label: str = "__all__"):
+    """General GROUPING SETS / CUBE — :func:`rollup_counts` restricted to
+    key PREFIXES, generalized to ANY list of key subsets (``CUBE(a, b)`` =
+    all four subsets).  Same one-shuffle plan: each batch reduces to the
+    finest level once, every requested set aggregates FROM that finest
+    local partial (any subset is derivable from it), rolled-up keys get the
+    string sentinel, and all tagged rows ride one bounded-salt reduce.
+
+    ``sets`` must be unique subsets of ``keys`` (duplicates would
+    double-count).  Same string-key contract as rollup_counts (the sentinel
+    is a string).  Output: keys..., n[, sum_<value_col>]."""
+    seen = set()
+    for st in sets:
+        t = tuple(k for k in keys if k in st)
+        if set(st) - set(keys):
+            raise ValueError(f"grouping set {st} has keys outside {keys}")
+        if t in seen:
+            raise ValueError(f"duplicate grouping set {st}")
+        seen.add(t)
+    aggs = [([], "count_all")] if value_col is None else [([], "count_all"), (value_col, "sum")]
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for k in keys:
+            kt = b.schema.field(k).type
+            if not (pa.types.is_string(kt) or pa.types.is_large_string(kt)):
+                raise TypeError(
+                    f"grouping_sets_counts requires string-typed key columns "
+                    f"(the {total_label!r} sentinel is a string); column "
+                    f"{k!r} is {kt} — cast it before the rollup")
+        sel = keys + ([value_col] if value_col else [])
+        finest = (b.select(sel).group_by(keys, use_threads=False)
+                  .aggregate(aggs))
+        finest = finest.rename_columns(keys + ["pn"] + (["ps"] if value_col else []))
+        out_cols = keys + ["pn"] + (["ps"] if value_col else [])
+        sub_aggs = [("pn", "sum")] + ([("ps", "sum")] if value_col else [])
+        outs = []
+        for st in sets:
+            gk = [k for k in keys if k in st]
+            if len(gk) == len(keys):
+                g = finest
+            elif gk:
+                g = finest.group_by(gk, use_threads=False).aggregate(sub_aggs)
+                g = g.rename_columns(gk + ["pn"] + (["ps"] if value_col else []))
+            else:
+                cols = {"pn": pa.array(
+                    [int(pc.sum(finest["pn"]).as_py() or 0)], pa.int64())}
+                if value_col:
+                    ps_type = finest.schema.field("ps").type
+                    s = pc.sum(finest["ps"]).as_py()
+                    cols["ps"] = pa.array([0 if s is None else s], ps_type)
+                g = pa.table(cols)
+            for k in keys:
+                if k not in gk:
+                    g = g.append_column(
+                        k, pa.array([total_label] * len(g), pa.string()))
+            outs.append(g.select(out_cols))
+        return pa.concat_tables(outs)
+
+    specs = [("pn", "sum", "n")] + ([("ps", "sum", f"sum_{value_col}")] if value_col else [])
+    return salted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        keys, specs, salt=64)

@@ -38,6 +38,7 @@ CHECKS = [
         "funnel_stages",
         "cohort_retention",
         "user_actions_outer",
+        "cube_lang_source",
         "user_paths",
         "mode_chars",
         "price_histogram",

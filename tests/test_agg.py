@@ -190,3 +190,39 @@ def test_rollup_counts_float_zero_sum_and_key_typing(ray_session):
     with pytest.raises(Exception) as ei:
         rollup_counts(rd.from_arrow(bad), ["k"], value_col="v").to_pandas()
     assert "string-typed key columns" in str(ei.value)
+
+
+def test_grouping_sets_cube(ray_session):
+    """CUBE(a, b): all four subsets, each derived from the local finest
+    partial; non-prefix level (b alone) gets the sentinel in column a."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.agg import grouping_sets_counts
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "x", "y"], pa.string()),
+        "b": pa.array(["p", "p", "q", "p"], pa.string()),
+        "v": pa.array([1, 2, 4, 8], pa.int64()),
+    })
+    out = (grouping_sets_counts(
+        rd.from_arrow(t).repartition(2), ["a", "b"],
+        sets=[("a", "b"), ("a",), ("b",), ()], value_col="v")
+        .to_pandas())
+    got = {(r.a, r.b): (int(r.n), int(r.sum_v)) for r in out.itertuples()}
+    assert got[("x", "p")] == (2, 3)
+    assert got[("x", "q")] == (1, 4)
+    assert got[("y", "p")] == (1, 8)
+    assert got[("x", "__all__")] == (3, 7)
+    assert got[("y", "__all__")] == (1, 8)
+    assert got[("__all__", "p")] == (3, 11)   # the non-prefix CUBE level
+    assert got[("__all__", "q")] == (1, 4)
+    assert got[("__all__", "__all__")] == (4, 15)
+    assert len(got) == 8
+
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_counts(rd.from_arrow(t), ["a", "b"],
+                             sets=[("a",), ("a",)])
+    with pytest.raises(ValueError, match="outside"):
+        grouping_sets_counts(rd.from_arrow(t), ["a", "b"], sets=[("c",)])
