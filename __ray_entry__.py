@@ -2901,7 +2901,13 @@ SELECT event_id, user_id,
        ntile({WINDOW_NTILE_K}) OVER w AS tile,
        count(*) OVER (PARTITION BY user_id) AS grp_n,
        CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+       CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(rank() OVER (PARTITION BY user_id ORDER BY tus) - 1 AS DOUBLE)
+                 / CAST(count(*) OVER (PARTITION BY user_id) - 1 AS DOUBLE)
+       END AS pct_rank,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY tus) AS DOUBLE)
+           / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS cume_dist
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)"""
 

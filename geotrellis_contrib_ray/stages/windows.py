@@ -156,8 +156,15 @@ def window_functions(ds, gap_none: int = -1, group_salt: int = 64,
     Partitioning assumption: one salted group (~rows/group_salt) fits a
     worker — scale group_salt with the corpus.
 
+    Also emits the two float ranking functions as ONE int64/int64 IEEE
+    division each (the shared-expression convention — the twin replays the
+    same division, not the builtin): pct_rank = (rk-1)/(n-1) (0.0 for a
+    single-row partition, SQL standard) and cume_dist = peers_cume/n
+    (peer rows of the current ts all count, matching the RANGE default
+    frame).
+
     Output: event_id, user_id, rn, rk, dense_rk, gap_us, lead_gap_us,
-    tile, grp_n, cum_cents (all int64)."""
+    tile, grp_n, cum_cents (int64); pct_rank, cume_dist (float64)."""
 
     def add_salt(b: pa.Table) -> pa.Table:
         from ..util import strip_schema_metadata
@@ -177,9 +184,11 @@ def window_functions(ds, gap_none: int = -1, group_salt: int = 64,
         n = len(uid)
         if n == 0:
             z = pa.array([], pa.int64())
+            zf = pa.array([], pa.float64())
             return pa.table({"event_id": z, "user_id": z, "rn": z, "rk": z,
                              "dense_rk": z, "gap_us": z, "lead_gap_us": z,
-                             "tile": z, "grp_n": z, "cum_cents": z})
+                             "tile": z, "grp_n": z, "cum_cents": z,
+                             "pct_rank": zf, "cume_dist": zf})
         tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = g["event_id"].to_numpy().astype(np.int64)
         cents = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
@@ -214,6 +223,17 @@ def window_functions(ds, gap_none: int = -1, group_salt: int = 64,
         cs = np.cumsum(c)
         pre = cs - c  # exclusive prefix sum
         cum = cs - pre[gstart]
+        # PERCENT_RANK: one int64/int64 IEEE division (twin-shared expr)
+        pct = np.where(gsize == 1, 0.0,
+                       (rk - 1).astype(np.float64)
+                       / np.maximum(gsize - 1, 1).astype(np.float64))
+        # CUME_DIST: peers of the current ts all count (RANGE default
+        # frame) — last index of this key-run, rebased to the group start
+        key_starts = np.nonzero(key_new)[0]
+        key_lens = np.diff(np.r_[key_starts, n])
+        run_last = np.repeat(key_starts + key_lens - 1, key_lens)
+        cume_n = run_last - gstart + 1
+        cume = cume_n.astype(np.float64) / gsize.astype(np.float64)
         return pa.table({
             "event_id": pa.array(e), "user_id": pa.array(u),
             "rn": pa.array(rn), "rk": pa.array(rk),
@@ -223,6 +243,8 @@ def window_functions(ds, gap_none: int = -1, group_salt: int = 64,
             "tile": pa.array(tile.astype(np.int64)),
             "grp_n": pa.array(gsize.astype(np.int64)),
             "cum_cents": pa.array(cum),
+            "pct_rank": pa.array(pct),
+            "cume_dist": pa.array(cume),
         })
 
     return salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")

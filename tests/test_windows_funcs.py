@@ -44,6 +44,9 @@ def test_window_functions_hand_case(ray_session):
     assert out["grp_n"].tolist() == [3, 3, 3, 2, 2]
     # running cents per user in (ts, event_id) order
     assert out["cum_cents"].tolist() == [200, 300, 600, 50, 75]
+    # PERCENT_RANK = (rk-1)/(n-1); CUME_DIST counts ts peers (tie rows share)
+    assert out["pct_rank"].tolist() == [0.0, 0.0, 1.0, 0.0, 1.0]
+    assert out["cume_dist"].tolist() == [2 / 3, 2 / 3, 1.0, 0.5, 1.0]
 
 
 def test_window_functions_salt_independent(ray_session):
