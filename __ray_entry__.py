@@ -1038,6 +1038,43 @@ def q_cube_lang_source(sf_dir: str):
         value_col="n_chars")
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL ingest tier parity: documents spill to line-delimited JSON
+    shards (one per block) and stream back through read_json; the
+    per-(lang, source) aggregate recomputes text length FROM THE
+    ROUND-TRIPPED STRINGS, so any JSON escaping infidelity breaks the
+    hash.  The oracle aggregates the original parquet directly — equality
+    proves the ingest path end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.sources.jsonl import read_jsonl, write_jsonl
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "lang", "source", "n_chars", "text"])
+    spill = f"/tmp/jsonl_ingest_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_jsonl(ds, spill)
+    back = read_jsonl(spill)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": b["lang"], "source": b["source"],
+            "nc": b["n_chars"],
+            "tl": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+        })
+        g = t.group_by(["lang", "source"], use_threads=False).aggregate(
+            [([], "count_all"), ("nc", "sum"), ("tl", "sum")])
+        return g.rename_columns(["lang", "source", "pn", "pnc", "ptl"])
+
+    part = back.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    return driver_group_rollup(
+        part, ["lang", "source"],
+        [("pn", "sum", "n"), ("pnc", "sum", "sum_n_chars"),
+         ("ptl", "sum", "sum_text_chars")])
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode/whitespace normalization pass (r4): casefold + collapse
     whitespace runs + trim; exact string output and per-doc collapsed-run
@@ -2547,6 +2584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "user_actions_outer": q_user_actions_outer,
         "cube_lang_source": q_cube_lang_source,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
         "label_centroids": q_label_centroids,
@@ -3145,6 +3183,12 @@ SELECT coalesce(lang, '__all__') AS lang,
        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
 FROM documents
 GROUP BY CUBE (lang, source)"""
+
+    sql["jsonl_roundtrip"] = """
+SELECT lang, source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+FROM documents GROUP BY lang, source"""
 
     # normalize_text: lower + RE2 whitespace collapse + trim, exact strings
     sql["normalize_text"] = r"""

@@ -39,6 +39,7 @@ CHECKS = [
         "cohort_retention",
         "user_actions_outer",
         "cube_lang_source",
+        "jsonl_roundtrip",
         "user_paths",
         "mode_chars",
         "price_histogram",
