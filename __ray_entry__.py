@@ -1075,6 +1075,18 @@ def q_jsonl_roundtrip(sf_dir: str):
          ("ptl", "sum", "sum_text_chars")])
 
 
+def q_quantile_chars_cont(sf_dir: str):
+    """Per-group INTERPOLATED quantiles (percentile_cont per lang over
+    n_chars) — the grouped companion of quantile_price_cont; interpolation
+    is the shared fixed double expression on both engines."""
+    from geotrellis_contrib_ray.pipelines.query_defs import CHARS_CONT_QS
+    from geotrellis_contrib_ray.stages.stats import grouped_quantiles_cont
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return grouped_quantiles_cont(ds, "n_chars", qs=CHARS_CONT_QS,
+                                  group_col="lang")
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode/whitespace normalization pass (r4): casefold + collapse
     whitespace runs + trim; exact string output and per-doc collapsed-run
@@ -2585,6 +2597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_actions_outer": q_user_actions_outer,
         "cube_lang_source": q_cube_lang_source,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "quantile_chars_cont": q_quantile_chars_cont,
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
         "label_centroids": q_label_centroids,
@@ -3189,6 +3202,27 @@ SELECT lang, source, count(*) AS n,
        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
        CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
 FROM documents GROUP BY lang, source"""
+
+    # quantile_chars_cont: per-lang percentile_cont replayed as the shared
+    # interpolation expression over per-group order statistics (values cast
+    # to DOUBLE first, exactly as the Ray stage does)
+    from geotrellis_contrib_ray.pipelines.query_defs import CHARS_CONT_QS
+
+    _gpc_rows = " UNION ALL ".join(
+        f"""SELECT k.lang, CAST({q!r} AS DOUBLE) AS q,
+       lo.v + (hi.v - lo.v) * (CAST({q!r} AS DOUBLE) * (k.n - 1)
+                               - floor(CAST({q!r} AS DOUBLE) * (k.n - 1))) AS value
+FROM params k
+JOIN os lo ON lo.lang = k.lang
+          AND lo.r = CAST(floor(CAST({q!r} AS DOUBLE) * (k.n - 1)) AS BIGINT) + 1
+JOIN os hi ON hi.lang = k.lang
+          AND hi.r = least(CAST(floor(CAST({q!r} AS DOUBLE) * (k.n - 1)) AS BIGINT) + 2, k.n)"""
+        for q in CHARS_CONT_QS)
+    sql["quantile_chars_cont"] = f"""
+WITH s AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
+os AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS r FROM s),
+params AS (SELECT lang, count(*) AS n FROM s GROUP BY lang)
+SELECT lang, q, value FROM ({_gpc_rows})"""
 
     # normalize_text: lower + RE2 whitespace collapse + trim, exact strings
     sql["normalize_text"] = r"""

@@ -130,6 +130,10 @@ COHORT_DAY_US = 86_400_000_000
 # typed values on both engines)
 OUTER_NONE = -1
 
+# quantile_chars_cont: per-lang interpolated quantiles over n_chars —
+# the q list is shared by the stage and the generated per-q twin rows
+CHARS_CONT_QS = (0.25, 0.5, 0.9)
+
 # fixed-bin histogram over orders.o_totalprice (price_histogram query):
 # bin = min(floor(price / WIDTH), NBINS-1), shared float literal via _dbl
 HIST_BIN_WIDTH = 30000.0

@@ -139,6 +139,66 @@ def grouped_quantiles(ds, value_col: str, qs: tuple[float, ...],
     )
 
 
+def grouped_quantiles_cont(ds, value_col: str, qs: tuple[float, ...],
+                           group_col: str):
+    """Per-group INTERPOLATED quantiles (percentile_cont): idx = q*(n-1)
+    (0-based within the group), value = lo + (hi-lo)*frac over the group's
+    order statistics at floor(idx) / min(floor(idx)+1, n-1).
+
+    Same domain-bounded histogram plan as :func:`grouped_quantiles`; the
+    interpolation is the SAME fixed double expression as
+    :func:`exact_quantiles_cont` (values cast to float64 FIRST, one
+    subtraction, one multiply, one add — the generated twin replays it
+    verbatim instead of trusting the builtin's association).
+
+    Output: (group_col, q: float64, value: float64).  Partitioning
+    assumption: one GROUP's histogram fits a worker (domain-bounded)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([group_col, value_col])
+            .group_by([group_col, value_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, value_col, "pcnt"])
+
+    from .agg import salted_group_reduce
+
+    hist = salted_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        [group_col, value_col],
+        [("pcnt", "sum", "cnt")],
+    )
+
+    qarr = sorted({float(q) for q in qs})
+
+    def select(g):
+        vals = g[value_col].to_numpy().astype(np.float64)
+        cnts = g["cnt"].to_numpy().astype(np.int64)
+        o = np.argsort(vals, kind="mergesort")
+        v, c = vals[o], cnts[o]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qarr:
+            idx = q * (n - 1)
+            lo_i = int(np.floor(idx))
+            hi_i = min(lo_i + 1, n - 1)
+            lo_v = v[np.searchsorted(cum, lo_i + 1, side="left")]
+            hi_v = v[np.searchsorted(cum, hi_i + 1, side="left")]
+            frac = idx - np.floor(idx)
+            out_q.append(q)
+            out_v.append(lo_v + (hi_v - lo_v) * frac)
+        return pa.table({
+            group_col: np.repeat(g[group_col].to_numpy()[:1], len(qarr)),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        })
+
+    return hist.groupby(group_col).map_groups(select, batch_format="pandas")
+
+
 def grouped_mode(ds, group_col: str, value_col: str):
     """Exact per-group MODE (most frequent value; ties -> smallest value):
     per-batch (group, value) count partials, ONE bounded-salt shuffle to

@@ -40,6 +40,7 @@ CHECKS = [
         "user_actions_outer",
         "cube_lang_source",
         "jsonl_roundtrip",
+        "quantile_chars_cont",
         "user_paths",
         "mode_chars",
         "price_histogram",

@@ -273,3 +273,25 @@ def test_grouped_moments_exact_and_corr_expr(ray_session):
     assert out["corr_r"].values.tobytes() == exp["corr_r"].values.tobytes()
     # sanity: the planted correlation is strong
     assert (out["corr_r"] > 0.8).all()
+
+
+def test_grouped_quantiles_cont_hand_case(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.stats import grouped_quantiles_cont
+
+    t = pa.table({
+        "lang": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+        "v": pa.array([8, 1, 4, 2, 5], pa.int64()),
+    })
+    out = (grouped_quantiles_cont(rd.from_arrow(t).repartition(2), "v",
+                                  qs=(0.25, 0.5, 0.9), group_col="lang")
+           .to_pandas().sort_values(["lang", "q"]).reset_index(drop=True))
+    got = {(r.lang, r.q): r.value for r in out.itertuples()}
+    # group a = [1,2,4,8]: idx=q*3 -> 0.75/1.5/2.7
+    assert got[("a", 0.25)] == 1.0 + (2.0 - 1.0) * 0.75
+    assert got[("a", 0.5)] == 3.0
+    assert got[("a", 0.9)] == 4.0 + (8.0 - 4.0) * (2.7 - 2.0)
+    # singleton group: every q returns the value itself
+    for q in (0.25, 0.5, 0.9):
+        assert got[("b", q)] == 5.0
