@@ -1075,6 +1075,17 @@ def q_jsonl_roundtrip(sf_dir: str):
          ("ptl", "sum", "sum_text_chars")])
 
 
+def q_user_first_last(sf_dir: str):
+    """Per-user ARG_MIN/ARG_MAX: first and last event_type in
+    (epoch_us, event_id) order + row count — the order-statistic
+    aggregate family."""
+    from geotrellis_contrib_ray.stages import windows
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+    return windows.group_first_last(ds)
+
+
 def q_quantile_chars_cont(sf_dir: str):
     """Per-group INTERPOLATED quantiles (percentile_cont per lang over
     n_chars) — the grouped companion of quantile_price_cont; interpolation
@@ -2598,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_lang_source": q_cube_lang_source,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantile_chars_cont": q_quantile_chars_cont,
+        "user_first_last": q_user_first_last,
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
         "label_centroids": q_label_centroids,
@@ -3223,6 +3235,18 @@ WITH s AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
 os AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS r FROM s),
 params AS (SELECT lang, count(*) AS n FROM s GROUP BY lang)
 SELECT lang, q, value FROM ({_gpc_rows})"""
+
+    sql["user_first_last"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+)
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+       count(*) OVER (PARTITION BY user_id) AS n_events
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)"""
 
     # normalize_text: lower + RE2 whitespace collapse + trim, exact strings
     sql["normalize_text"] = r"""

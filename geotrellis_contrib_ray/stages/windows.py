@@ -377,6 +377,57 @@ def funnel_counts(ds, stages: tuple[str, ...] = ("view", "click", "purchase"),
     return out.sort_by("stage")
 
 
+def group_first_last(ds, group_salt: int = 64):
+    """Per-group ARG_MIN / ARG_MAX over events: each user's FIRST and LAST
+    event_type in (epoch_us, event_id) order plus the row count — the
+    order-statistic aggregate family (SQL arg_min/arg_max, or
+    first_value/last_value + DISTINCT).
+
+    Same salted-group single-pass plan as sessionize: one lexsort, gather
+    the payload column at each user segment's first and last index.  No
+    per-row output — one row per user crosses nothing but the salt
+    groupby.
+
+    Output: user_id, first_type, last_type (string), n_events (int64)."""
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = (uid * np.int64(2654435761)) % group_salt
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from .agg import _default_shuffle_partitions
+
+    salted = salted.repartition(_default_shuffle_partitions())
+
+    def per_salt(g):
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            z = pa.array([], pa.int64())
+            s = pa.array([], pa.string())
+            return pa.table({"user_id": z, "first_type": s, "last_type": s,
+                             "n_events": z})
+        tus = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy().astype(object)
+        order = np.lexsort((eid, tus, uid))
+        u, e = uid[order], et[order]
+        starts = np.nonzero(np.r_[True, u[1:] != u[:-1]])[0]
+        ends = np.r_[starts[1:], n] - 1
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "first_type": pa.array(list(e[starts]), pa.string()),
+            "last_type": pa.array(list(e[ends]), pa.string()),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+        })
+
+    return salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
+
+
 def cohort_retention(ds, signup_type: str = "signup",
                      day_us: int = 86_400_000_000, group_salt: int = 64):
     """Cohort retention matrix over events: users are cohorted by the UTC

@@ -41,6 +41,7 @@ CHECKS = [
         "cube_lang_source",
         "jsonl_roundtrip",
         "quantile_chars_cont",
+        "user_first_last",
         "user_paths",
         "mode_chars",
         "price_histogram",

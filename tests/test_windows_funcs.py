@@ -145,3 +145,18 @@ def test_cohort_retention_hand_case(ray_session):
     out = cohort_retention(rd.from_arrow(t), day_us=100).to_pandas()
     cells = list(zip(out["cohort_day"], out["day_offset"], out["n_users"]))
     assert cells == [(0, 0, 1), (0, 1, 1), (0, 3, 1), (2, 0, 1), (2, 1, 1)]
+
+
+def test_group_first_last_hand_case(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.windows import group_first_last
+
+    t = _events_table().append_column(
+        "event_type", pa.array(["b", "a", "c", "x", "y"], pa.string()))
+    out = (group_first_last(rd.from_arrow(t)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # user 1 tie at t=100 breaks on event_id (2 before 3): first=a, last=c
+    assert out["first_type"].tolist() == ["a", "x"]
+    assert out["last_type"].tolist() == ["c", "y"]
+    assert out["n_events"].tolist() == [3, 2]

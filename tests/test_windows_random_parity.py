@@ -11,7 +11,8 @@ import pyarrow.parquet as pq
 import pytest
 
 QUERIES = ["window_funcs", "moving_stats", "funnel_stages",
-           "cohort_retention", "user_actions_outer", "user_paths"]
+           "cohort_retention", "user_actions_outer", "user_paths",
+           "user_first_last"]
 
 
 def _random_events(seed: int, n: int = 3000) -> pa.Table:
