@@ -1086,6 +1086,48 @@ def q_user_first_last(sf_dir: str):
     return windows.group_first_last(ds)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV ingest tier parity (the second text exchange format next to
+    JSONL): documents spill to CSV shards and stream back through the
+    newlines-in-values reader; the aggregate recomputes text length FROM
+    the round-tripped strings so quoting infidelity breaks the hash."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.sources.csv_io import (
+        read_csv_shards,
+        write_csv_shards,
+    )
+    from geotrellis_contrib_ray.stages.agg import driver_group_rollup
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "lang", "source", "n_chars", "text"])
+    spill = f"/tmp/csv_ingest_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_csv_shards(ds, spill)
+    back = read_csv_shards(spill)
+
+    def partial(b: pa.Table) -> pa.Table:
+        # CSV has no null/empty-string distinction: Arrow reads an empty
+        # quoted field back as '' — normalize nulls the same way so the
+        # aggregate is format-faithful for non-null corpora
+        txt = pc.fill_null(b["text"], "")
+        t = pa.table({
+            "lang": b["lang"], "source": b["source"],
+            "nc": b["n_chars"],
+            "tl": pc.cast(pc.utf8_length(txt), pa.int64()),
+        })
+        g = t.group_by(["lang", "source"], use_threads=False).aggregate(
+            [([], "count_all"), ("nc", "sum"), ("tl", "sum")])
+        return g.rename_columns(["lang", "source", "pn", "pnc", "ptl"])
+
+    part = back.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    return driver_group_rollup(
+        part, ["lang", "source"],
+        [("pn", "sum", "n"), ("pnc", "sum", "sum_n_chars"),
+         ("ptl", "sum", "sum_text_chars")])
+
+
 def q_quantile_chars_cont(sf_dir: str):
     """Per-group INTERPOLATED quantiles (percentile_cont per lang over
     n_chars) — the grouped companion of quantile_price_cont; interpolation
@@ -2610,6 +2652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantile_chars_cont": q_quantile_chars_cont,
         "user_first_last": q_user_first_last,
+        "csv_roundtrip": q_csv_roundtrip,
         "window_funcs": q_window_funcs,
         "user_paths": q_user_paths,
         "label_centroids": q_label_centroids,
@@ -3213,6 +3256,12 @@ GROUP BY CUBE (lang, source)"""
 SELECT lang, source, count(*) AS n,
        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
        CAST(sum(length(text)) AS BIGINT) AS sum_text_chars
+FROM documents GROUP BY lang, source"""
+
+    sql["csv_roundtrip"] = """
+SELECT lang, source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_text_chars
 FROM documents GROUP BY lang, source"""
 
     # quantile_chars_cont: per-lang percentile_cont replayed as the shared

@@ -42,6 +42,7 @@ CHECKS = [
         "jsonl_roundtrip",
         "quantile_chars_cont",
         "user_first_last",
+        "csv_roundtrip",
         "user_paths",
         "mode_chars",
         "price_histogram",
