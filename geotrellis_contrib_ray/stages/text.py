@@ -307,37 +307,63 @@ def tfidf_top_terms(ds, top_n: int = 3, id_col: str = "doc_id",
 
 def repetition_stats(ds, k: int = 5, id_col: str = "doc_id",
                      text_col: str = "text"):
-    """Gopher-style repetition quality signal: per doc, total k-byte-grams
-    vs DISTINCT k-grams (the duplicate fraction flags boilerplate/looped
-    text).  Pure narrow pass — gram hashes ride the shared utf8 buffer
-    (dedup._shingle_hashes) and the per-doc distinct count is ONE lexsort +
-    run-detect across the whole batch, no per-row python.
+    """Gopher-style repetition quality signal: per doc, total k-CHARACTER
+    grams vs DISTINCT k-grams (the duplicate fraction flags boilerplate /
+    looped text).  Grams are codepoint windows — the twin's substr() is
+    character-based, and byte windows would split multi-byte UTF-8 chars
+    (found by the adversarial random-parity suite; the generator corpus is
+    ASCII so the old byte-gram variant never diverged there).  One narrow
+    pass: the batch's texts decode to a single flat uint32 codepoint array
+    (one C-level join + one UTF-32 encode), window hashes are k vectorized
+    polynomial steps over it, and the per-doc distinct count is ONE
+    lexsort + run-detect — no per-gram python.
 
-    Output: (doc_id, n_grams, n_distinct, n_dup).  SQL twin counts the
-    substrings themselves; the 64-bit gram-hash domain is collision-free
-    for test corpora (odds ~n^2/2^64)."""
-    from .dedup import _shingle_hashes
+    Output: (doc_id, n_grams, n_distinct, n_dup).  Docs with NO k-grams
+    (text shorter than k, empty, or null) emit NO row — the twin's
+    GROUP-BY-over-the-gram-join drops them the same way.  The 64-bit
+    gram-hash domain is collision-free for test corpora (odds
+    ~n^2/2^64)."""
+    P = np.uint64(1099511628211)
 
     def stats(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         texts = b[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        hs = _shingle_hashes(texts.cast(pa.string()), k)
-        lens = np.array([len(x) for x in hs], np.int64)
-        if lens.sum():
-            alld = np.concatenate(hs).view(np.int64)
-            doci = np.repeat(np.arange(len(hs)), lens)
+        texts = texts.cast(pa.string())
+        nch = pc.fill_null(pc.utf8_length(texts), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        grams = np.maximum(nch - k + 1, 0)
+        total = int(grams.sum())
+        if total:
+            joined = "".join(t if t is not None else ""
+                             for t in texts.to_pylist())
+            cps = np.frombuffer(joined.encode("utf-32-le"),
+                                np.uint32).astype(np.uint64)
+            doc_start = np.r_[0, np.cumsum(nch)[:-1]]
+            doci = np.repeat(np.arange(len(nch)), grams)
+            gram_off = np.r_[0, np.cumsum(grams)[:-1]]
+            starts = (doc_start[doci]
+                      + (np.arange(total) - gram_off[doci]))
+            h = np.zeros(total, np.uint64)
+            for j in range(k):
+                h = h * P + cps[starts + j]
+            alld = h.view(np.int64)
             order = np.lexsort((alld, doci))
             d, hh = doci[order], alld[order]
             newrun = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
-            distinct = np.bincount(d[newrun], minlength=len(hs)).astype(np.int64)
+            distinct = np.bincount(d[newrun], minlength=len(nch)).astype(np.int64)
         else:
-            distinct = np.zeros(len(hs), np.int64)
+            distinct = np.zeros(len(nch), np.int64)
+        keep = grams > 0
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         return pa.table({
-            id_col: b[id_col].combine_chunks().cast(pa.int64()),
-            "n_grams": pa.array(lens),
-            "n_distinct": pa.array(distinct),
-            "n_dup": pa.array(lens - distinct),
+            id_col: pa.array(ids[keep]),
+            "n_grams": pa.array(grams[keep]),
+            "n_distinct": pa.array(distinct[keep]),
+            "n_dup": pa.array((grams - distinct)[keep]),
         })
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True,
