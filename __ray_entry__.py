@@ -2649,6 +2649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "user_actions_outer": q_user_actions_outer,
         "cube_lang_source": q_cube_lang_source,
+        "repetition": q_repetition,  # changed this round (char-gram fix)
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "quantile_chars_cont": q_quantile_chars_cont,
         "user_first_last": q_user_first_last,
@@ -2734,7 +2735,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": q_kmeans_embed,
         "semi_bloom": q_semi_bloom,
         "raster_gradient": q_raster_gradient,
-        "repetition": q_repetition,
         "mercator_cells": q_mercator_cells,
         "lambert_cells": q_lambert_cells,
         "albers_cells": q_albers_cells,
