@@ -12,7 +12,9 @@ import pytest
 
 QUERIES = ["window_funcs", "moving_stats", "funnel_stages",
            "cohort_retention", "user_actions_outer", "user_paths",
-           "user_first_last"]
+           "user_first_last", "event_windows", "sessionize",
+           "sliding_windows", "window_distinct", "asof_join",
+           "interval_join", "interval_join_bucketed"]
 
 
 def _random_events(seed: int, n: int = 3000) -> pa.Table:
