@@ -1396,6 +1396,31 @@ def q_jaccard_prefix_pairs(sf_dir: str):
     return dedup.jaccard_prefix_pairs(ds, shingle_k=JACCARD_K, threshold=JACCARD_THRESHOLD)
 
 
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-k word bigrams (count desc, bigram asc): per-batch
+    Arrow group_by partials -> one bounded-salt reduce -> per-block partial
+    top-k -> tiny driver merge.  Only (bigram, count) partials shuffle."""
+    from geotrellis_contrib_ray.pipelines.query_defs import TOP_BIGRAMS_K
+    from geotrellis_contrib_ray.stages.text import top_bigrams
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_bigrams(ds, k=TOP_BIGRAMS_K)
+
+
+def q_edit_distance_pairs(sf_dir: str):
+    """Edit-distance near-dup self-join (PassJoin, Li/Deng/Feng PVLDB'11):
+    all doc pairs within byte Levenshtein <= EDIT_MAX_DIST, with the exact
+    distance.  Candidates via pigeonhole segment/probe hashing, exact banded
+    DP verify; byte domain matches DuckDB's byte-based levenshtein().
+    Oracle-profile: uncapped max_bucket (CLAUDE.md rule)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import EDIT_MAX_DIST
+    from geotrellis_contrib_ray.stages import dedup
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.edit_distance_pairs(ds, max_dist=EDIT_MAX_DIST,
+                                     max_bucket=1_000_000)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via multi-band LSH buckets + exact
     rerank — the EXACT-integer variant (quantized embeddings + integer
@@ -2644,6 +2669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green rows ride last and rotate forward next round.
         # -- (a) NEW this round, never driver-checked: per-row window
         #    functions, grouped mode, fixed-bin histogram, moment sums
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "top_bigrams": q_top_bigrams,
         "moving_stats": q_moving_stats,
         "funnel_stages": q_funnel_stages,
         "cohort_retention": q_cohort_retention,
@@ -3935,6 +3962,36 @@ SELECT id1, id2, n_shared,
 FROM shared JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
 WHERE CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) >= {JACCARD_THRESHOLD}"""
     sql["jaccard_prefix_pairs"] = sql["jaccard_exact_pairs"]
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        EDIT_MAX_DIST,
+        TOP_BIGRAMS_K,
+    )
+
+    # bigram = tokens i, i+1 joined with one space — list lambda over
+    # string_split; ties at the k-th count break on the bigram string on
+    # both engines (the Ray side lexsorts (bigram, -n) identically)
+    sql["top_bigrams"] = f"""
+WITH w AS (SELECT string_split(text, ' ') AS arr FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(arr)),
+                               i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+  FROM w
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}"""
+
+    # byte-domain on BOTH engines: DuckDB levenshtein() counts byte edits
+    # (measured), and the Ray side's PassJoin segments/probes/banded-DP all
+    # run on the raw utf8 buffer.  The strlen (byte-length) prune is implied
+    # by the predicate (|len(a)-len(b)| <= dist) — a pure DP-cost cut.
+    sql["edit_distance_pairs"] = f"""
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       levenshtein(a.text, b.text) AS dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND abs(strlen(a.text) - strlen(b.text)) <= {EDIT_MAX_DIST}
+WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}"""
 
     # minhash_pairs: the ENTIRE MinHash+LSH plan replayed in generated SQL —
     # rolling shingle hashes, the seed-fixed (a*x+b) mod-Mersenne universal

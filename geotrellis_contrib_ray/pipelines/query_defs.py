@@ -212,6 +212,16 @@ CHUNK_SQL_SERIES = 255
 JACCARD_THRESHOLD = 0.5
 JACCARD_SAMPLE_LIMIT = 250  # doc_id < 250
 
+# corpus-wide top-k word bigrams (text.top_bigrams and its SQL twin):
+# ties at the k-th count broken on the bigram string on both engines
+TOP_BIGRAMS_K = 20
+
+# edit-distance near-dup self-join (dedup.edit_distance_pairs, PassJoin):
+# byte-domain Levenshtein threshold shared with the SQL twin — DuckDB's
+# levenshtein() is BYTE-based (measured), matching the Ray side's raw-utf8
+# segment/probe/DP pipeline exactly, unicode included
+EDIT_MAX_DIST = 4
+
 # paragraph_dedup (CCNet/Dolma-style cross-document chunk dedup): both
 # engines segment docs into PARA_K-token chunks and pack the first-occurrence
 # owner key as doc_id * 2^PARA_IDX_BITS + chunk_idx (Ray guards

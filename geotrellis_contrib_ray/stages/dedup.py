@@ -2137,3 +2137,305 @@ def incremental_dedup_keep_first(existing, delta, id_col: str = "doc_id",
         return pa.table({id_col: pa.array(np.sort(id_o[keep]))})
 
     return tagged.groupby("_bucket").map_groups(winners, batch_format="pyarrow")
+
+
+# --- edit-distance near-dup join (PassJoin) ---------------------------------
+#
+# Pigeonhole partition scheme from PassJoin (Li, Deng, Feng: "PassJoin: A
+# Partition-based Method for Similarity Joins", PVLDB 5(3), 2011): split
+# every string into max_dist+1 even BYTE segments; any partner within edit
+# distance max_dist must contain at least one segment as an exact substring,
+# starting within +-max_dist of the segment's own position (at most max_dist
+# edits precede the untouched segment in an optimal alignment, each shifting
+# it by at most one byte).  Candidates = (segment hash) x (windowed substring
+# probe hash) equi-matches; an exact banded DP verify (Ukkonen band 2T+1)
+# removes hash-collision and window false positives.
+#
+# BYTE domain on purpose: DuckDB's levenshtein() is byte-based (measured:
+# levenshtein('<e-acute>a','ea') = 2), so unlike the codepoint-gram queries
+# (repetition_stats et al.) the SQL twin and the Ray side agree on raw utf8
+# BYTES — segment hashes, probe windows and the verify DP all operate on the
+# flat utf8 buffer with no decode.
+
+
+def _banded_edit_distance(a: np.ndarray, b: np.ndarray, t: int) -> int:
+    """Exact Levenshtein distance between byte arrays ``a`` and ``b`` if it
+    is <= t, else t+1.  Ukkonen band: O(len(a) * (2t+1)) cells; the insert
+    recurrence (a row-internal prefix dependence) is resolved vectorized as
+    min_{k'<=k} (m[k'] + (k-k')) via np.minimum.accumulate on m[k]-k."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > t:
+        return t + 1
+    inf = t + 1
+    ks = np.arange(2 * t + 1, dtype=np.int64)  # offset k -> j = i + k - t
+    j0 = ks - t
+    dp = np.where((j0 >= 0) & (j0 <= lb), np.abs(j0), inf)
+    dp = np.minimum(dp, inf)
+    for i in range(1, la + 1):
+        j = i + ks - t
+        valid = (j >= 0) & (j <= lb)
+        up = np.r_[dp[1:], inf] + 1  # delete a[i-1]: dp[i-1][same j] = k+1
+        bj = b[np.clip(j - 1, 0, lb - 1)]
+        cost = (bj != a[i - 1]).astype(np.int64)
+        diag = np.where(j >= 1, dp + cost, inf)
+        m = np.where(valid, np.minimum(up, diag), inf)
+        dp = np.minimum.accumulate(m - ks) + ks  # insert chain
+        dp = np.minimum(np.where(valid, dp, inf), inf)
+        if dp.min() > t:
+            return t + 1
+    d = int(dp[lb - la + t])
+    return d if d <= t else t + 1
+
+
+def _mix_lih(l: np.ndarray, i: int, h: np.ndarray) -> np.ndarray:
+    """Combine (partner length, segment index, window hash) into one int64
+    candidate-bucket key (splitmix-style).  Collisions only ADD candidates
+    (exact verify removes them); they can never lose a pair."""
+    x = h.view(np.uint64) ^ (l.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    x ^= np.uint64(((i + 1) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(31))) * np.uint64(0x94D049BB133111EB)
+    return (x ^ (x >> np.uint64(29))).view(np.int64)
+
+
+_SHORT_KEY = np.int64(-0x5851F42D4C957F2D)  # sentinel bucket for len <= 2t
+
+
+def edit_distance_pairs(ds, max_dist: int = 4, id_col: str = "doc_id",
+                        text_col: str = "text", group_salt: int = 64,
+                        pair_salt: int = 128, max_bucket: int = 1000):
+    """Self-join: all id1 < id2 pairs with byte Levenshtein <= max_dist,
+    plus the exact distance.  PassJoin candidates (see module comment) ->
+    global distinct -> text re-attach (bucketed shuffle join; texts never
+    ride the candidate shuffle) -> banded DP verify.
+
+    Strings shorter than max_dist+1 bytes cannot carry non-empty segments;
+    any partner of such a string is itself <= 2*max_dist bytes, so ALL
+    strings <= 2*max_dist bytes share one sentinel bucket (their pair count
+    is inherently quadratic when they are near-equal — e.g. a corpus of
+    empty docs — so no partition scheme can beat the output size there).
+    ``max_bucket`` caps any single candidate run with a logged drop;
+    oracle-profile callers pass it uncapped (CLAUDE.md rule).
+
+    Output: id1, id2, dist (all int64).  SQL twin:
+    ``levenshtein(a.text, b.text) <= max_dist`` with a byte-length
+    |strlen(a)-strlen(b)| <= max_dist prune (implied by the predicate)."""
+    from .agg import salted_group_reduce
+    from .joins import bucketed_hash_join
+    from .text import _window_hash
+
+    t = int(max_dist)
+    nseg = t + 1
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        batch = strip_schema_metadata(batch)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        ids_all = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids_all[valid]
+        texts = texts.filter(pa.array(valid)).cast(pa.string())
+        n = len(texts)
+        keys_l, sides_l, out_ids = [], [], []
+        if n:
+            off_buf = texts.buffers()[1]
+            offs = np.frombuffer(off_buf, dtype=np.int32)[
+                texts.offset : texts.offset + n + 1].astype(np.int64)
+            dbuf = texts.buffers()[2]
+            data = (np.frombuffer(dbuf, dtype=np.uint8)
+                    if dbuf is not None else np.zeros(0, np.uint8))
+            lens = offs[1:] - offs[:-1]
+            # --- short bucket: every doc <= 2t bytes, both sides ----------
+            sh = lens <= 2 * t
+            if sh.any():
+                k = np.full(int(sh.sum()), _SHORT_KEY)
+                for side in (0, 1):
+                    keys_l.append(k)
+                    sides_l.append(np.full(len(k), side, np.int8))
+                    out_ids.append(ids[sh])
+            # --- segment side (len >= t+1): t+1 even byte segments --------
+            seg = lens >= nseg
+            if seg.any():
+                sl, so, sid = lens[seg], offs[:-1][seg], ids[seg]
+                for i in range(nseg):
+                    st = so + (i * sl) // nseg
+                    en = so + ((i + 1) * sl) // nseg
+                    h = _window_hash(data, st, en).view(np.int64)
+                    keys_l.append(_mix_lih(sl, i, h))
+                    sides_l.append(np.zeros(len(h), np.int8))
+                    out_ids.append(sid)
+            # --- probe side: partner lengths l in [lb-t, lb+t], l >= t+1,
+            #     substrings at the partner's segment positions +-t ---------
+            for dl in range(-t, t + 1):
+                pl = lens + dl  # partner length per doc
+                pm = pl >= nseg
+                if not pm.any():
+                    continue
+                plm, lbm, o0, idm = pl[pm], lens[pm], offs[:-1][pm], ids[pm]
+                for i in range(nseg):
+                    p = (i * plm) // nseg
+                    s = ((i + 1) * plm) // nseg - p
+                    st_l, en_l, pid_l = [], [], []
+                    for d in range(-t, t + 1):
+                        start = p + d
+                        ok = (start >= 0) & (start + s <= lbm)
+                        if not ok.any():
+                            continue
+                        st_l.append(o0[ok] + start[ok])
+                        en_l.append(o0[ok] + start[ok] + s[ok])
+                        pid_l.append(np.nonzero(ok)[0])
+                    if not st_l:
+                        continue
+                    st = np.concatenate(st_l)
+                    en = np.concatenate(en_l)
+                    pidx = np.concatenate(pid_l)
+                    h = _window_hash(data, st, en).view(np.int64)
+                    k = _mix_lih(plm[pidx], i, h)
+                    pid = idm[pidx]
+                    # per-doc probe dedup: same window content at several d
+                    oo = np.lexsort((k, pid))
+                    ko, po = k[oo], pid[oo]
+                    first = np.r_[True, (ko[1:] != ko[:-1]) | (po[1:] != po[:-1])]
+                    keys_l.append(ko[first])
+                    sides_l.append(np.ones(int(first.sum()), np.int8))
+                    out_ids.append(po[first])
+        if not keys_l:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "id": pa.array([], pa.int64())})
+        return pa.table({"k": pa.array(np.concatenate(keys_l)),
+                         "side": pa.array(np.concatenate(sides_l)),
+                         "id": pa.array(np.concatenate(out_ids))})
+
+    rows = ds.map_batches(cand_rows, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        salt = (b["k"].to_numpy(zero_copy_only=False).view(np.uint64)
+                % np.uint64(group_salt)).astype(np.int64)
+        return b.append_column("gsalt", pa.array(salt))
+
+    salted = rows.map_batches(add_salt, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def pairs(g):
+        ks = g["k"].to_numpy()
+        ids = g["id"].to_numpy()
+        side = g["side"].to_numpy()
+        order = np.lexsort((ids, side, ks))
+        ko, io, so = ks[order], ids[order], side[order]
+        starts = np.nonzero(np.r_[True, ko[1:] != ko[:-1]])[0]
+        ends = np.r_[starts[1:], len(ko)]
+        id1s, id2s = [], []
+        for st, en in zip(starts, ends):
+            s_run, i_run = so[st:en], io[st:en]
+            a_ids = i_run[s_run == 0]
+            b_ids = i_run[s_run == 1]
+            if not len(a_ids) or not len(b_ids):
+                continue
+            if len(a_ids) * len(b_ids) > max_bucket * max_bucket:
+                _log_bucket_drop("edit_distance_pairs",
+                                 len(a_ids) * len(b_ids),
+                                 max_bucket * max_bucket)
+                continue
+            aa = np.repeat(a_ids, len(b_ids))
+            bb = np.tile(b_ids, len(a_ids))
+            ne = aa != bb
+            if not ne.any():
+                continue
+            aa, bb = aa[ne], bb[ne]
+            id1s.append(np.minimum(aa, bb))
+            id2s.append(np.maximum(aa, bb))
+        if not id1s:
+            z = pa.array([], pa.int64())
+            return pa.table({"id1": z, "id2": z})
+        p1 = np.concatenate(id1s)
+        p2 = np.concatenate(id2s)
+        oo = np.lexsort((p2, p1))
+        a, b = p1[oo], p2[oo]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"id1": pa.array(a[first]), "id2": pa.array(b[first])})
+
+    cand = salted_group_reduce(
+        salted.repartition(_shuffle_parts())
+        .groupby("gsalt").map_groups(pairs, batch_format="pandas"),
+        ["id1", "id2"], [(None, "count", "_nb")],  # global distinct
+    )
+
+    # --- text re-attach + banded DP verify (jaccard_prefix_pairs pattern) --
+    def explode(b: pa.Table) -> pa.Table:
+        id1 = b["id1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        id2 = b["id2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(id1)
+        return pa.table({
+            "doc_id": np.concatenate([id1, id2]),
+            "id1": np.concatenate([id1, id1]),
+            "id2": np.concatenate([id2, id2]),
+            "slot": np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+        })
+
+    probes = cand.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def texts_proj(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b.select([id_col, text_col]))
+        return b.filter(pc.is_valid(b[text_col]))
+
+    texts = ds.map_batches(texts_proj, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    if id_col != "doc_id":
+        texts = texts.rename_columns({id_col: "doc_id"})
+    i64 = pa.int64()
+    attached = bucketed_hash_join(
+        probes, texts, on="doc_id",
+        schemas=(pa.schema([("doc_id", i64), ("id1", i64), ("id2", i64),
+                            ("slot", pa.int8())]),
+                 pa.schema([("doc_id", i64), (text_col, pa.string())])),
+        buckets=2 * _shuffle_parts(),
+    )
+
+    def add_pair_salt(b: pa.Table) -> pa.Table:
+        id1 = b["id1"].to_numpy(zero_copy_only=False)
+        id2 = b["id2"].to_numpy(zero_copy_only=False)
+        salt = ((id1 * np.int64(31) + id2) * np.int64(2654435761)) % pair_salt
+        return b.append_column("psalt", pa.array(salt))
+
+    salted_p = attached.map_batches(add_pair_salt, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None)
+
+    def verify(g):
+        z = pa.array([], pa.int64())
+        if len(g) == 0:
+            return pa.table({"id1": z, "id2": z, "dist": z})
+        slot = np.asarray(g["slot"])
+        id1 = np.asarray(g["id1"]).astype(np.int64)
+        id2 = np.asarray(g["id2"]).astype(np.int64)
+        did = np.where(slot == 0, id1, id2)
+        txt = np.asarray(g[text_col], dtype=object)
+        uids, first_idx = np.unique(did, return_index=True)
+        by_id = {int(u): np.frombuffer(str(txt[fi]).encode("utf-8"), np.uint8)
+                 for u, fi in zip(uids, first_idx)}
+        order = np.lexsort((id2, id1))
+        s1, s2, ss = id1[order], id2[order], slot[order]
+        first = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+        starts = np.nonzero(first)[0]
+        ends = np.r_[starts[1:], len(s1)]
+        o1, o2, od = [], [], []
+        for st, en in zip(starts, ends):
+            sl = ss[st:en]
+            if not ((sl == 0).any() and (sl == 1).any()):
+                continue  # one side's text missing (null) — not a pair
+            d = _banded_edit_distance(by_id[int(s1[st])], by_id[int(s2[st])], t)
+            if d <= t:
+                o1.append(s1[st]); o2.append(s2[st]); od.append(d)
+        return pa.table({"id1": pa.array(np.array(o1, np.int64)),
+                         "id2": pa.array(np.array(o2, np.int64)),
+                         "dist": pa.array(np.array(od, np.int64))})
+
+    return salted_p.groupby("psalt").map_groups(verify, batch_format="pandas")

@@ -170,19 +170,26 @@ def add_fingerprint(batch: pa.Table) -> pa.Table:
 
 
 def _segment_hash(data: np.ndarray, offs: np.ndarray, seed: int = 0) -> np.ndarray:
-    """FNV-1a per segment, vectorized across rows: process column-of-bytes
-    position-by-position over the max length but masked to each row's span.
-    Rows are short texts; cost is O(max_len * n) numpy ops."""
-    n = len(offs) - 1
-    lens = offs[1:] - offs[:-1]
+    """FNV-1a per segment defined by CONSECUTIVE offsets (offs[i], offs[i+1])."""
+    return _window_hash(data, offs[:-1], offs[1:], seed=seed)
+
+
+def _window_hash(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 seed: int = 0) -> np.ndarray:
+    """FNV-1a per arbitrary (start, end) byte window into ``data``,
+    vectorized across rows: process column-of-bytes position-by-position over
+    the max length but masked to each row's span.  Windows are short
+    (texts / PassJoin segments); cost is O(max_len * n) numpy ops."""
+    n = len(starts)
+    lens = ends - starts
     out = np.full(n, np.uint64(0xCBF29CE484222325) ^ np.uint64(seed))
     prime = np.uint64(0x100000001B3)
     max_len = int(lens.max()) if n else 0
     # chunk positions to bound memory: 64 positions at a time
     for start in range(0, max_len, 64):
         width = min(64, max_len - start)
-        idx = offs[:-1, None] + start + np.arange(width)[None, :]
-        valid = idx < offs[1:, None]
+        idx = starts[:, None] + start + np.arange(width)[None, :]
+        valid = idx < ends[:, None]
         safe = np.where(valid, idx, 0)
         bytes_ = data[safe].astype(np.uint64)
         for j in range(width):
@@ -498,3 +505,73 @@ def normalize_text(ds, text_col: str = "text"):
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=None)
+
+
+def top_bigrams(ds, k: int = 20, text_col: str = "text"):
+    """Corpus-wide top-k word BIGRAMS (total occurrence count, ties broken
+    on the bigram string) — the n-gram statistics table of a training-data
+    pipeline (stopword-pair signals, boilerplate detection).
+
+    Scale shape (vocab_coverage's plan): per-batch bigram tf (one Arrow
+    group_by inside the block — only (bigram, count) partials ever cross the
+    wire) -> ONE bounded-salt reduce -> per-block partial top-k -> tiny
+    driver merge.  Tokenization is split-on-single-space, empty tokens
+    preserved; a bigram is tokens i, i+1 of the SAME doc joined with one
+    space — bit-identical to the DuckDB twin's
+    ``arr[i] || ' ' || arr[i+1]`` over ``string_split(text, ' ')``.
+
+    Output: pa.Table (bigram:string, n:int64), n desc, bigram asc, <= k rows."""
+    import pyarrow.compute as pc
+
+    def bigram_tf(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(toks)
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        off_dt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+        doc_offs = np.frombuffer(toks.buffers()[1], dtype=off_dt)[
+            toks.offset : toks.offset + n + 1].astype(np.int64)
+        # null docs have zero-length offset spans -> 0 tokens -> no bigrams
+        nb = np.maximum(np.diff(doc_offs) - 1, 0)
+        total = int(nb.sum())
+        if total == 0:
+            return empty
+        left_idx = (np.repeat(doc_offs[:-1], nb)
+                    + np.arange(total) - np.repeat(np.cumsum(nb) - nb, nb))
+        flat = toks.values
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        left = flat.take(pa.array(left_idx))
+        right = flat.take(pa.array(left_idx + 1))
+        bg = pc.binary_join_element_wise(left, right, " ")
+        g = (pa.table({"bigram": bg})
+             .group_by("bigram", use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({"bigram": g["bigram"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    from .agg import salted_group_reduce
+
+    counts = salted_group_reduce(
+        ds.map_batches(bigram_tf, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["bigram"], [("c", "sum", "n")], salt=256,
+    )
+
+    def block_top(b: pa.Table) -> pa.Table:
+        nn = b["n"].to_numpy(zero_copy_only=False)
+        bgv = b["bigram"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bgv, -nn))[:k]
+        return b.take(pa.array(np.sort(order)))
+
+    rows = counts.map_batches(block_top, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None).take_all()
+    nn = np.array([r["n"] for r in rows], np.int64)
+    bgv = np.array([r["bigram"] for r in rows], object)
+    sel = np.lexsort((bgv, -nn))[:k]
+    return pa.table({"bigram": pa.array(bgv[sel], pa.string()),
+                     "n": pa.array(nn[sel], pa.int64())})

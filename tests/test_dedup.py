@@ -574,3 +574,99 @@ def test_ngram_jaccard_bloom_prefilter_parity(ray_session):
     key = lambda df: sorted(zip(df["id1"].astype(int), df["id2"].astype(int),
                                 np.round(df["jaccard"], 12)))
     assert key(auto_small) == off and key(auto_big) == on
+
+
+def test_banded_edit_distance_exhaustive_small():
+    """Banded DP vs a plain full-DP reference over a small alphabet (forces
+    ties/collisions) for every threshold, plus unicode multi-byte cases
+    (BYTE domain — matches DuckDB's byte-based levenshtein)."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.stages.dedup import _banded_edit_distance
+
+    def full_dp(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp = dp, [i] + [0] * lb
+            for j in range(1, lb + 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[lb]
+
+    rng = np.random.default_rng(11)
+    for _ in range(400):
+        a = rng.integers(97, 100, int(rng.integers(0, 12))).astype(np.uint8)
+        b = rng.integers(97, 100, int(rng.integers(0, 12))).astype(np.uint8)
+        ref = full_dp(a, b)
+        for t in (0, 1, 2, 4, 7):
+            assert _banded_edit_distance(a, b, t) == min(ref, t + 1)
+    for x, y, d in [("éa", "ea", 2), ("日本語", "日本", 3), ("", "abc", 3),
+                    ("kitten", "sitting", 3), ("", "", 0)]:
+        ba = np.frombuffer(x.encode(), np.uint8)
+        bb = np.frombuffer(y.encode(), np.uint8)
+        assert _banded_edit_distance(ba, bb, 10) == d
+
+
+def test_edit_distance_pairs_planted_adversarial(ray_session, tmp_path):
+    """edit_distance_pairs vs the DuckDB levenshtein twin on a planted
+    adversarial corpus: mutated near-dups at every distance 0..6 (sub/ins/del
+    incl. multi-byte unicode edits), empty strings, tiny strings (the short
+    sentinel bucket), NULL texts (dropped on both sides), and a hot shared
+    prefix — run through the REAL queries()/oracle_sql() surface."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uni = "žluťoučký kůň úpěl ďábelské ódy 情報 and some ascii tail words"
+    texts = [
+        base,                      # 0
+        base,                      # 1: exact dup -> dist 0
+        base[:-1] + "t",           # 2: dist 1 (sub)
+        base[:30] + "X" + base[30:],   # 3: dist 1 (ins)
+        base.replace("quick", "quirk", 1),  # 4: dist 2
+        base.replace("brown", "green", 1),  # 5: dist 4-ish
+        base.replace("jumps over", "hops under", 1),  # 6: > 4 likely
+        uni,                       # 7
+        uni.replace("情報", "情"),   # 8: 3-byte deletion -> dist 3
+        uni.replace("ž", "z"),     # 9: 2-byte char -> 1-byte char: dist 2
+        "", "", "",                # 10-12: empty (short bucket, dist 0)
+        "ab", "ax", "abcd",        # 13-15: tiny strings (short bucket)
+        None, None,                # 16-17: NULL (dropped both sides)
+        "prefix" * 20 + " alpha",  # 18: hot shared 120-byte prefix
+        "prefix" * 20 + " betaa",  # 19: dist <= 5 from 18
+        "prefix" * 20 + " completely different tail of words here",  # 20
+    ]
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["web"] * n, pa.string()),
+        "n_chars": pa.array([len(x) if x else 0 for x in texts], pa.int64()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+    got = e.queries()["edit_distance_pairs"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = con.execute(e.oracle_sql()["edit_distance_pairs"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    x = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    assert g.shape == x.shape and g.shape[0] >= 8
+    for c in cols:
+        assert (g[c].to_numpy().astype(np.int64)
+                == x[c].to_numpy().astype(np.int64)).all(), c
+    # the planted relations actually came out
+    pairs = {(r.id1, r.id2): r.dist for r in g.itertuples()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 1 and pairs[(0, 3)] == 1
+    assert pairs[(7, 8)] == 3 and pairs[(7, 9)] == 2
+    assert pairs[(10, 11)] == 0 and (13, 14) in pairs
+    assert (0, 6) not in pairs and (16, 17) not in pairs

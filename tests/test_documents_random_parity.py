@@ -14,7 +14,7 @@ QUERIES = [
     "jsonl_roundtrip", "csv_roundtrip", "quantile_chars",
     "quantile_chars_cont", "distinct_lang_source", "normalize_text",
     "top_chars", "token_stats", "quality_counts", "quality_scores",
-    "repetition", "tfidf_terms",
+    "repetition", "tfidf_terms", "edit_distance_pairs", "top_bigrams",
 ]
 
 WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
