@@ -1396,6 +1396,92 @@ def q_jaccard_prefix_pairs(sf_dir: str):
     return dedup.jaccard_prefix_pairs(ds, shingle_k=JACCARD_K, threshold=JACCARD_THRESHOLD)
 
 
+def q_graph_rank(sf_dir: str):
+    """Iterative fixed-point rank propagation (PageRank shape, RANK_ITERS
+    unrolled iterations) over the undirected customer<->supplier co-order
+    graph — the iterative-algorithm tier: per-iteration bucketed join +
+    salted reduce, edge projection spilled to parquet ONCE.  All integer
+    arithmetic; the SQL twin is an unrolled CTE chain (query_defs.rank_sql)."""
+    import pyarrow as pa
+
+    from geotrellis_contrib_ray.pipelines.query_defs import RANK_ITERS
+    from geotrellis_contrib_ray.stages.agg import salted_group_reduce
+    from geotrellis_contrib_ray.stages.graph import iterative_rank
+    from geotrellis_contrib_ray.stages.joins import bucketed_hash_join
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_suppkey"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"]})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+    joined = bucketed_hash_join(li, orders, on="o_orderkey")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"src": pa.array(2 * c), "dst": pa.array(2 * s + 1)})
+        return (t.group_by(["src", "dst"], use_threads=False).aggregate([])
+                .select(["src", "dst"]))
+
+    pairs = joined.map_batches(pair_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    e0 = salted_group_reduce(pairs, ["src", "dst"], [(None, "count", "_n")])
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    edges = e0.map_batches(both_dirs, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return iterative_rank(edges, iters=RANK_ITERS)
+
+
+def q_pivot_lang_source(sf_dir: str):
+    """Crosstab: one row per source, one doc-count column per PIVOT_LANGS
+    lang + an other-bucket — bounded groups, driver rollup, ZERO shuffles."""
+    from geotrellis_contrib_ray.pipelines.query_defs import PIVOT_LANGS
+    from geotrellis_contrib_ray.stages.agg import pivot_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return pivot_counts(ds, "source", "lang", PIVOT_LANGS)
+
+
+def q_lang_set_ops(sf_dir: str):
+    """Distinct-lang EXCEPT / INTERSECT between two predicates (side A =
+    SETOP_SRC_A docs; side B = SETOP_SRC_B docs >= SETOP_MIN_CHARS chars)
+    over ONE corpus scan — per-batch flag partials, driver max-combine."""
+    import pyarrow.compute as pc
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        SETOP_MIN_CHARS,
+        SETOP_SRC_A,
+        SETOP_SRC_B,
+    )
+    from geotrellis_contrib_ray.stages.agg import key_set_ops
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["lang", "source", "n_chars"])
+
+    def in_a(b):
+        return pc.fill_null(pc.equal(b["source"], SETOP_SRC_A), False).to_numpy(
+            zero_copy_only=False)
+
+    def in_b(b):
+        m = pc.and_(pc.equal(b["source"], SETOP_SRC_B),
+                    pc.greater_equal(b["n_chars"], SETOP_MIN_CHARS))
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+    return key_set_ops(ds, "lang", in_a, in_b)
+
+
 def q_top_bigrams(sf_dir: str):
     """Corpus-wide top-k word bigrams (count desc, bigram asc): per-batch
     Arrow group_by partials -> one bounded-salt reduce -> per-block partial
@@ -2671,6 +2757,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    functions, grouped mode, fixed-bin histogram, moment sums
         "edit_distance_pairs": q_edit_distance_pairs,
         "top_bigrams": q_top_bigrams,
+        "pivot_lang_source": q_pivot_lang_source,
+        "lang_set_ops": q_lang_set_ops,
+        "graph_rank": q_graph_rank,
         "moving_stats": q_moving_stats,
         "funnel_stages": q_funnel_stages,
         "cohort_retention": q_cohort_retention,
@@ -3967,6 +4056,43 @@ WHERE CAST(n_shared AS DOUBLE)/(s1.sz + s2.sz - n_shared) >= {JACCARD_THRESHOLD}
         EDIT_MAX_DIST,
         TOP_BIGRAMS_K,
     )
+
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        PIVOT_LANGS,
+        SETOP_MIN_CHARS,
+        SETOP_SRC_A,
+        SETOP_SRC_B,
+        rank_sql,
+    )
+
+    # iterative fixed-point rank: unrolled integer CTE chain (no float
+    # summation-order divergence by construction)
+    sql["graph_rank"] = rank_sql()
+
+    _cases = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}"
+        for c in PIVOT_LANGS)
+    _inlist = ", ".join(f"'{c}'" for c in PIVOT_LANGS)
+    # NULL lang counts nowhere: CASE WHEN NULL IN/NOT IN (...) is NULL -> 0
+    sql["pivot_lang_source"] = f"""
+SELECT source,
+  {_cases},
+  CAST(SUM(CASE WHEN lang NOT IN ({_inlist}) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_other
+FROM documents GROUP BY source ORDER BY source"""
+
+    sql["lang_set_ops"] = f"""
+SELECT lang, 'except' AS op FROM (
+  SELECT DISTINCT lang FROM documents WHERE source = '{SETOP_SRC_A}'
+  EXCEPT
+  SELECT DISTINCT lang FROM documents
+  WHERE source = '{SETOP_SRC_B}' AND n_chars >= {SETOP_MIN_CHARS})
+UNION ALL
+SELECT lang, 'intersect' AS op FROM (
+  SELECT DISTINCT lang FROM documents WHERE source = '{SETOP_SRC_A}'
+  INTERSECT
+  SELECT DISTINCT lang FROM documents
+  WHERE source = '{SETOP_SRC_B}' AND n_chars >= {SETOP_MIN_CHARS})"""
 
     # bigram = tokens i, i+1 joined with one space — list lambda over
     # string_split; ties at the k-th count break on the bigram string on

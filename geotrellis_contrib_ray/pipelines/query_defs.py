@@ -212,6 +212,50 @@ CHUNK_SQL_SERIES = 255
 JACCARD_THRESHOLD = 0.5
 JACCARD_SAMPLE_LIMIT = 250  # doc_id < 250
 
+# iterative rank propagation (graph.iterative_rank and its unrolled SQL CTE
+# twin): undirected customer<->supplier co-order graph, node namespacing
+# cust -> 2c / supp -> 2s+1; ALL integer fixed-point (floor divisions), so
+# both engines agree bit-for-bit with NO float summation-order concerns
+RANK_ITERS = 3
+RANK_SCALE = 1_000_000
+RANK_DAMP_NUM = 17  # 0.85 damping as a ratio
+RANK_DAMP_DEN = 20
+
+
+def rank_sql(iters: int = RANK_ITERS) -> str:
+    """Unrolled CTE chain replaying graph.iterative_rank exactly: integer
+    floor-division contributions, BIGINT casts on the HUGEINT sums."""
+    base = (RANK_DAMP_DEN - RANK_DAMP_NUM) * RANK_SCALE // RANK_DAMP_DEN
+    ctes = [f"""e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+ed AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+r0 AS (SELECT src AS node, CAST({RANK_SCALE} AS BIGINT) AS r FROM deg)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""r{t} AS (
+  SELECT ed.dst AS node,
+         {base} + CAST(SUM(({RANK_DAMP_NUM} * r.r) // ({RANK_DAMP_DEN} * deg.d))
+                       AS BIGINT) AS r
+  FROM ed JOIN r{t - 1} r ON r.node = ed.src JOIN deg ON deg.src = ed.src
+  GROUP BY ed.dst)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, r FROM r{iters}")
+
+
+# pivot / crosstab (agg.pivot_counts): fixed category list + other-bucket —
+# parameterized so the operator works on any corpus; NULL col_key counts
+# nowhere (SQL CASE semantics)
+PIVOT_LANGS = ["en", "de", "es", "fr", "zh"]
+
+# distinct-key set ops (agg.key_set_ops): side A = source SETOP_SRC_A,
+# side B = source SETOP_SRC_B with n_chars >= SETOP_MIN_CHARS (the
+# threshold makes BOTH the EXCEPT and INTERSECT arms non-vacuous on the
+# generated corpora)
+SETOP_SRC_A = "src0"
+SETOP_SRC_B = "src1"
+SETOP_MIN_CHARS = 400
+
 # corpus-wide top-k word bigrams (text.top_bigrams and its SQL twin):
 # ties at the k-th count broken on the bigram string on both engines
 TOP_BIGRAMS_K = 20

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -380,3 +381,92 @@ def grouping_sets_counts(ds, keys: list[str], sets: list[tuple[str, ...]],
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None),
         keys, specs, salt=64)
+
+
+def pivot_counts(ds, row_key: str, col_key: str, categories: list[str],
+                 prefix: str = "n_", other_alias: str = "other") -> pa.Table:
+    """Wide pivot — one row per ``row_key`` value, one count column per
+    listed ``col_key`` category plus an ``other`` bucket (the warehouse
+    crosstab: SUM(CASE WHEN col=cat THEN 1 ELSE 0 END) per category).
+
+    NULL ``col_key`` counts NOWHERE (neither a category nor other),
+    matching the SQL CASE/NOT-IN twin's null semantics.  Scale shape: the
+    category list is a fixed parameter and row_key is bounded (langs,
+    segments), so each batch reduces to <= |row_key| partial rows via ONE
+    Arrow group_by over int64 indicators and the driver combines partials —
+    ZERO all-to-all (driver_group_rollup tier rule).
+
+    Returns pa.Table: row_key, {prefix}{cat}..., {prefix}{other_alias},
+    sorted by row_key."""
+    from ..util import strip_schema_metadata
+
+    aliases = [f"{prefix}{c}" for c in categories] + [f"{prefix}{other_alias}"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = strip_schema_metadata(b)
+        col = b[col_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        matched = np.zeros(len(b), dtype=bool)
+        ind = {}
+        for c, alias in zip(categories, aliases):
+            m = pc.fill_null(pc.equal(col, c), False).to_numpy(
+                zero_copy_only=False).astype(bool)
+            ind[alias] = m.astype(np.int64)
+            matched |= m
+        ind[aliases[-1]] = (valid & ~matched).astype(np.int64)
+        t = pa.table({row_key: b[row_key], **{a: pa.array(v) for a, v in ind.items()}})
+        g = t.group_by(row_key, use_threads=False).aggregate(
+            [(a, "sum") for a in aliases])
+        return g.rename_columns([row_key] + aliases)
+
+    out = driver_group_rollup(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        [row_key], [(a, "sum", a) for a in aliases])
+    return out.sort_by(row_key)
+
+
+def key_set_ops(ds, key: str, in_a_expr, in_b_expr) -> pa.Table:
+    """Distinct-key EXCEPT / INTERSECT between two row predicates over ONE
+    corpus scan: per-batch, each key group reduces to (key, max(in_a),
+    max(in_b)) int64 flags; the bounded-group driver rollup max-combines
+    them; the driver emits (key, op) rows for op in {'except','intersect'}
+    (except = in A, not in B; intersect = in both).
+
+    ``in_a_expr`` / ``in_b_expr``: callables batch -> boolean np.ndarray.
+    Key count must be bounded (langs, segments) — the driver tier rule."""
+    from ..util import strip_schema_metadata
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = strip_schema_metadata(b)
+        a = np.asarray(in_a_expr(b), dtype=bool)
+        bb = np.asarray(in_b_expr(b), dtype=bool)
+        t = pa.table({key: b[key],
+                      "_a": pa.array(a.astype(np.int64)),
+                      "_b": pa.array(bb.astype(np.int64))})
+        g = t.group_by(key, use_threads=False).aggregate(
+            [("_a", "max"), ("_b", "max")])
+        return g.rename_columns([key, "_a", "_b"])
+
+    flags = driver_group_rollup(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        [key], [("_a", "max", "_a"), ("_b", "max", "_b")])
+    ka = flags[key].to_numpy(zero_copy_only=False)
+    fa = flags["_a"].to_numpy(zero_copy_only=False).astype(bool)
+    fb = flags["_b"].to_numpy(zero_copy_only=False).astype(bool)
+
+    def nsort(v):
+        # a NULL key is one distinct value in SQL set ops (EXCEPT/INTERSECT
+        # treat NULLs as equal) — keep it, sorting None last
+        return np.array(sorted(v, key=lambda x: (x is None, x)), dtype=object)
+
+    exc = nsort(ka[fa & ~fb].astype(object))
+    inter = nsort(ka[fa & fb].astype(object))
+    return pa.table({
+        key: pa.array(np.concatenate([exc, inter]).astype(object), pa.string()),
+        "op": pa.array(["except"] * len(exc) + ["intersect"] * len(inter),
+                       pa.string()),
+    })

@@ -367,3 +367,92 @@ def neardup_clusters(ds, key_len: int = 10, id_col: str = "doc_id",
 
     return labels.map_batches(rename, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def iterative_rank(edges, iters: int = 3, scale: int = 1_000_000,
+                   damp_num: int = 17, damp_den: int = 20,
+                   spill_dir: str | None = None):
+    """Fixed-point iterative rank propagation (PageRank shape) over a
+    directed edge Dataset (src:int64, dst:int64) — the canonical iterative
+    distributed algorithm: r_{t+1}(v) = base + sum over in-edges (u->v) of
+    floor(damp_num * r_t(u) / (damp_den * deg_out(u))), with
+    base = (damp_den - damp_num) * scale // damp_den and r_0 = scale.
+
+    ALL integer arithmetic (floor divisions of positive int64) so an
+    unrolled SQL CTE chain replays it bit-for-bit — no float summation-order
+    divergence, unlike textbook float PageRank.
+
+    Scale shape: the edge+degree projection is consumed once per iteration,
+    so it is SPILLED TO PARQUET once (the persist-shared-projection rule —
+    a corpus-wide edge set must not pin the object store); each iteration
+    is one bucketed hash join (ranks ride the shuffle, 16 B/row) plus one
+    salted reduce of per-batch pre-aggregated contribution partials.  Rank
+    mass is conserved (~nodes * scale), so hub sums stay well inside int64.
+
+    Returns a Dataset (node:int64, r:int64) over every node that appears as
+    an edge source (callers wanting undirected semantics pass both edge
+    directions, making source-set == node-set)."""
+    import tempfile
+
+    from ..util import strip_schema_metadata
+    from .agg import salted_group_reduce
+
+    base = (damp_den - damp_num) * scale // damp_den
+    i64 = pa.int64()
+
+    # --- degree + one-time parquet spill of the (src, dst, d) projection ---
+    deg = salted_group_reduce(edges, ["src"], [(None, "count", "d")])
+    ed = bucketed_hash_join(
+        edges, deg, on="src",
+        schemas=(pa.schema([("src", i64), ("dst", i64)]),
+                 pa.schema([("src", i64), ("d", i64)])))
+    out_dir = spill_dir or tempfile.mkdtemp(prefix="iterrank_", dir="/tmp")
+    ed.map_batches(strip_schema_metadata, batch_format="pyarrow",
+                   zero_copy_batch=True, batch_size=None).write_parquet(out_dir)
+
+    def _edges_deg():
+        import ray.data as rd
+
+        return rd.read_parquet(out_dir, columns=["src", "dst", "d"]).map_batches(
+            strip_schema_metadata, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None)
+
+    # --- r0: every source node at `scale` -----------------------------------
+    def init_r(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src"],
+                         "r": pa.array(np.full(len(b), scale, np.int64))})
+
+    ranks = deg.map_batches(init_r, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+
+    dn = np.int64(damp_num)
+    dd = np.int64(damp_den)
+
+    def contrib_partial(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False)
+        d = b["d"].to_numpy(zero_copy_only=False)
+        c = (dn * r) // (dd * d)
+        t = pa.table({"dst": b["dst"], "c": pa.array(c)})
+        g = t.group_by("dst", use_threads=False).aggregate([("c", "sum")])
+        return g.rename_columns(["dst", "c"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": b["dst"],
+                         "r": pa.array(base + s.astype(np.int64))})
+
+    for _ in range(iters):
+        joined = bucketed_hash_join(
+            _edges_deg(), ranks, on="src",
+            schemas=(pa.schema([("src", i64), ("dst", i64), ("d", i64)]),
+                     pa.schema([("src", i64), ("r", i64)])))
+        part = joined.map_batches(contrib_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+        ranks = salted_group_reduce(part, ["dst"], [("c", "sum", "c")]).map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["node", "r"])
+
+    return ranks.map_batches(rename, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)

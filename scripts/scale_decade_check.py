@@ -58,6 +58,15 @@ CHECKS = [
         "quantile_price",
         "quantile_price_cont",
         "vocab_coverage",
+        # r5 final wave: bigram top-k, pivot, set ops.  edit_distance_pairs
+        # is deliberately ABSENT: its SQL twin is a quadratic levenshtein
+        # nested loop (~2.5B pairs at 10x) — the Ray side is decade-safe but
+        # the DuckDB replay isn't; its adversarial coverage lives in
+        # test_dedup.py planted corpora instead.
+        "top_bigrams",
+        "pivot_lang_source",
+        "lang_set_ops",
+        "graph_rank",
         "quantile_chars",
         "token_stats",
         "quality_scores",

@@ -226,3 +226,59 @@ def test_grouping_sets_cube(ray_session):
                              sets=[("a",), ("a",)])
     with pytest.raises(ValueError, match="outside"):
         grouping_sets_counts(rd.from_arrow(t), ["a", "b"], sets=[("c",)])
+
+
+def test_pivot_and_set_ops_planted_adversarial(ray_session, tmp_path):
+    """pivot_lang_source + lang_set_ops vs their SQL twins on a planted
+    corpus with NULL langs (count NOWHERE — SQL CASE semantics), a lang
+    outside PIVOT_LANGS (other-bucket), and src0/src1 sources arranged so
+    both set-op arms are non-empty."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rows = [
+        # (lang, source, n_chars)
+        ("en", "src0", 500), ("de", "src0", 100), ("xx", "src0", 450),
+        ("en", "src1", 500), ("fr", "src1", 100),  # fr fails the threshold
+        (None, "src0", 300), (None, "src1", 500),  # NULL lang: nowhere
+        ("zh", "web", 200), ("cs", "book", 50),    # other sources
+    ]
+    n = len(rows)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["w " * 5] * n, pa.string()),
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array(np.array([r[2] for r in rows], np.int64)),
+    })
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    for name in ("pivot_lang_source", "lang_set_ops"):
+        got = e.queries()[name](sf).to_pandas()
+        exp = con.execute(e.oracle_sql()[name]).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        x = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        assert g.shape == x.shape, (name, g.shape, x.shape)
+        for c in cols:
+            assert (g[c].to_numpy().astype(object)
+                    == x[c].to_numpy().astype(object)).all(), (name, c)
+    # the planted relations actually came out
+    so = e.queries()["lang_set_ops"](sf).to_pandas()
+    # NULL lang is in BOTH sides (src0 doc + src1 doc >= threshold), so SQL
+    # INTERSECT keeps one NULL row — the Ray side must agree
+    assert set(map(tuple, so.itertuples(index=False))) == {
+        ("de", "except"), ("xx", "except"), ("en", "intersect"),
+        (None, "intersect")}
+    pv = e.queries()["pivot_lang_source"](sf).to_pandas().set_index("source")
+    assert pv.loc["src0", "n_other"] == 1      # xx
+    assert pv.loc["src0", ["n_en", "n_de", "n_es", "n_fr", "n_zh"]].sum() == 2
+    assert int(pv["n_other"].sum()) == 2       # xx + cs; NULLs nowhere

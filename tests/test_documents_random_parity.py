@@ -15,6 +15,7 @@ QUERIES = [
     "quantile_chars_cont", "distinct_lang_source", "normalize_text",
     "top_chars", "token_stats", "quality_counts", "quality_scores",
     "repetition", "tfidf_terms", "edit_distance_pairs", "top_bigrams",
+    "pivot_lang_source", "lang_set_ops",
 ]
 
 WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",

@@ -14,7 +14,7 @@ QUERIES = [
     "lineitem_pricing", "price_histogram", "orders_by_segment",
     "order_lineitem_join", "orders_left_join", "orders_no_lineitem",
     "customer_order_totals", "skew_join", "semi_bloom",
-    "quantile_price", "quantile_price_cont",
+    "quantile_price", "quantile_price_cont", "graph_rank",
 ]
 
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -59,8 +59,13 @@ def _tables(seed: int):
     lkey = rng.choice(okey[: (3 * n_o) // 4], n_l).astype(np.int64)
     lkey[rng.random(n_l) < 0.10] = okey[0]
     lkey[rng.random(n_l) < 0.05] = np.int64(12345)  # orphan, not an orderkey
+    # suppliers: small domain with a HOT supplier (~15% of lines) — the
+    # co-order graph gets a hub node for graph_rank
+    skey = rng.choice(np.arange(0, 37, dtype=np.int64), n_l)
+    skey[rng.random(n_l) < 0.15] = np.int64(7)
     lineitem = pa.table({
         "l_orderkey": pa.array(lkey),
+        "l_suppkey": pa.array(skey),
         "l_extendedprice": pa.array(_prices(rng, n_l)),
         "l_quantity": pa.array(np.abs(_prices(rng, n_l)) % 50.0),
         "l_discount": pa.array(rng.uniform(0.0, 0.1, n_l)),
