@@ -371,7 +371,8 @@ def neardup_clusters(ds, key_len: int = 10, id_col: str = "doc_id",
 
 def iterative_rank(edges, iters: int = 3, scale: int = 1_000_000,
                    damp_num: int = 17, damp_den: int = 20,
-                   spill_dir: str | None = None):
+                   spill_dir: str | None = None, tier: str = "shuffle",
+                   max_broadcast_nodes: int = 4_000_000):
     """Fixed-point iterative rank propagation (PageRank shape) over a
     directed edge Dataset (src:int64, dst:int64) — the canonical iterative
     distributed algorithm: r_{t+1}(v) = base + sum over in-edges (u->v) of
@@ -382,16 +383,28 @@ def iterative_rank(edges, iters: int = 3, scale: int = 1_000_000,
     unrolled SQL CTE chain replays it bit-for-bit — no float summation-order
     divergence, unlike textbook float PageRank.
 
-    Scale shape: the edge+degree projection is consumed once per iteration,
-    so it is SPILLED TO PARQUET once (the persist-shared-projection rule —
-    a corpus-wide edge set must not pin the object store); each iteration
-    is one bucketed hash join (ranks ride the shuffle, 16 B/row) plus one
-    salted reduce of per-batch pre-aggregated contribution partials.  Rank
-    mass is conserved (~nodes * scale), so hub sums stay well inside int64.
+    Two tiers, identical result set (pinned by a forced-tier parity test):
 
-    Returns a Dataset (node:int64, r:int64) over every node that appears as
-    an edge source (callers wanting undirected semantics pass both edge
-    directions, making source-set == node-set)."""
+    - ``shuffle`` (default; any node count): the edge+degree projection is
+      consumed once per iteration, so it is SPILLED TO PARQUET once (the
+      persist-shared-projection rule — a corpus-wide edge set must not pin
+      the object store); each iteration is one bucketed hash join (ranks
+      ride the shuffle, 16 B/row) plus one salted reduce of per-batch
+      pre-aggregated contribution partials.
+    - ``broadcast`` (node count <= max_broadcast_nodes AND source-set ==
+      dst-set, i.e. undirected callers): ranks+degrees live in one
+      broadcast numpy pair (ray.put per iteration); each iteration is a
+      NARROW pass over the spilled (src, dst) projection with per-batch
+      exact int64 reduceat partials and a bounded-group driver rollup —
+      zero per-iteration shuffles (measured 18.9 -> ~6 s sf0.1@32 for the
+      co-order graph; the wide steps left are the caller's edge build).
+      Falls back to shuffle if either precondition fails.
+
+    Rank mass is conserved (~nodes * scale), so hub sums stay inside int64.
+    Returns (node:int64, r:int64) — a Dataset (shuffle) or pa.Table
+    (broadcast) — over every node that appears as an edge source (callers
+    wanting undirected semantics pass both edge directions, making
+    source-set == node-set)."""
     import tempfile
 
     from ..util import strip_schema_metadata
@@ -399,8 +412,101 @@ def iterative_rank(edges, iters: int = 3, scale: int = 1_000_000,
 
     base = (damp_den - damp_num) * scale // damp_den
     i64 = pa.int64()
+    dn = np.int64(damp_num)
+    dd = np.int64(damp_den)
 
-    # --- degree + one-time parquet spill of the (src, dst, d) projection ---
+    if tier == "broadcast":
+        import ray
+        import ray.data as rd
+
+        from .agg import driver_group_rollup
+
+        # one-time spill of the raw (src, dst) projection — consumed by the
+        # degree pass + every iteration
+        out_dir = spill_dir or tempfile.mkdtemp(prefix="iterrank_", dir="/tmp")
+        edges.map_batches(strip_schema_metadata, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None).write_parquet(out_dir)
+
+        def _edges_raw():
+            return rd.read_parquet(out_dir, columns=["src", "dst"]).map_batches(
+                strip_schema_metadata, batch_format="pyarrow",
+                zero_copy_batch=True, batch_size=None)
+
+        # ONE pass: per-batch out-degree AND in-degree partials per node
+        def deg_partial(b: pa.Table) -> pa.Table:
+            parts = []
+            for col, alias in (("src", "cs"), ("dst", "cd")):
+                g = (b.select([col]).group_by(col, use_threads=False)
+                     .aggregate([([], "count_all")]))
+                z = np.zeros(g.num_rows, np.int64)
+                c = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+                parts.append(pa.table({
+                    "node": g[col],
+                    "cs": pa.array(c if alias == "cs" else z),
+                    "cd": pa.array(z if alias == "cs" else c)}))
+            return pa.concat_tables(parts)
+
+        try:
+            degs = driver_group_rollup(
+                _edges_raw().map_batches(deg_partial, batch_format="pyarrow",
+                                         zero_copy_batch=True, batch_size=None),
+                ["node"], [("cs", "sum", "cs"), ("cd", "sum", "cd")],
+                max_partial_rows=4 * max_broadcast_nodes)
+            nodes = degs["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        except ValueError:
+            # partial-row guard tripped — node domain is NOT bounded (the
+            # auto gate was optimistic); take the any-scale plan
+            nodes = None
+        if nodes is None or len(nodes) > max_broadcast_nodes:
+            return iterative_rank(_edges_raw(), iters=iters, scale=scale,
+                                  damp_num=damp_num, damp_den=damp_den,
+                                  tier="shuffle")
+        cs = degs["cs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = degs["cd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        nodes, cs, cd = nodes[order], cs[order], cd[order]
+        if (cs == 0).any() or (cd == 0).any():
+            # directed graphs where the rank domain SHRINKS per iteration
+            # (the shuffle tier's group-by-dst semantics) are out of this
+            # tier's contract — take the general plan
+            return iterative_rank(_edges_raw(), iters=iters, scale=scale,
+                                  damp_num=damp_num, damp_den=damp_den,
+                                  tier="shuffle")
+
+        static_ref = ray.put((nodes, cs))
+        ranks = np.full(len(nodes), scale, np.int64)
+        nparts = len(nodes)
+        for _ in range(iters):
+            r_ref = ray.put(ranks)
+
+            def contrib_partial(b: pa.Table, _r=r_ref) -> pa.Table:
+                nd, deg_arr = ray.get(static_ref)
+                r = ray.get(_r)
+                src = b["src"].to_numpy(zero_copy_only=False)
+                dst = b["dst"].to_numpy(zero_copy_only=False)
+                si = np.searchsorted(nd, src)
+                c = (dn * r[si]) // (dd * deg_arr[si])
+                di = np.searchsorted(nd, dst)
+                oo = np.argsort(di, kind="stable")
+                dio, co = di[oo], c[oo]
+                st = np.nonzero(np.r_[True, dio[1:] != dio[:-1]])[0]
+                sums = np.add.reduceat(co, st) if len(co) else co
+                return pa.table({"node": pa.array(nd[dio[st]]),
+                                 "c": pa.array(sums.astype(np.int64))})
+
+            part = driver_group_rollup(
+                _edges_raw().map_batches(contrib_partial, batch_format="pyarrow",
+                                         zero_copy_batch=True, batch_size=None),
+                ["node"], [("c", "sum", "c")],
+                max_partial_rows=4 * max_broadcast_nodes)
+            pn = part["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pc_ = part["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ranks = np.full(nparts, base, np.int64)
+            ranks[np.searchsorted(nodes, pn)] += pc_
+        return pa.table({"node": pa.array(nodes), "r": pa.array(ranks)})
+
+    # --- shuffle tier -------------------------------------------------------
+    # degree + one-time parquet spill of the (src, dst, d) projection
     deg = salted_group_reduce(edges, ["src"], [(None, "count", "d")])
     ed = bucketed_hash_join(
         edges, deg, on="src",
@@ -425,8 +531,6 @@ def iterative_rank(edges, iters: int = 3, scale: int = 1_000_000,
     ranks = deg.map_batches(init_r, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None)
 
-    dn = np.int64(damp_num)
-    dd = np.int64(damp_den)
 
     def contrib_partial(b: pa.Table) -> pa.Table:
         r = b["r"].to_numpy(zero_copy_only=False)

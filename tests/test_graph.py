@@ -164,3 +164,75 @@ def test_connected_components_carry_cols_both_tiers(ray_session):
         got = {(int(r["node"]), int(r["label"]), r["zz"], r["attr"])
                for _, r in out.iterrows()}
         assert got == want, thr
+
+
+def _rank_norm(res):
+    """iterative_rank returns a Dataset (shuffle) or pa.Table (broadcast) —
+    normalize to a node-sorted list of (node, r) tuples."""
+    import pandas as pd
+
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    df = df.sort_values("node").reset_index(drop=True)
+    return list(zip(df["node"].astype(np.int64), df["r"].astype(np.int64)))
+
+
+def test_iterative_rank_tier_parity(ray_session):
+    """r5: the broadcast tier (narrow passes + driver rollups, zero
+    per-iteration shuffles) must equal the shuffle tier row-for-row on an
+    undirected random graph — including a hub node and multi-edges."""
+    import ray
+
+    from geotrellis_contrib_ray.stages.graph import iterative_rank
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 60, 400).astype(np.int64)
+    dst = rng.integers(0, 60, 400).astype(np.int64)
+    dst[rng.random(400) < 0.2] = 7  # hub
+    keep = src != dst
+    s, d = src[keep], dst[keep]
+    # undirected: both directions present (the broadcast-tier contract)
+    edges = pa.table({"src": pa.array(np.concatenate([s, d])),
+                      "dst": pa.array(np.concatenate([d, s]))})
+    sh = _rank_norm(iterative_rank(ray.data.from_arrow(edges), iters=3,
+                                   tier="shuffle"))
+    bc = _rank_norm(iterative_rank(ray.data.from_arrow(edges), iters=3,
+                                   tier="broadcast"))
+    assert sh == bc
+    assert len(sh) == len(np.unique(np.concatenate([s, d])))
+
+
+def test_iterative_rank_broadcast_directed_fallback(ray_session):
+    """A DIRECTED edge set (source-set != dst-set) is outside the broadcast
+    tier's contract; it must fall back to the shuffle plan and return the
+    identical result — same for a node count above max_broadcast_nodes."""
+    import ray
+
+    from geotrellis_contrib_ray.stages.graph import iterative_rank
+
+    # 0->1->2->0 plus a sink-only node 3 (cd>0, cs==0) => fallback
+    edges = pa.table({"src": pa.array([0, 1, 2, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 0, 3], pa.int64())})
+    sh = _rank_norm(iterative_rank(ray.data.from_arrow(edges), iters=2,
+                                   tier="shuffle"))
+    bc = _rank_norm(iterative_rank(ray.data.from_arrow(edges), iters=2,
+                                   tier="broadcast"))
+    assert sh == bc
+    # node-count guard: undirected graph forced through a tiny cap
+    und = pa.table({"src": pa.array([0, 1, 1, 2], pa.int64()),
+                    "dst": pa.array([1, 0, 2, 1], pa.int64())})
+    sh2 = _rank_norm(iterative_rank(ray.data.from_arrow(und), iters=2,
+                                    tier="shuffle"))
+    bc2 = _rank_norm(iterative_rank(ray.data.from_arrow(und), iters=2,
+                                    tier="broadcast", max_broadcast_nodes=1))
+    assert sh2 == bc2
+
+
+def test_q_graph_rank_auto_matches_forced(ray_session):
+    """q_graph_rank auto gate (dimension footer rows) must route to a tier
+    whose rows equal the forced shuffle plan on the real sf0.001 tables."""
+    import __ray_entry__ as e
+    from conftest import SF_DIR
+
+    auto = _rank_norm(e.q_graph_rank(SF_DIR, tier="auto"))
+    sh = _rank_norm(e.q_graph_rank(SF_DIR, tier="shuffle"))
+    assert auto == sh
