@@ -2207,8 +2207,10 @@ def edit_distance_pairs(ds, max_dist: int = 4, id_col: str = "doc_id",
                         pair_salt: int = 128, max_bucket: int = 1000):
     """Self-join: all id1 < id2 pairs with byte Levenshtein <= max_dist,
     plus the exact distance.  PassJoin candidates (see module comment) ->
-    global distinct -> text re-attach (bucketed shuffle join; texts never
-    ride the candidate shuffle) -> banded DP verify.
+    per-group distinct -> text re-attach (bucketed shuffle join; texts never
+    ride the candidate shuffle) -> banded DP verify (which also collapses
+    the <= nseg cross-group duplicate candidates — all copies of a pair
+    share its psalt, so one wide step fewer than a global distinct).
 
     Strings shorter than max_dist+1 bytes cannot carry non-empty segments;
     any partner of such a string is itself <= 2*max_dist bytes, so ALL
@@ -2221,7 +2223,6 @@ def edit_distance_pairs(ds, max_dist: int = 4, id_col: str = "doc_id",
     Output: id1, id2, dist (all int64).  SQL twin:
     ``levenshtein(a.text, b.text) <= max_dist`` with a byte-length
     |strlen(a)-strlen(b)| <= max_dist prune (implied by the predicate)."""
-    from .agg import salted_group_reduce
     from .joins import bucketed_hash_join
     from .text import _window_hash
 
@@ -2323,48 +2324,62 @@ def edit_distance_pairs(ds, max_dist: int = 4, id_col: str = "doc_id",
                               zero_copy_batch=True, batch_size=None)
 
     def pairs(g):
+        """Cross-product of side-0 x side-1 ids within each k run, fully
+        vectorized (the per-run python loop measured ~1 s UDF at sf0.01 —
+        runs number in the 100k's).  Output is per-GROUP distinct; the
+        cross-group duplicates (same pair via several segment buckets,
+        <= nseg copies) collapse in verify's per-(id1,id2) run walk, so no
+        global distinct shuffle is needed."""
+        z = pa.array([], pa.int64())
+        empty = pa.table({"id1": z, "id2": z})
         ks = g["k"].to_numpy()
         ids = g["id"].to_numpy()
         side = g["side"].to_numpy()
+        if not len(ks):
+            return empty
         order = np.lexsort((ids, side, ks))
         ko, io, so = ks[order], ids[order], side[order]
-        starts = np.nonzero(np.r_[True, ko[1:] != ko[:-1]])[0]
-        ends = np.r_[starts[1:], len(ko)]
-        id1s, id2s = [], []
-        for st, en in zip(starts, ends):
-            s_run, i_run = so[st:en], io[st:en]
-            a_ids = i_run[s_run == 0]
-            b_ids = i_run[s_run == 1]
-            if not len(a_ids) or not len(b_ids):
-                continue
-            if len(a_ids) * len(b_ids) > max_bucket * max_bucket:
-                _log_bucket_drop("edit_distance_pairs",
-                                 len(a_ids) * len(b_ids),
-                                 max_bucket * max_bucket)
-                continue
-            aa = np.repeat(a_ids, len(b_ids))
-            bb = np.tile(b_ids, len(a_ids))
-            ne = aa != bb
-            if not ne.any():
-                continue
-            aa, bb = aa[ne], bb[ne]
-            id1s.append(np.minimum(aa, bb))
-            id2s.append(np.maximum(aa, bb))
-        if not id1s:
-            z = pa.array([], pa.int64())
-            return pa.table({"id1": z, "id2": z})
-        p1 = np.concatenate(id1s)
-        p2 = np.concatenate(id2s)
+        first = np.r_[True, ko[1:] != ko[:-1]]
+        run = np.cumsum(first) - 1  # run id per row
+        nrun = int(run[-1]) + 1
+        is_a = so == 0
+        na = np.bincount(run[is_a], minlength=nrun)
+        nb = np.bincount(run[~is_a], minlength=nrun)
+        prod = na * nb
+        keep = (prod > 0) & (prod <= max_bucket * max_bucket)
+        for p in prod[prod > max_bucket * max_bucket]:
+            _log_bucket_drop("edit_distance_pairs", int(p),
+                             max_bucket * max_bucket)
+        if not keep.any():
+            return empty
+        # compact kept runs: re-number so offsets line up
+        krun = np.cumsum(keep) - 1  # old run -> kept run (valid where keep)
+        a_rows = is_a & keep[run]
+        b_rows = (~is_a) & keep[run]
+        a_ids, a_run = io[a_rows], krun[run[a_rows]]
+        b_ids = io[b_rows]
+        nak, nbk = na[keep], nb[keep]
+        boff = np.r_[0, np.cumsum(nbk)]  # b-segment start per kept run
+        # ragged tile: each a row expands to its run's full b segment
+        counts = nbk[a_run]
+        offs = np.r_[0, np.cumsum(counts)]
+        total = int(offs[-1])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
+        aa = np.repeat(a_ids, counts)
+        bb = b_ids[np.repeat(boff[a_run], counts) + pos]
+        ne = aa != bb
+        aa, bb = aa[ne], bb[ne]
+        if not len(aa):
+            return empty
+        p1 = np.minimum(aa, bb)
+        p2 = np.maximum(aa, bb)
         oo = np.lexsort((p2, p1))
         a, b = p1[oo], p2[oo]
         first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
         return pa.table({"id1": pa.array(a[first]), "id2": pa.array(b[first])})
 
-    cand = salted_group_reduce(
-        salted.repartition(_shuffle_parts())
-        .groupby("gsalt").map_groups(pairs, batch_format="pandas"),
-        ["id1", "id2"], [(None, "count", "_nb")],  # global distinct
-    )
+    cand = (salted.repartition(_shuffle_parts())
+            .groupby("gsalt").map_groups(pairs, batch_format="pandas"))
 
     # --- text re-attach + banded DP verify (jaccard_prefix_pairs pattern) --
     def explode(b: pa.Table) -> pa.Table:
