@@ -2189,6 +2189,123 @@ def _banded_edit_distance(a: np.ndarray, b: np.ndarray, t: int) -> int:
     return d if d <= t else t + 1
 
 
+def _banded_edit_distance_batch(texts_a: list, texts_b: list, t: int,
+                                max_cells: int = 4_000_000) -> np.ndarray:
+    """Vectorized-across-pairs :func:`_banded_edit_distance`: the per-pair
+    python DP loop measured ~2 ms/pair (20k tiny-array numpy calls for 2 KB
+    docs); batching runs each DP row over an (n_pairs, 2t+1) matrix instead.
+    Pairs are sorted by inner length and chunked so rows x band cells stay
+    bounded (padding waste and scratch memory).  Returns int64 distances
+    (exact if <= t, else t+1), aligned to the input order."""
+    n = len(texts_a)
+    out = np.full(n, t + 1, np.int64)
+    if not n:
+        return out
+    la0 = np.fromiter((len(x) for x in texts_a), np.int64, n)
+    lb0 = np.fromiter((len(x) for x in texts_b), np.int64, n)
+    swap = la0 > lb0
+    la = np.where(swap, lb0, la0)
+    lb = np.where(swap, la0, lb0)
+    cand = np.nonzero(lb - la <= t)[0]
+    if not len(cand):
+        return out
+    order = cand[np.argsort(la[cand], kind="stable")]
+    inf = t + 1
+    ks = np.arange(2 * t + 1, dtype=np.int64)
+    lo = 0
+    while lo < len(order):
+        # chunk: rows x max-inner-length <= max_cells (sorted by la, so the
+        # chunk's la_max is its last row's la)
+        hi = lo + 1
+        while (hi < len(order)
+               and (hi + 1 - lo) * max(int(la[order[hi]]), 1) <= max_cells):
+            hi += 1
+        idx = order[lo:hi]
+        lo = hi
+        m = len(idx)
+        lam, lbm = la[idx], lb[idx]
+        la_max, lb_max = int(lam.max()), max(int(lbm.max()), 1)
+        A = np.zeros((m, max(la_max, 1)), np.uint8)
+        B = np.zeros((m, lb_max), np.uint8)
+        for r, i0 in enumerate(idx):
+            a0, b0 = texts_a[i0], texts_b[i0]
+            if swap[i0]:
+                a0, b0 = b0, a0
+            if len(a0):
+                A[r, : len(a0)] = a0
+            if len(b0):
+                B[r, : len(b0)] = b0
+        j0 = ks - t
+        lbc = lbm[:, None]
+        dp = np.where((j0 >= 0) & (j0 <= lbc), np.abs(j0), inf)
+        np.minimum(dp, inf, out=dp)
+        alive = np.ones(m, bool)
+        rows = np.arange(m)
+        inf_col = np.full((m, 1), inf, np.int64)
+        bclip = np.maximum(lbc - 1, 0)
+        for i in range(1, la_max + 1):
+            act = alive & (lam >= i)
+            if not act.any():
+                break
+            j = (i + ks - t)[None, :]
+            valid = (j >= 0) & (j <= lbc)
+            up = np.concatenate([dp[:, 1:], inf_col], axis=1) + 1
+            bj = B[rows[:, None], np.clip(j - 1, 0, bclip)]
+            cost = (bj != A[:, i - 1 : i]).astype(np.int64)
+            diag = np.where(j >= 1, dp + cost, inf)
+            mm = np.where(valid, np.minimum(up, diag), inf)
+            nd = np.minimum.accumulate(mm - ks[None, :], axis=1) + ks[None, :]
+            nd = np.minimum(np.where(valid, nd, inf), inf)
+            dp[act] = nd[act]
+            alive &= ~(act & (dp.min(axis=1) > t))
+        d = dp[rows, lbm - lam + t]
+        out[idx] = np.minimum(d, inf)
+    return out
+
+
+_POLY_P = 0x100000001B3  # FNV prime, odd -> invertible mod 2^64
+
+
+def _inv_u64(p: int) -> int:
+    """Modular inverse of odd ``p`` mod 2^64 (Newton / Hensel lifting)."""
+    x = p
+    for _ in range(6):
+        x = (x * (2 - p * x)) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+_POLY_PINV = _inv_u64(_POLY_P)
+
+
+def _poly_hasher(data: np.ndarray):
+    """O(len) preprocessing -> O(1) content hash of any byte window
+    [st, en) of ``data``: wrapping-uint64 polynomial with prefix sums,
+    h(st, en) = P^(en-1) * (C[en] - C[st]) where C[i] = sum b[j] * P^-j.
+    Position-independent (equal content -> equal hash); collisions only
+    ADD candidates (exact verify removes them).  Replaces the per-byte
+    FNV column loop whose cost was O(windows x window_len) python ops —
+    PassJoin probes ~(t+1)(2t+1)^2 windows/doc, ~81x the corpus bytes.
+    Scratch is ~24 B per data byte; callers chunk doc ranges to bound it."""
+    n = len(data)
+    ppow = np.ones(n + 1, np.uint64)
+    if n:
+        np.cumprod(np.full(n, _POLY_P, np.uint64), out=ppow[1:])
+    pinvpow = np.ones(max(n, 1), np.uint64)
+    if n > 1:
+        np.cumprod(np.full(n - 1, _POLY_PINV, np.uint64), out=pinvpow[1:])
+    csum = np.zeros(n + 1, np.uint64)
+    if n:
+        np.cumsum(data.astype(np.uint64) * pinvpow[:n], out=csum[1:])
+    seed = np.uint64(0xCBF29CE484222325)
+
+    def h(st: np.ndarray, en: np.ndarray) -> np.ndarray:
+        d = csum[en] - csum[st]
+        out = ppow[np.maximum(en, 1) - 1] * d
+        return np.where(en > st, out ^ seed, seed)
+
+    return h
+
+
 def _mix_lih(l: np.ndarray, i: int, h: np.ndarray) -> np.ndarray:
     """Combine (partner length, segment index, window hash) into one int64
     candidate-bucket key (splitmix-style).  Collisions only ADD candidates
@@ -2224,10 +2341,70 @@ def edit_distance_pairs(ds, max_dist: int = 4, id_col: str = "doc_id",
     ``levenshtein(a.text, b.text) <= max_dist`` with a byte-length
     |strlen(a)-strlen(b)| <= max_dist prune (implied by the predicate)."""
     from .joins import bucketed_hash_join
-    from .text import _window_hash
 
     t = int(max_dist)
     nseg = t + 1
+
+    def _emit_chunk(ids, lens, offs, data, keys_l, sides_l, out_ids):
+        """Candidate rows for one doc range (offs relative to ``data``).
+        Window hashes come from one O(bytes) polynomial prefix pass."""
+        hasher = _poly_hasher(data)
+        # --- segment side (len >= t+1): t+1 even byte segments ------------
+        seg = lens >= nseg
+        if seg.any():
+            sl, so, sid = lens[seg], offs[:-1][seg], ids[seg]
+            for i in range(nseg):
+                st = so + (i * sl) // nseg
+                en = so + ((i + 1) * sl) // nseg
+                h = hasher(st, en).view(np.int64)
+                keys_l.append(_mix_lih(sl, i, h))
+                sides_l.append(np.zeros(len(h), np.int8))
+                out_ids.append(sid)
+        # --- probe side: partner lengths l in [lb-t, lb+t], l >= t+1,
+        #     substrings at the partner's segment positions, restricted to
+        #     the multi-match-aware shift window (PassJoin, Li/Deng/Feng
+        #     SIGMOD'11): for 0-based segment i and delta = lb - l, only
+        #     d in [max(-i, delta-(t-i)), min(i, delta+(t-i))] can open a
+        #     matching substring under <= t edits (edits before the segment
+        #     bound |d| by i; edits after bound |d - delta| by t - i) -------
+        for dl in range(-t, t + 1):
+            pl = lens + dl  # partner length per doc
+            pm = pl >= nseg
+            if not pm.any():
+                continue
+            plm, lbm, o0, idm = pl[pm], lens[pm], offs[:-1][pm], ids[pm]
+            delta = -dl  # lb - pl, scalar within this dl slice
+            for i in range(nseg):
+                d_lo = max(-i, delta - (t - i))
+                d_hi = min(i, delta + (t - i))
+                if d_lo > d_hi:
+                    continue
+                p = (i * plm) // nseg
+                s = ((i + 1) * plm) // nseg - p
+                st_l, en_l, pid_l = [], [], []
+                for d in range(d_lo, d_hi + 1):
+                    start = p + d
+                    ok = (start >= 0) & (start + s <= lbm)
+                    if not ok.any():
+                        continue
+                    st_l.append(o0[ok] + start[ok])
+                    en_l.append(o0[ok] + start[ok] + s[ok])
+                    pid_l.append(np.nonzero(ok)[0])
+                if not st_l:
+                    continue
+                st = np.concatenate(st_l)
+                en = np.concatenate(en_l)
+                pidx = np.concatenate(pid_l)
+                h = hasher(st, en).view(np.int64)
+                k = _mix_lih(plm[pidx], i, h)
+                pid = idm[pidx]
+                # per-doc probe dedup: same window content at several d
+                oo = np.lexsort((k, pid))
+                ko, po = k[oo], pid[oo]
+                first = np.r_[True, (ko[1:] != ko[:-1]) | (po[1:] != po[:-1])]
+                keys_l.append(ko[first])
+                sides_l.append(np.ones(int(first.sum()), np.int8))
+                out_ids.append(po[first])
 
     def cand_rows(batch: pa.Table) -> pa.Table:
         from ..util import strip_schema_metadata
@@ -2258,52 +2435,18 @@ def edit_distance_pairs(ds, max_dist: int = 4, id_col: str = "doc_id",
                     keys_l.append(k)
                     sides_l.append(np.full(len(k), side, np.int8))
                     out_ids.append(ids[sh])
-            # --- segment side (len >= t+1): t+1 even byte segments --------
-            seg = lens >= nseg
-            if seg.any():
-                sl, so, sid = lens[seg], offs[:-1][seg], ids[seg]
-                for i in range(nseg):
-                    st = so + (i * sl) // nseg
-                    en = so + ((i + 1) * sl) // nseg
-                    h = _window_hash(data, st, en).view(np.int64)
-                    keys_l.append(_mix_lih(sl, i, h))
-                    sides_l.append(np.zeros(len(h), np.int8))
-                    out_ids.append(sid)
-            # --- probe side: partner lengths l in [lb-t, lb+t], l >= t+1,
-            #     substrings at the partner's segment positions +-t ---------
-            for dl in range(-t, t + 1):
-                pl = lens + dl  # partner length per doc
-                pm = pl >= nseg
-                if not pm.any():
-                    continue
-                plm, lbm, o0, idm = pl[pm], lens[pm], offs[:-1][pm], ids[pm]
-                for i in range(nseg):
-                    p = (i * plm) // nseg
-                    s = ((i + 1) * plm) // nseg - p
-                    st_l, en_l, pid_l = [], [], []
-                    for d in range(-t, t + 1):
-                        start = p + d
-                        ok = (start >= 0) & (start + s <= lbm)
-                        if not ok.any():
-                            continue
-                        st_l.append(o0[ok] + start[ok])
-                        en_l.append(o0[ok] + start[ok] + s[ok])
-                        pid_l.append(np.nonzero(ok)[0])
-                    if not st_l:
-                        continue
-                    st = np.concatenate(st_l)
-                    en = np.concatenate(en_l)
-                    pidx = np.concatenate(pid_l)
-                    h = _window_hash(data, st, en).view(np.int64)
-                    k = _mix_lih(plm[pidx], i, h)
-                    pid = idm[pidx]
-                    # per-doc probe dedup: same window content at several d
-                    oo = np.lexsort((k, pid))
-                    ko, po = k[oo], pid[oo]
-                    first = np.r_[True, (ko[1:] != ko[:-1]) | (po[1:] != po[:-1])]
-                    keys_l.append(ko[first])
-                    sides_l.append(np.ones(int(first.sum()), np.int8))
-                    out_ids.append(po[first])
+            # chunk doc ranges so the poly-hash prefix scratch (~24 B/byte)
+            # stays bounded on production-size blocks
+            budget = 1 << 22
+            lo = 0
+            while lo < n:
+                hi = int(np.searchsorted(offs, offs[lo] + budget, "right")) - 1
+                hi = min(max(hi, lo + 1), n)
+                _emit_chunk(ids[lo:hi], lens[lo:hi],
+                            offs[lo : hi + 1] - offs[lo],
+                            data[offs[lo] : offs[hi]],
+                            keys_l, sides_l, out_ids)
+                lo = hi
         if not keys_l:
             return pa.table({"k": pa.array([], pa.int64()),
                              "side": pa.array([], pa.int8()),
@@ -2441,16 +2584,19 @@ def edit_distance_pairs(ds, max_dist: int = 4, id_col: str = "doc_id",
         first = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
         starts = np.nonzero(first)[0]
         ends = np.r_[starts[1:], len(s1)]
-        o1, o2, od = [], [], []
+        # only runs carrying BOTH slots (a null text drops its side's row)
+        a_txt, b_txt, p1, p2 = [], [], [], []
         for st, en in zip(starts, ends):
             sl = ss[st:en]
             if not ((sl == 0).any() and (sl == 1).any()):
-                continue  # one side's text missing (null) — not a pair
-            d = _banded_edit_distance(by_id[int(s1[st])], by_id[int(s2[st])], t)
-            if d <= t:
-                o1.append(s1[st]); o2.append(s2[st]); od.append(d)
-        return pa.table({"id1": pa.array(np.array(o1, np.int64)),
-                         "id2": pa.array(np.array(o2, np.int64)),
-                         "dist": pa.array(np.array(od, np.int64))})
+                continue
+            a_txt.append(by_id[int(s1[st])])
+            b_txt.append(by_id[int(s2[st])])
+            p1.append(s1[st]); p2.append(s2[st])
+        d = _banded_edit_distance_batch(a_txt, b_txt, t)
+        keep = d <= t
+        return pa.table({"id1": pa.array(np.array(p1, np.int64)[keep]),
+                         "id2": pa.array(np.array(p2, np.int64)[keep]),
+                         "dist": pa.array(d[keep])})
 
     return salted_p.groupby("psalt").map_groups(verify, batch_format="pandas")

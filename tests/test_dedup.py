@@ -670,3 +670,74 @@ def test_edit_distance_pairs_planted_adversarial(ray_session, tmp_path):
     assert pairs[(7, 8)] == 3 and pairs[(7, 9)] == 2
     assert pairs[(10, 11)] == 0 and (13, 14) in pairs
     assert (0, 6) not in pairs and (16, 17) not in pairs
+
+
+def test_edit_distance_pairs_brute_force_planted_mutations(ray_session):
+    """Pipeline recall vs exhaustive all-pairs brute force on a corpus of
+    planted byte-level mutants at every edit count 0..6 — guards the
+    multi-match-aware probe-window restriction (PassJoin, Li/Deng/Feng):
+    any lost candidate shows as a missing pair here."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geotrellis_contrib_ray.stages.dedup import (
+        _banded_edit_distance,
+        edit_distance_pairs,
+    )
+
+    rng = np.random.default_rng(123)
+    words = ["alpha", "beta", "gamma", "delta", "omicron", "zeta", "kappa"]
+    texts = []
+    for _ in range(30):
+        b = " ".join(rng.choice(words, rng.integers(5, 30)))
+        texts.append(b)
+        for k in range(0, 7):
+            s = bytearray(b.encode())
+            for _ in range(k):
+                op = rng.integers(0, 3)
+                pos = rng.integers(0, max(len(s), 1))
+                if op == 0 and len(s):
+                    s[pos % len(s)] = rng.integers(97, 123)
+                elif op == 1:
+                    s.insert(pos, rng.integers(97, 123))
+                elif op == 2 and len(s):
+                    del s[pos % len(s)]
+            texts.append(s.decode("latin1"))
+    n = len(texts)
+    tb = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                   "text": pa.array(texts, pa.string())})
+    T = 4
+    got = edit_distance_pairs(ray.data.from_arrow(tb), max_dist=T).to_pandas()
+    got_set = {(int(r.id1), int(r.id2), int(r.dist)) for r in got.itertuples()}
+    bs = [np.frombuffer(x.encode(), np.uint8) for x in texts]
+    exp = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if abs(len(bs[i]) - len(bs[j])) <= T:
+                d = _banded_edit_distance(bs[i], bs[j], T)
+                if d <= T:
+                    exp.add((i, j, d))
+    assert got_set == exp and len(exp) > 200
+
+
+def test_banded_edit_distance_batch_vs_scalar():
+    """Batched DP vs the scalar reference over random byte strings of mixed
+    lengths (incl. empty), every threshold, with forced chunking."""
+    import numpy as np
+
+    from geotrellis_contrib_ray.stages.dedup import (
+        _banded_edit_distance,
+        _banded_edit_distance_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    A, B = [], []
+    for _ in range(300):
+        la, lb = rng.integers(0, 40, 2)
+        A.append(rng.integers(97, 102, la).astype(np.uint8))
+        B.append(rng.integers(97, 102, lb).astype(np.uint8))
+    for t in (0, 1, 2, 4, 7):
+        got = _banded_edit_distance_batch(A, B, t, max_cells=64)
+        ref = np.array([_banded_edit_distance(a, b, t) for a, b in zip(A, B)])
+        assert (got == ref).all(), t
