@@ -905,28 +905,31 @@ def _pairwise_hash_jaccard(g, shingle_k: int, text_col: str = "text"):
     texts = np.asarray(g[text_col], dtype=object)
     uids, first_idx = np.unique(did, return_index=True)
     hs = _shingle_hashes(pa.array(texts[first_idx], pa.string()), shingle_k)
-    toks = {int(u): np.unique(h) for u, h in zip(uids, hs)}
+    toks = [np.unique(h) for h in hs]
+    # pair runs carrying BOTH slots (a missing side's text never arrived)
     order = np.lexsort((id2, id1))
     s1, s2, ss = id1[order], id2[order], slot[order]
     first = np.r_[True, (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
     starts = np.nonzero(first)[0]
-    ends = np.r_[starts[1:], len(s1)]
-    out1, out2, ns_l, nu_l = [], [], [], []
-    for st, en in zip(starts, ends):
-        sl = ss[st:en]
-        if not ((sl == 0).any() and (sl == 1).any()):
-            continue
-        a, b = toks[int(s1[st])], toks[int(s2[st])]
+    ok = (np.minimum.reduceat(ss, starts) == 0) & \
+         (np.maximum.reduceat(ss, starts) == 1)  # runs are never empty
+    p1, p2 = s1[starts[ok]], s2[starts[ok]]
+    if not len(p1):
+        return z, z, z, z
+    # per-pair sorted-set intersection; measured FASTER than one giant
+    # (pid, token) lexsort-and-count (many small cache-resident sorts beat
+    # a single 2-key sort of the full gather — 19 vs 433 ms per group)
+    ia = np.searchsorted(uids, p1)
+    ib = np.searchsorted(uids, p2)
+    ns = np.empty(len(p1), np.int64)
+    nu = np.empty(len(p1), np.int64)
+    for x, (a_i, b_i) in enumerate(zip(ia, ib)):
+        a, b = toks[a_i], toks[b_i]
         inter = np.intersect1d(a, b, assume_unique=True).size
-        uni = a.size + b.size - inter
-        if uni == 0:
-            continue
-        out1.append(s1[st])
-        out2.append(s2[st])
-        ns_l.append(inter)
-        nu_l.append(uni)
-    return (np.array(out1, np.int64), np.array(out2, np.int64),
-            np.array(ns_l, np.int64), np.array(nu_l, np.int64))
+        ns[x] = inter
+        nu[x] = a.size + b.size - inter
+    sel = nu > 0
+    return p1[sel], p2[sel], ns[sel], nu[sel]
 
 
 def _distinct_doc_tokens(batch: pa.Table, shingle_k: int, id_col: str, text_col: str):
