@@ -2799,7 +2799,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- (b) implementation changed in r5 (adaptive simhash sharding,
         #    NULL-text delta filter, mixture persist tiers, subsampled skew
         #    census, chunked distance kernels, rollup typing, shared
-        #    quantile level passes)
+        #    quantile level passes, graph-rank broadcast tier, edit-distance
+        #    poly-hash/batched-DP/multi-match probes, jaccard verify mask)
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_delta": q_dedup_delta,
         "mixture_sample": q_mixture_sample,
@@ -2887,7 +2890,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": q_window_distinct,
         "quality_scores": q_quality_scores,
         "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2906,7 +2908,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "tfidf_terms": q_tfidf_terms,
         "raster_hillshade": q_raster_hillshade,
-        "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     }
 
 
