@@ -1431,26 +1431,61 @@ def q_graph_rank(sf_dir: str, tier: str = "auto"):
 
     li = _read_pq(f"{sf_dir}/lineitem.parquet",
                   columns=["l_orderkey", "l_suppkey"])
+    n_orders = pq_.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= _DIM_BROADCAST_ROWS:
+        # star-schema edge build (the customer_order_totals pattern): the
+        # bounded orderkey->custkey map rides ray.put once and the lineitem
+        # fact stream probes it per batch — the bucketed join's shuffle
+        # disappears; only the global-distinct reduce stays wide
+        import ray
 
-    def li_prep(b: pa.Table) -> pa.Table:
-        return pa.table({"o_orderkey": b["l_orderkey"],
-                         "l_suppkey": b["l_suppkey"]})
+        from geotrellis_contrib_ray.stages.text import _WORKER_SCORER_CACHE as _wc
 
-    li = li.map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True,
-                        batch_size=None)
-    orders = _read_pq(f"{sf_dir}/orders.parquet",
-                      columns=["o_orderkey", "o_custkey"])
-    joined = bucketed_hash_join(li, orders, on="o_orderkey")
+        ord_t = pq_.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+        okeys = ord_t["o_orderkey"].to_numpy()
+        oorder = np.argsort(okeys, kind="stable")
+        lookup_ref = ray.put((okeys[oorder],
+                              ord_t["o_custkey"].to_numpy()[oorder]))
 
-    def pair_partial(b: pa.Table) -> pa.Table:
-        c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = pa.table({"src": pa.array(2 * c), "dst": pa.array(2 * s + 1)})
-        return (t.group_by(["src", "dst"], use_threads=False).aggregate([])
-                .select(["src", "dst"]))
+        def pair_partial(b: pa.Table) -> pa.Table:
+            key = lookup_ref.hex()
+            entry = _wc.get(key)
+            if entry is None:
+                entry = ray.get(lookup_ref)
+                _wc[key] = entry
+            keys, cust = entry
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            p = np.clip(np.searchsorted(keys, lk), 0, max(len(keys) - 1, 0))
+            hit = keys[p] == lk if len(keys) else np.zeros(len(lk), bool)
+            c = cust[p][hit].astype(np.int64)
+            s = b["l_suppkey"].to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+            t = pa.table({"src": pa.array(2 * c), "dst": pa.array(2 * s + 1)})
+            return (t.group_by(["src", "dst"], use_threads=False).aggregate([])
+                    .select(["src", "dst"]))
 
-    pairs = joined.map_batches(pair_partial, batch_format="pyarrow",
+        pairs = li.map_batches(pair_partial, batch_format="pyarrow",
                                zero_copy_batch=True, batch_size=None)
+    else:
+        def li_prep(b: pa.Table) -> pa.Table:
+            return pa.table({"o_orderkey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"]})
+
+        li = li.map_batches(li_prep, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+        orders = _read_pq(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey"])
+        joined = bucketed_hash_join(li, orders, on="o_orderkey")
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            c = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = pa.table({"src": pa.array(2 * c), "dst": pa.array(2 * s + 1)})
+            return (t.group_by(["src", "dst"], use_threads=False).aggregate([])
+                    .select(["src", "dst"]))
+
+        pairs = joined.map_batches(pair_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True, batch_size=None)
     e0 = salted_group_reduce(pairs, ["src", "dst"], [(None, "count", "_n")])
 
     def both_dirs(b: pa.Table) -> pa.Table:
