@@ -2794,6 +2794,42 @@ def q_span_redact(sf_dir: str):
                           batch_size=None)
 
 
+def q_bow_dedup(sf_dir: str):
+    """Bag-of-words (token-sort) dedup groups: docs collide iff their sorted
+    token multisets match (word-order-invariant near-dup — shuffled
+    boilerplate).  Only 24 B/row (h1, h2, doc_id) ever shuffles; texts never
+    move; 64-bit collisions across distinct signatures are refused via the
+    second hash family (incremental_dedup contract)."""
+    from geotrellis_contrib_ray.stages.dedup import bow_keep_first
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bow_keep_first(ds)
+
+
+def q_regex_tokens(sf_dir: str):
+    """Corpus-wide regex-match counts (leftmost non-overlapping): one
+    compiled-program pass per batch over a separator-joined string, per-batch
+    np.unique pre-agg, one bounded-salt reduce."""
+    from geotrellis_contrib_ray.pipelines.query_defs import REGEX_TOKEN_PATTERN
+    from geotrellis_contrib_ray.stages.text import regex_token_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return regex_token_counts(ds, REGEX_TOKEN_PATTERN)
+
+
+def q_zscore_chars(sf_dir: str):
+    """Per-lang population z-score of n_chars, quantized floor(z * 2^20):
+    exact integer moments via driver rollup (bounded groups, no all-to-all),
+    broadcast into a second narrow pass — the feature-normalization shape."""
+    from geotrellis_contrib_ray.pipelines.query_defs import ZSCORE_QUANT_BITS
+    from geotrellis_contrib_ray.stages.stats import group_zscore
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "lang", "n_chars"])
+    out = group_zscore(ds, "lang", "n_chars", quant_bits=ZSCORE_QUANT_BITS)
+    return out.select_columns(["doc_id", "lang", "z_q"])
+
+
 def entry() -> Any:
     """Flagship interleaved-corpus pipeline on sf0.001."""
     from geotrellis_contrib_ray.pipelines.flagship import flagship
@@ -2810,6 +2846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green rows ride last and rotate forward next round.
         # -- (a) NEW this round, never driver-checked: per-row window
         #    functions, grouped mode, fixed-bin histogram, moment sums
+        "bow_dedup": q_bow_dedup,
+        "regex_tokens": q_regex_tokens,
+        "zscore_chars": q_zscore_chars,
         "edit_distance_pairs": q_edit_distance_pairs,
         "top_bigrams": q_top_bigrams,
         "pivot_lang_source": q_pivot_lang_source,
@@ -4162,6 +4201,46 @@ bg AS (
 )
 SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}"""
+
+    # bag-of-words signature groups: list_sort's default binary UTF-8 order
+    # equals the Ray side's np codepoint sort (UTF-8 byte order IS codepoint
+    # order); string_split keeps empty tokens on both engines
+    sql["bow_dedup"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM (SELECT doc_id,
+             array_to_string(list_sort(string_split(text, ' ')), ' ') AS sig
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY sig"""
+
+    # leftmost non-overlapping matches: python re and DuckDB RE2 agree for
+    # backtracking-free class-run patterns; NULL text contributes nothing
+    # on both sides (unnest of a NULL list yields zero rows)
+    from geotrellis_contrib_ray.pipelines.query_defs import REGEX_TOKEN_PATTERN
+    sql["regex_tokens"] = f"""
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '{REGEX_TOKEN_PATTERN}')) AS tok
+      FROM documents)
+GROUP BY tok"""
+
+    # z = (n*x - s1) / sqrt(n*s2 - s1^2) over EXACT integer moments — one
+    # fixed double expression per row (conversion/div/sqrt all IEEE-exact or
+    # correctly rounded), quantized floor(z * 2^20); zero-variance groups
+    # dropped on both sides; integer-literal scale CAST to DOUBLE (the
+    # DECIMAL-literal overflow rule)
+    from geotrellis_contrib_ray.pipelines.query_defs import ZSCORE_QUANT_BITS
+    sql["zscore_chars"] = f"""
+WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(n_chars) AS BIGINT) AS s1,
+                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+           FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+           GROUP BY lang)
+SELECT d.doc_id, d.lang,
+  CAST(floor(CAST(s.n * d.n_chars - s.s1 AS DOUBLE)
+             / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE))
+             * CAST({1 << ZSCORE_QUANT_BITS} AS DOUBLE)) AS BIGINT) AS z_q
+FROM documents d JOIN s USING (lang)
+WHERE s.n * s.s2 - s.s1 * s.s1 > 0 AND d.n_chars IS NOT NULL"""
 
     # byte-domain on BOTH engines: DuckDB levenshtein() counts byte edits
     # (measured), and the Ray side's PassJoin segments/probes/banded-DP all

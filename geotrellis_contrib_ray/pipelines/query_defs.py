@@ -876,3 +876,13 @@ def hilbert_sql_cte(order: int = 16) -> str:
         )
         prev = cur
     return ",\n  ".join(parts)
+
+
+# regex_tokens: lowercase consonant runs (>=2) — a subword-piece inventory
+# whose class excludes '\n' (the batch-join separator) and is
+# backtracking-free, so python re and DuckDB RE2 scan identically
+REGEX_TOKEN_PATTERN = r"[b-df-hj-np-tv-z]{2,}"
+
+# zscore_chars: per-lang population z-score of n_chars, quantized
+# floor(z * 2^20) from exact integer moments (CLAUDE.md float-twin rule)
+ZSCORE_QUANT_BITS = 20

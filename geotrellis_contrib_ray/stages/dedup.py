@@ -2603,3 +2603,97 @@ def edit_distance_pairs(ds, max_dist: int = 4, id_col: str = "doc_id",
                          "dist": pa.array(d[keep])})
 
     return salted_p.groupby("psalt").map_groups(verify, batch_format="pandas")
+
+
+def bow_keep_first(ds, id_col: str = "doc_id", text_col: str = "text",
+                   group_salt: int = 256):
+    """Bag-of-words (token-sort) dedup groups — the word-ORDER-invariant
+    near-dup tier between exact dedup and MinHash: two docs collide iff
+    their sorted token multisets are identical (shuffled boilerplate,
+    reordered list pages).  Mirrors the reference's D1 window-dedup keyed
+    collapse (geotrellis-contrib semantics: dedup by a derived key, keep a
+    canonical winner) with a text-derived key.
+
+    Scale shape: the canonical signature (tokens sorted, joined by one
+    space) is hashed per doc INSIDE the batch — only (h1, h2, doc_id)
+    24 B/row ever shuffles (texts never move, the incremental_dedup
+    contract); one bounded-salt reduce; winner = min doc_id.  The per-doc
+    token sort is one np.lexsort over dictionary ranks (no per-row python).
+    64-bit h1 collisions across DIFFERENT signatures are detected via the
+    second independent hash family and REFUSED loudly (same contract as
+    incremental_dedup_keep_first; silent failure odds ~2^-128).
+
+    Output: one row per signature group — doc_id (min = winner), n_dups.
+    SQL twin groups by ``array_to_string(list_sort(string_split(text,
+    ' ')), ' ')`` directly; list_sort's binary UTF-8 order equals the
+    np codepoint sort order (UTF-8 byte order is codepoint order)."""
+    from .agg import salted_group_reduce
+    from .text import hash_utf8_array
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        batch = strip_schema_metadata(batch)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        texts = texts.filter(pa.array(valid)).cast(pa.string())
+        n = len(texts)
+        if n == 0:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64())})
+        toks = pc.split_pattern(texts, " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        off_dt = np.int64 if pa.types.is_large_list(toks.type) else np.int32
+        doc_offs = np.frombuffer(toks.buffers()[1], dtype=off_dt)[
+            toks.offset : toks.offset + n + 1].astype(np.int64)
+        lo = int(doc_offs[0])
+        rel = doc_offs - lo
+        counts = np.diff(rel)
+        flat = toks.values
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        flat = flat.slice(lo, int(rel[-1]))
+        if len(flat):
+            # per-doc token sort without per-row python: rank each distinct
+            # token once (codepoint order == list_sort's binary utf8 order),
+            # then ONE lexsort of (rank within doc)
+            d = flat.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            words = d.dictionary.to_numpy(zero_copy_only=False)
+            rank_of = np.empty(len(words), np.int64)
+            rank_of[np.argsort(words, kind="stable")] = np.arange(len(words))
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            perm = np.lexsort((rank_of[codes], doc_idx))
+            flat = flat.take(pa.array(perm, pa.int64()))
+        off_arr = (pa.array(rel, pa.int32()) if rel[-1] < (1 << 31)
+                   else pa.array(rel, pa.int64()))
+        cls = pa.ListArray if rel[-1] < (1 << 31) else pa.LargeListArray
+        sig = pc.binary_join(cls.from_arrays(off_arr, flat), " ")
+        return pa.table({"h1": pa.array(hash_utf8_array(sig, seed=0)),
+                         "h2": pa.array(hash_utf8_array(sig, seed=1)),
+                         "id": pa.array(ids)})
+
+    rows = ds.map_batches(sig_rows, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    groups = salted_group_reduce(
+        rows, ["h1"],
+        [("h2", "min", "_h2min"), ("h2", "max", "_h2max"),
+         (None, "count", "n_dups"), ("id", "min", "doc_id")],
+        salt=group_salt,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        h2min = b["_h2min"].to_numpy(zero_copy_only=False)
+        h2max = b["_h2max"].to_numpy(zero_copy_only=False)
+        if (h2min != h2max).any():
+            raise ValueError(
+                "bow_keep_first: 64-bit signature-hash collision detected "
+                "(h2 family disagrees within an h1 group) — rerun with a "
+                "different hash seed pair")
+        return b.select(["doc_id", "n_dups"])
+
+    return groups.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

@@ -18,6 +18,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def top_k_per_group(ds, group_col: str, order_col: str, k: int,
@@ -596,3 +597,84 @@ def exact_quantiles_cont(ds, value_col: str, qs: tuple[float, ...],
         out_v.append(lo_v + (hi_v - lo_v) * frac)
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def group_zscore(ds, group_col: str, value_col: str, quant_bits: int = 20,
+                 out_col: str = "z_q"):
+    """Per-group standardization (z-score) of an integer column — the
+    feature-normalization primitive (per-language length scores, per-source
+    quality calibration) as a BROADCAST-stats two-pass plan, not a join.
+
+    Pass 1 collects EXACT integer moments per group (count, sum, sum of
+    squares) as per-block partials combined on the driver
+    (driver_group_rollup: bounded group count, zero all-to-all).  Pass 2
+    re-reads the input (the narrow upstream re-executes; nothing is pinned)
+    and computes, per row, z = (n*x - s1) / sqrt(n*s2 - s1^2) — the
+    population z-score as ONE fixed double expression over exact int64
+    moments, so the SQL twin replays it bit-for-bit (int->double conversions
+    are exact below 2^53, division and sqrt are IEEE correctly rounded).
+    Emitted quantized: floor(z * 2^quant_bits) as int64 (floor, not trunc —
+    negative z must round the same way on both engines).
+
+    Groups with zero variance (or one row) are dropped on both sides
+    (``n*s2 - s1^2 > 0``); NULL group keys are filtered (SQL JOIN-on-key
+    semantics drop them anyway).  int64 bound: n * max(x)^2 must stay under
+    2^63 — at x <= 10^6 that is ~9.2e6 billion rows per group."""
+    from .agg import driver_group_rollup
+
+    def moments(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b.select([group_col, value_col]))
+        mask = pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[value_col]))
+        b = b.filter(mask)
+        x = b[value_col].cast(pa.int64())
+        t = pa.table({group_col: b[group_col], "_x": x,
+                      "_xx": pc.multiply_checked(x, x)})
+        g = (t.group_by(group_col, use_threads=False)
+             .aggregate([([], "count_all"), ("_x", "sum"), ("_xx", "sum")]))
+        return pa.table({group_col: g[group_col],
+                         "n": g["count_all"].cast(pa.int64()),
+                         "s1": g["_x_sum"].cast(pa.int64()),
+                         "s2": g["_xx_sum"].cast(pa.int64())})
+
+    stats = driver_group_rollup(
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        [group_col], [("n", "sum", "n"), ("s1", "sum", "s1"),
+                      ("s2", "sum", "s2")])
+    keys = stats[group_col].to_numpy(zero_copy_only=False)
+    n = stats["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s1 = stats["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s2 = stats["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    var_n2 = n * s2 - s1 * s1  # n^2 * population variance, exact int64
+    keep = var_n2 > 0
+    order = np.argsort(keys[keep], kind="stable")
+    sk = keys[keep][order]
+    n_k = n[keep][order]
+    s1_k = s1[keep][order]
+    den_k = np.sqrt(var_n2[keep][order].astype(np.float64))
+    scale = float(1 << quant_bits)
+
+    def zscore(b: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        b = strip_schema_metadata(b)
+        mask = pc.and_(pc.is_valid(b[group_col]), pc.is_valid(b[value_col]))
+        b = b.filter(mask)
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        x = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sk) == 0 or len(g) == 0:
+            return b.filter(pa.array(np.zeros(len(g), bool))).append_column(
+                out_col, pa.array([], pa.int64()))
+        # vectorized group probe: searchsorted into the sorted key table
+        pos = np.clip(np.searchsorted(sk, g), 0, len(sk) - 1)
+        ok = sk[pos] == g
+        b = b.filter(pa.array(ok))
+        p = pos[ok]
+        num = (n_k[p] * x[ok] - s1_k[p]).astype(np.float64)
+        zq = np.floor(num / den_k[p] * scale).astype(np.int64)
+        return b.append_column(out_col, pa.array(zq))
+
+    return ds.map_batches(zscore, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)

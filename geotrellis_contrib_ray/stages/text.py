@@ -575,3 +575,59 @@ def top_bigrams(ds, k: int = 20, text_col: str = "text"):
     sel = np.lexsort((bgv, -nn))[:k]
     return pa.table({"bigram": pa.array(bgv[sel], pa.string()),
                      "n": pa.array(nn[sel], pa.int64())})
+
+
+# subword/PII extraction: the pattern rides as a plain string; workers
+# memoize the compiled program per (pattern) in this module-global (task
+# tier, CLAUDE.md rule: pure derived state needs no actor pool)
+_REGEX_CACHE: dict = {}
+
+
+def regex_token_counts(ds, pattern: str, text_col: str = "text"):
+    """Corpus-wide counts of every regex match (re.finditer semantics:
+    leftmost, non-overlapping) — the extraction dual of redact_regex:
+    subword/BPE-piece harvesting, PII-candidate inventories, URL/domain
+    tallies.
+
+    Scale shape: each batch's texts are joined into ONE string with a
+    separator the pattern cannot cross ('\\n'; callers pass patterns whose
+    character classes exclude it), so the compiled program makes a single
+    C-level pass per batch instead of a per-row python loop; matches are
+    count-reduced inside the batch (np.unique) and only (tok, count)
+    partials shuffle through one bounded-salt reduce.  Output: Dataset
+    (tok:string, n:int64), one row per distinct match text.
+
+    SQL twin: ``unnest(regexp_extract_all(text, pat))`` + GROUP BY — python
+    re and DuckDB's RE2 agree on leftmost non-overlapping scans for
+    backtracking-free patterns (keep alternations/backrefs out of ``pattern``;
+    character-class runs like ``[a-z]{2,}`` are exactly portable)."""
+    import re
+
+    from .agg import salted_group_reduce
+
+    def partial(b: pa.Table) -> pa.Table:
+        rx = _REGEX_CACHE.get(pattern)
+        if rx is None:
+            rx = _REGEX_CACHE[pattern] = re.compile(pattern)
+        texts = b[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.drop_null().cast(pa.string())
+        empty = pa.table({"tok": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if len(texts) == 0:
+            return empty
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(texts)], pa.int32()), texts)
+        joined = pc.binary_join(lst, "\n")[0].as_py()
+        matches = rx.findall(joined)
+        if not matches:
+            return empty
+        toks, counts = np.unique(np.asarray(matches, dtype=object),
+                                 return_counts=True)
+        return pa.table({"tok": pa.array(toks, pa.string()),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    return salted_group_reduce(rows, ["tok"], [("c", "sum", "n")], salt=256)

@@ -741,3 +741,48 @@ def test_banded_edit_distance_batch_vs_scalar():
         got = _banded_edit_distance_batch(A, B, t, max_cells=64)
         ref = np.array([_banded_edit_distance(a, b, t) for a, b in zip(A, B)])
         assert (got == ref).all(), t
+
+
+def test_bow_keep_first_planted(ray_session):
+    """Token-sort groups: word order collapses, multiset differences don't;
+    empty-token layouts and unicode sort by codepoint (= list_sort's binary
+    utf8 order); NULL text drops."""
+    import ray
+
+    from geotrellis_contrib_ray.stages.dedup import bow_keep_first
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "text": pa.array(["b a c", "c b a", "a b", None, "", "a  b",
+                          "🚀 žluťoučký a", "a žluťoučký 🚀"], pa.string()),
+    }))
+    out = (bow_keep_first(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # groups: {1,2} 'a b c'; {3} 'a b'; {5} ''; {6} ' a b'; {7,8} unicode
+    assert out["doc_id"].tolist() == [1, 3, 5, 6, 7]
+    assert out["n_dups"].tolist() == [2, 1, 1, 1, 2]
+
+
+def test_bow_keep_first_refuses_hash_collision(ray_session, monkeypatch):
+    import ray
+
+    import geotrellis_contrib_ray.stages.text as text_mod
+    from geotrellis_contrib_ray.stages.dedup import bow_keep_first
+
+    real = text_mod.hash_utf8_array
+
+    def fake(texts, seed=0):
+        if seed == 0:
+            return np.full(len(texts), 7, np.int64)
+        return real(texts, seed=seed)
+
+    monkeypatch.setattr(text_mod, "hash_utf8_array", fake)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "omega psi"], pa.string()),
+    }))
+    try:
+        bow_keep_first(ds).take_all()
+        raise AssertionError("expected signature-hash collision ValueError")
+    except Exception as e:
+        assert "collision" in str(e)

@@ -15,7 +15,8 @@ QUERIES = [
     "quantile_chars_cont", "distinct_lang_source", "normalize_text",
     "top_chars", "token_stats", "quality_counts", "quality_scores",
     "repetition", "tfidf_terms", "edit_distance_pairs", "top_bigrams",
-    "pivot_lang_source", "lang_set_ops",
+    "pivot_lang_source", "lang_set_ops", "bow_dedup", "regex_tokens",
+    "zscore_chars",
 ]
 
 WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",

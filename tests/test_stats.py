@@ -295,3 +295,26 @@ def test_grouped_quantiles_cont_hand_case(ray_session):
     # singleton group: every q returns the value itself
     for q in (0.25, 0.5, 0.9):
         assert got[("b", q)] == 5.0
+
+
+def test_group_zscore_exact_and_drops(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.stats import group_zscore
+
+    t = pa.table({
+        "lang": pa.array(["en", "en", "en", "fr", "fr", "zz", None, "en"],
+                         pa.string()),
+        "x": pa.array([10, 20, 30, 5, 5, 7, 3, None], pa.int64()),
+    })
+    out = (group_zscore(rd.from_arrow(t), "lang", "x", quant_bits=20)
+           .to_pandas().sort_values("x").reset_index(drop=True))
+    # fr: zero variance -> dropped; zz: single row (var 0) -> dropped;
+    # NULL lang and NULL value rows -> dropped
+    assert out["lang"].tolist() == ["en", "en", "en"]
+    # en: n=3, s1=60, s2=1400, n*s2 - s1^2 = 600
+    den = math.sqrt(600.0)
+    for xi, zq in zip(out["x"], out["z_q"]):
+        assert zq == math.floor((3 * xi - 60) / den * 1048576.0)

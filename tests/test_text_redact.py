@@ -126,3 +126,29 @@ def test_vocab_coverage_trailing_null_doc(ray_session):
     # vocab = {'b'} (3 occurrences); doc1's trailing 'b' must count
     assert out["n_tokens"].tolist() == [3, 2, 0]
     assert out["n_hits"].tolist() == [2, 1, 0]
+
+
+def test_regex_token_counts_matches_duckdb(ray_session):
+    """Leftmost non-overlapping extraction parity vs DuckDB RE2, including
+    NULL/empty docs, multibyte text (class bytes never match continuation
+    bytes), and a doc containing the batch-join separator itself."""
+    import duckdb
+    import ray
+
+    from geotrellis_contrib_ray.stages.text import regex_token_counts
+
+    texts = ["the batch stream merge", None, "", "žluťoučký xyz zz kůň",
+             "abc\ndef ghij", "bcdfg", "b", "xx yy zz xx"]
+    pat = r"[b-df-hj-np-tv-z]{2,}"
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = (regex_token_counts(ray.data.from_arrow(t), pat).to_pandas()
+           .sort_values("tok").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.execute(f"""
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(text, '{pat}')) AS tok
+              FROM docs)
+        GROUP BY tok ORDER BY tok""").df()
+    assert out["tok"].tolist() == want["tok"].tolist()
+    assert out["n"].tolist() == want["n"].tolist()
