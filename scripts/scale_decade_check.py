@@ -67,6 +67,10 @@ CHECKS = [
         "pivot_lang_source",
         "lang_set_ops",
         "graph_rank",
+        # r5 last wave: token-sort dedup, regex extraction, broadcast z-score
+        "bow_dedup",
+        "regex_tokens",
+        "zscore_chars",
         "quantile_chars",
         "token_stats",
         "quality_scores",
