@@ -2794,6 +2794,20 @@ def q_span_redact(sf_dir: str):
                           batch_size=None)
 
 
+def q_top_bigrams_hh(sf_dir: str):
+    """Heavy-hitter tier of top_bigrams: per-block top-capacity summaries
+    with a tracked drop bound (sentinel key rides the same reduce), exact
+    rescue pass over the candidate set, provable-exactness check with a
+    transparent exact-tier fallback.  Same SQL twin as top_bigrams — the
+    driver gate proves tier parity.  Small capacity forces real drops at
+    gate scale so the rescue/proof path actually executes."""
+    from geotrellis_contrib_ray.pipelines.query_defs import TOP_BIGRAMS_K
+    from geotrellis_contrib_ray.stages.text import top_bigrams_hh
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_bigrams_hh(ds, k=TOP_BIGRAMS_K, capacity=64)
+
+
 def q_bow_dedup(sf_dir: str):
     """Bag-of-words (token-sort) dedup groups: docs collide iff their sorted
     token multisets match (word-order-invariant near-dup — shuffled
@@ -2849,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bow_dedup": q_bow_dedup,
         "regex_tokens": q_regex_tokens,
         "zscore_chars": q_zscore_chars,
+        "top_bigrams_hh": q_top_bigrams_hh,
         "edit_distance_pairs": q_edit_distance_pairs,
         "top_bigrams": q_top_bigrams,
         "pivot_lang_source": q_pivot_lang_source,
@@ -4201,6 +4216,10 @@ bg AS (
 )
 SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}"""
+
+    # the heavy-hitter tier must produce the IDENTICAL result (the tier is
+    # a cost choice, never a correctness choice) — same twin
+    sql["top_bigrams_hh"] = sql["top_bigrams"]
 
     # bag-of-words signature groups: list_sort's default binary UTF-8 order
     # equals the Ray side's np codepoint sort (UTF-8 byte order IS codepoint

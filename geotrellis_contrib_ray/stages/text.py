@@ -521,6 +521,34 @@ def top_bigrams(ds, k: int = 20, text_col: str = "text"):
     ``arr[i] || ' ' || arr[i+1]`` over ``string_split(text, ' ')``.
 
     Output: pa.Table (bigram:string, n:int64), n desc, bigram asc, <= k rows."""
+    from .agg import salted_group_reduce
+
+    bigram_tf = _bigram_tf_fn(text_col)
+    counts = salted_group_reduce(
+        ds.map_batches(bigram_tf, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["bigram"], [("c", "sum", "n")], salt=256,
+    )
+
+    def block_top(b: pa.Table) -> pa.Table:
+        nn = b["n"].to_numpy(zero_copy_only=False)
+        bgv = b["bigram"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bgv, -nn))[:k]
+        return b.take(pa.array(np.sort(order)))
+
+    rows = counts.map_batches(block_top, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None).take_all()
+    nn = np.array([r["n"] for r in rows], np.int64)
+    bgv = np.array([r["bigram"] for r in rows], object)
+    sel = np.lexsort((bgv, -nn))[:k]
+    return pa.table({"bigram": pa.array(bgv[sel], pa.string()),
+                     "n": pa.array(nn[sel], pa.int64())})
+
+
+def _bigram_tf_fn(text_col: str):
+    """Per-batch EXACT bigram term frequencies: (bigram:string, c:int64),
+    one Arrow group_by inside the block (zero per-row python).  Shared by
+    the exact and heavy-hitter top_bigrams tiers."""
     import pyarrow.compute as pc
 
     def bigram_tf(b: pa.Table) -> pa.Table:
@@ -554,27 +582,131 @@ def top_bigrams(ds, k: int = 20, text_col: str = "text"):
         return pa.table({"bigram": g["bigram"],
                          "c": g["count_all"].cast(pa.int64())})
 
+    return bigram_tf
+
+
+# a real bigram contains EXACTLY one space (split-on-space tokens cannot
+# contain one), so any space-free key cannot collide — the per-block drop
+# bound rides the SAME (key, count) reduce as the survivors.  (A "\x00"
+# sentinel fails here: numpy object-array == uses C-string semantics and
+# never matches NUL strings, silently zeroing the drop bound.)
+_HH_DROP_KEY = "__drop_bound__"
+
+
+def top_bigrams_hh(ds, k: int = 20, text_col: str = "text",
+                   capacity: int = 4096, slack: int | None = None):
+    """Heavy-hitter tier of :func:`top_bigrams` — EXACT top-k with a
+    bounded shuffle, for corpora whose distinct-bigram space dwarfs the
+    summary (the web-scale regime where the exact tier's (bigram, count)
+    partial shuffle is the dominant cost).
+
+    Mergeable-summary plan (SpaceSaving-style truncation with a tracked
+    error bound, Metwally et al. / Agarwal et al. mergeable summaries):
+    1. per block: EXACT bigram tf, truncated to the top-``capacity`` rows;
+       the largest DROPPED count is the block's error bound and rides the
+       same reduce under a sentinel key ("\\x00", which no bigram can equal);
+    2. ONE bounded-salt reduce over blocks x capacity summary rows (vs the
+       exact tier's blocks x distinct rows); driver pulls the global
+       top-(k + slack) partial sums + total_drop = sum of block bounds;
+    3. rescue pass: exact counts for ONLY the candidate set (broadcast
+       ``is_in`` filter, bounded driver rollup), then top-k.
+
+    Soundness: for any key, partial_sum <= true <= partial_sum +
+    total_drop; every non-candidate's true count is < cut + total_drop
+    (cut = the smallest candidate partial).  If the rescued k-th exact
+    count clears that bound the top-k is PROVABLY exact and is returned;
+    otherwise the skew assumption failed and the operator transparently
+    falls back to the exact tier (same output, the tier is a cost choice
+    — never a correctness choice).  total_drop == 0 short-circuits the
+    proof (no block dropped anything: partials are exact).
+
+    Output: identical contract to :func:`top_bigrams`."""
     from .agg import salted_group_reduce
 
+    if slack is None:
+        slack = max(3 * k, 64)
+    bigram_tf = _bigram_tf_fn(text_col)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        tf = bigram_tf(b)
+        cc = tf["c"].to_numpy(zero_copy_only=False)
+        if len(cc) <= capacity:
+            drop = np.int64(0)
+            keep = tf
+        else:
+            bgv = tf["bigram"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((bgv, -cc))
+            keep = tf.take(pa.array(np.sort(order[:capacity])))
+            drop = cc[order[capacity]]  # largest dropped count
+        sent = pa.table({"bigram": pa.array([_HH_DROP_KEY], pa.string()),
+                         "c": pa.array([drop], pa.int64())})
+        return pa.concat_tables([keep, sent])
+
     counts = salted_group_reduce(
-        ds.map_batches(bigram_tf, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None),
+        ds.map_batches(summarize, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
         ["bigram"], [("c", "sum", "n")], salt=256,
     )
+    kpad = k + slack
 
     def block_top(b: pa.Table) -> pa.Table:
         nn = b["n"].to_numpy(zero_copy_only=False)
         bgv = b["bigram"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((bgv, -nn))[:k]
-        return b.take(pa.array(np.sort(order)))
+        sent = bgv == _HH_DROP_KEY
+        order = np.lexsort((bgv[~sent], -nn[~sent]))[:kpad]
+        idx = np.nonzero(~sent)[0][order]
+        return b.take(pa.array(np.sort(np.concatenate(
+            [idx, np.nonzero(sent)[0]]))))
 
     rows = counts.map_batches(block_top, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None).take_all()
     nn = np.array([r["n"] for r in rows], np.int64)
     bgv = np.array([r["bigram"] for r in rows], object)
-    sel = np.lexsort((bgv, -nn))[:k]
-    return pa.table({"bigram": pa.array(bgv[sel], pa.string()),
-                     "n": pa.array(nn[sel], pa.int64())})
+    sent = bgv == _HH_DROP_KEY
+    total_drop = int(nn[sent].sum())
+    nn, bgv = nn[~sent], bgv[~sent]
+    sel = np.lexsort((bgv, -nn))[:kpad]
+    if len(sel) == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    cand = bgv[sel]
+    cut = int(nn[sel].min())
+
+    if total_drop == 0:
+        # no block dropped anything: the merged partials ARE exact counts
+        final = np.lexsort((cand, -nn[sel]))[:k]
+        return pa.table({"bigram": pa.array(cand[final], pa.string()),
+                         "n": pa.array(nn[sel][final], pa.int64())})
+
+    # rescue pass: exact counts for the candidate set only
+    from .agg import driver_group_rollup
+
+    cand_arr = pa.array(cand, pa.string())
+
+    def cand_tf(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tf = bigram_tf(b)
+        return tf.filter(pc.is_in(tf["bigram"], value_set=cand_arr))
+
+    exact = driver_group_rollup(
+        ds.map_batches(cand_tf, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["bigram"], [("c", "sum", "n")],
+        schema=pa.schema([("bigram", pa.string()), ("c", pa.int64())]))
+    en = exact["n"].to_numpy(zero_copy_only=False)
+    eb = exact["bigram"].to_numpy(zero_copy_only=False)
+    final = np.lexsort((eb, -en))[:k]
+    # every non-candidate's partial is <= cut, so its true count is
+    # <= cut + total_drop; a STRICT k-th exact count above that bound
+    # proves no outside key can reach the top-k (ties would need the
+    # outsider's exact count to break on the bigram string — unknowable
+    # without rescuing it, hence strict)
+    if len(final) == k and int(en[final[-1]]) > cut + total_drop:
+        return pa.table({"bigram": pa.array(eb[final], pa.string()),
+                         "n": pa.array(en[final], pa.int64())})
+    # guarantee failed (flat distribution vs capacity) — exact fallback
+    return top_bigrams(ds, k=k, text_col=text_col)
 
 
 # subword/PII extraction: the pattern rides as a plain string; workers

@@ -67,10 +67,12 @@ CHECKS = [
         "pivot_lang_source",
         "lang_set_ops",
         "graph_rank",
-        # r5 last wave: token-sort dedup, regex extraction, broadcast z-score
+        # r5 last wave: token-sort dedup, regex extraction, broadcast
+        # z-score, heavy-hitter top-k (proof/rescue tier)
         "bow_dedup",
         "regex_tokens",
         "zscore_chars",
+        "top_bigrams_hh",
         "quantile_chars",
         "token_stats",
         "quality_scores",

@@ -16,7 +16,7 @@ QUERIES = [
     "top_chars", "token_stats", "quality_counts", "quality_scores",
     "repetition", "tfidf_terms", "edit_distance_pairs", "top_bigrams",
     "pivot_lang_source", "lang_set_ops", "bow_dedup", "regex_tokens",
-    "zscore_chars",
+    "zscore_chars", "top_bigrams_hh",
 ]
 
 WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",

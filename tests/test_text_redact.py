@@ -1,5 +1,6 @@
 """Regex redaction stage: counts, replacement, and empty/edge batches."""
 
+import numpy as np
 import pyarrow as pa
 
 from geotrellis_contrib_ray.stages.text import redact_regex
@@ -152,3 +153,53 @@ def test_regex_token_counts_matches_duckdb(ray_session):
         GROUP BY tok ORDER BY tok""").df()
     assert out["tok"].tolist() == want["tok"].tolist()
     assert out["n"].tolist() == want["n"].tolist()
+
+
+def _bigram_corpus(seed: int, n: int = 400):
+    rng = np.random.default_rng(seed)
+    words = ["a", "bb", "ccc", "dd", "e", "ff", "g", "hh", "ii", "jj",
+             "kk", "ll", "mm", "nn", "oo", "pp"]
+    texts = [" ".join(rng.choice(words, int(rng.integers(2, 12))))
+             for _ in range(n)]
+    # a hot boilerplate pair dominating the tail
+    texts += ["hot pair hot pair hot pair"] * 40
+    return pa.table({"text": pa.array(texts, pa.string())})
+
+
+def test_top_bigrams_hh_matches_exact_under_forced_drops(ray_session):
+    """Tiny capacities force per-block drops (and possibly the exact-tier
+    fallback); the tier contract is identical output either way."""
+    import ray
+
+    from geotrellis_contrib_ray.stages.text import top_bigrams, top_bigrams_hh
+
+    t = _bigram_corpus(11)
+    ds = ray.data.from_arrow(t).repartition(4)
+    want = top_bigrams(ds, k=10).to_pandas()
+    for cap in (2, 8, 64):
+        got = top_bigrams_hh(ray.data.from_arrow(t).repartition(4), k=10,
+                             capacity=cap).to_pandas()
+        assert got.equals(want), f"capacity={cap}"
+
+
+def test_top_bigrams_hh_rescue_proves_without_fallback(ray_session, monkeypatch):
+    """On a skewed corpus with real drops, the candidate rescue must PROVE
+    exactness — the exact-tier fallback is patched to fail loudly."""
+    import ray
+
+    import geotrellis_contrib_ray.stages.text as text_mod
+
+    t = _bigram_corpus(13)
+
+    def boom(*a, **kw):
+        raise AssertionError("fallback taken — rescue proof failed")
+
+    monkeypatch.setattr(text_mod, "top_bigrams", boom)
+    # capacity below the per-block distinct-bigram count (so real drops
+    # happen and total_drop > 0) but high enough that the tracked bound
+    # stays under the hot pair's margin — the proof must go through
+    got = text_mod.top_bigrams_hh(ray.data.from_arrow(t).repartition(4),
+                                  k=2, capacity=128).to_pandas()
+    # the planted boilerplate pairs must win with their exact counts
+    assert got["bigram"].tolist() == ["hot pair", "pair hot"]
+    assert got["n"].tolist() == [120, 80]
