@@ -118,3 +118,31 @@ def test_r4_ops_single_row(ray_session):
     assert ms["doc_id"].tolist() == [7]
     sp = dedup.simhash_candidate_pairs(ds).to_pandas()
     assert len(sp) == 0
+
+
+def test_r5_final_ops_empty_and_single(ray_session):
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.dedup import bow_keep_first
+    from geotrellis_contrib_ray.stages.stats import group_zscore
+    from geotrellis_contrib_ray.stages.text import (regex_token_counts,
+                                                    top_bigrams_hh)
+
+    ds = _empty_docs()
+    assert bow_keep_first(ds).count() == 0
+    assert regex_token_counts(ds, "[a-z]+").count() == 0
+    assert group_zscore(ds, "lang", "n_chars").count() == 0
+    assert top_bigrams_hh(ds, k=3).num_rows == 0
+
+    one = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["solo doc"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "n_chars": pa.array([8], pa.int64()),
+    }))
+    assert bow_keep_first(one).take_all() == [{"doc_id": 7, "n_dups": 1}]
+    assert regex_token_counts(one, "[a-z]+").count() == 2
+    # single row per group: zero variance -> dropped
+    assert group_zscore(one, "lang", "n_chars").count() == 0
+    hh = top_bigrams_hh(one, k=3)
+    assert hh["bigram"].to_pylist() == ["solo doc"]
