@@ -2858,8 +2858,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-checked (new this round), (b) queries whose implementation
         # CHANGED this round, (c) oldest-driver-checked first; recently
         # green rows ride last and rotate forward next round.
-        # -- (a) NEW this round, never driver-checked: per-row window
-        #    functions, grouped mode, fixed-bin histogram, moment sums
+        # -- (a) NEW this round, never driver-checked: token-sort dedup,
+        #    regex extraction, broadcast z-score, heavy-hitter top-k tier,
+        #    then the earlier r5 waves (edit distance, bigrams, pivot, set
+        #    ops, graph rank, window functions, product analytics, ...)
         "bow_dedup": q_bow_dedup,
         "regex_tokens": q_regex_tokens,
         "zscore_chars": q_zscore_chars,
