@@ -647,6 +647,14 @@ def group_zscore(ds, group_col: str, value_col: str, quant_bits: int = 20,
     n = stats["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     s1 = stats["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
     s2 = stats["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # exact-arithmetic guard: n*s2 and s1*s1 must stay inside int64 (numpy
+    # wraps silently); bounded group count makes the python-int check free
+    for nn_i, s1_i, s2_i in zip(n.tolist(), s1.tolist(), s2.tolist()):
+        if max(nn_i * s2_i, s1_i * s1_i) > (1 << 63) - 1:
+            raise ValueError(
+                "group_zscore: integer moments overflow int64 "
+                f"(n={nn_i}, s1={s1_i}, s2={s2_i}) — rescale the value "
+                "column before standardizing")
     var_n2 = n * s2 - s1 * s1  # n^2 * population variance, exact int64
     keep = var_n2 > 0
     order = np.argsort(keys[keep], kind="stable")

@@ -737,6 +737,12 @@ def regex_token_counts(ds, pattern: str, text_col: str = "text"):
 
     from .agg import salted_group_reduce
 
+    if re.compile(pattern).groups:
+        raise ValueError(
+            "regex_token_counts: pattern must not contain capture groups "
+            "(findall would return tuples and the DuckDB twin extracts the "
+            "full match) — use (?:...) for grouping")
+
     def partial(b: pa.Table) -> pa.Table:
         rx = _REGEX_CACHE.get(pattern)
         if rx is None:

@@ -786,3 +786,23 @@ def test_bow_keep_first_refuses_hash_collision(ray_session, monkeypatch):
         raise AssertionError("expected signature-hash collision ValueError")
     except Exception as e:
         assert "collision" in str(e)
+
+
+def test_bow_sig_rows_on_sliced_batch(ray_session):
+    """The per-batch signature kernel must honor non-zero Arrow offsets
+    (sliced string columns share the parent's offset/data buffers)."""
+    import ray
+
+    from geotrellis_contrib_ray.stages.dedup import bow_keep_first
+
+    full = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["pad pad pad", "b a", "a b", "z", "a  b"],
+                         pa.string()),
+    })
+    sliced = full.slice(1, 4)  # drops the pad row; buffers keep offsets
+    out = (bow_keep_first(ray.data.from_arrow(sliced)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # {1,2} share multiset {a,b}; {3} 'z'; {4} has an empty middle token
+    assert out["doc_id"].tolist() == [1, 3, 4]
+    assert out["n_dups"].tolist() == [2, 1, 1]

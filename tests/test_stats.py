@@ -318,3 +318,18 @@ def test_group_zscore_exact_and_drops(ray_session):
     den = math.sqrt(600.0)
     for xi, zq in zip(out["x"], out["z_q"]):
         assert zq == math.floor((3 * xi - 60) / den * 1048576.0)
+
+
+def test_group_zscore_overflow_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from geotrellis_contrib_ray.stages.stats import group_zscore
+
+    big = 1 << 33
+    t = pa.table({
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+        "x": pa.array([big, big + 1, big + 2], pa.int64()),
+    })
+    with pytest.raises(Exception, match="overflow|checked"):
+        group_zscore(rd.from_arrow(t), "lang", "x").to_pandas()

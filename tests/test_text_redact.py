@@ -203,3 +203,14 @@ def test_top_bigrams_hh_rescue_proves_without_fallback(ray_session, monkeypatch)
     # the planted boilerplate pairs must win with their exact counts
     assert got["bigram"].tolist() == ["hot pair", "pair hot"]
     assert got["n"].tolist() == [120, 80]
+
+
+def test_regex_token_counts_rejects_capture_groups(ray_session):
+    import pytest
+    import ray
+
+    from geotrellis_contrib_ray.stages.text import regex_token_counts
+
+    t = pa.table({"text": pa.array(["abc"], pa.string())})
+    with pytest.raises(ValueError, match="capture groups"):
+        regex_token_counts(ray.data.from_arrow(t), "([a-z])x")
