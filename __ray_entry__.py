@@ -2794,6 +2794,22 @@ def q_span_redact(sf_dir: str):
                           batch_size=None)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the BEST copy: winner per distinct text = min
+    (source priority, doc_id) — curated sources beat the crawl.  Texts
+    never move (24 B/row packed-winner shuffle, collision refusal)."""
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        DEDUP_DEFAULT_PRIORITY,
+        DEDUP_PRIORITY_SOURCES,
+    )
+    from geotrellis_contrib_ray.stages.dedup import priority_dedup_keep_best
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text", "source"])
+    prio = {s: i for i, s in enumerate(DEDUP_PRIORITY_SOURCES)}
+    return priority_dedup_keep_best(ds, prio, DEDUP_DEFAULT_PRIORITY)
+
+
 def q_top_bigrams_hh(sf_dir: str):
     """Heavy-hitter tier of top_bigrams: per-block top-capacity summaries
     with a tracked drop bound (sentinel key rides the same reduce), exact
@@ -2866,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_tokens": q_regex_tokens,
         "zscore_chars": q_zscore_chars,
         "top_bigrams_hh": q_top_bigrams_hh,
+        "dedup_keep_best": q_dedup_keep_best,
         "edit_distance_pairs": q_edit_distance_pairs,
         "top_bigrams": q_top_bigrams,
         "pivot_lang_source": q_pivot_lang_source,
@@ -4262,6 +4279,19 @@ SELECT d.doc_id, d.lang,
              * CAST({1 << ZSCORE_QUANT_BITS} AS DOUBLE)) AS BIGINT) AS z_q
 FROM documents d JOIN s USING (lang)
 WHERE s.n * s.s2 - s.s1 * s.s1 > 0 AND d.n_chars IS NOT NULL"""
+
+    # keep-best dedup: the packed int64 min IS the lexicographic
+    # (priority, doc_id) policy; 2^40 = 1099511627776
+    from geotrellis_contrib_ray.pipelines.query_defs import (
+        DEDUP_DEFAULT_PRIORITY, DEDUP_PRIORITY_SOURCES)
+    _prio_case = " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(DEDUP_PRIORITY_SOURCES))
+    sql["dedup_keep_best"] = f"""
+SELECT CAST(min((CASE source {_prio_case} ELSE {DEDUP_DEFAULT_PRIORITY} END)
+             * 1099511627776 + doc_id) % 1099511627776 AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents WHERE text IS NOT NULL
+GROUP BY text"""
 
     # byte-domain on BOTH engines: DuckDB levenshtein() counts byte edits
     # (measured), and the Ray side's PassJoin segments/probes/banded-DP all

@@ -886,3 +886,10 @@ REGEX_TOKEN_PATTERN = r"[b-df-hj-np-tv-z]{2,}"
 # zscore_chars: per-lang population z-score of n_chars, quantized
 # floor(z * 2^20) from exact integer moments (CLAUDE.md float-twin rule)
 ZSCORE_QUANT_BITS = 20
+
+
+# dedup_keep_best: prefer curated sources over the crawl — rank = position
+# in this tuple, everything else rides at DEDUP_DEFAULT_PRIORITY.  Includes
+# both generator sources (srcN) and the random-parity corpora's names.
+DEDUP_PRIORITY_SOURCES = ("src3", "src7", "wiki", "book")
+DEDUP_DEFAULT_PRIORITY = 4

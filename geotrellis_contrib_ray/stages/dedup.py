@@ -2697,3 +2697,89 @@ def bow_keep_first(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return groups.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+_PRIO_ID_BITS = 40  # packed winner key: priority << 40 | doc_id
+
+
+def priority_dedup_keep_best(ds, priority_of: dict, default_priority: int,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             source_col: str = "source", group_salt: int = 256):
+    """Exact dedup keeping the BEST copy, not the first: one row per
+    distinct text, winner = lexicographic min of (source priority, doc_id)
+    — the practitioner's policy when the same document appears in several
+    corpora of different quality (prefer wiki over web crawl, curated over
+    raw).  The reference's D1 keyed collapse with a policy winner.
+
+    Scale shape: texts never move — per batch the text is hashed twice
+    (independent families, collision refusal as in bow_keep_first /
+    incremental_dedup) and the winner candidate rides as ONE packed int64
+    (priority << 40 | doc_id), so the shuffle is 24 B/row regardless of
+    document size; one bounded-salt reduce; min-combine of the packed key
+    IS the lexicographic policy.  Priorities must be < 2^23 and ids in
+    [0, 2^40) for the packing (guarded).
+
+    Output: doc_id (winner), n_dups — SQL twin groups by text and unpacks
+    ``min(prio * 2^40 + doc_id)``."""
+    from .agg import salted_group_reduce
+    from .text import hash_utf8_array
+
+    for p in list(priority_of.values()) + [default_priority]:
+        if not (0 <= int(p) < (1 << 23)):
+            raise ValueError("priority_dedup_keep_best: priorities must be "
+                             "in [0, 2^23) for the packed winner key")
+    srcs = sorted(priority_of)
+    src_arr = np.array(srcs, dtype=object)
+    prio_arr = np.array([priority_of[s] for s in srcs], np.int64)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        from ..util import strip_schema_metadata
+
+        batch = strip_schema_metadata(batch)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        sel = pa.array(valid)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        src = batch[source_col].to_numpy(zero_copy_only=False)[valid]
+        texts = texts.filter(sel).cast(pa.string())
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << _PRIO_ID_BITS)):
+            raise ValueError("priority_dedup_keep_best: ids must fit 2^40")
+        # vectorized priority lookup: searchsorted into the sorted source
+        # table (unknown sources take the default)
+        if len(src_arr) and len(src):
+            pos = np.clip(np.searchsorted(src_arr, src), 0, len(src_arr) - 1)
+            known = src_arr[pos] == src
+            prio = np.where(known, prio_arr[pos], default_priority)
+        else:
+            prio = np.full(len(src), default_priority, np.int64)
+        packed = (prio.astype(np.int64) << _PRIO_ID_BITS) | ids
+        return pa.table({"h1": pa.array(hash_utf8_array(texts, seed=0)),
+                         "h2": pa.array(hash_utf8_array(texts, seed=1)),
+                         "w": pa.array(packed)})
+
+    reduced = salted_group_reduce(
+        ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["h1"],
+        [("h2", "min", "_h2min"), ("h2", "max", "_h2max"),
+         (None, "count", "n_dups"), ("w", "min", "_w")],
+        salt=group_salt,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        h2min = b["_h2min"].to_numpy(zero_copy_only=False)
+        h2max = b["_h2max"].to_numpy(zero_copy_only=False)
+        if (h2min != h2max).any():
+            raise ValueError(
+                "priority_dedup_keep_best: 64-bit text-hash collision "
+                "detected (h2 family disagrees within an h1 group)")
+        w = b["_w"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(w & ((1 << _PRIO_ID_BITS) - 1)),
+            "n_dups": b["n_dups"],
+        })
+
+    return reduced.map_batches(finalize, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)

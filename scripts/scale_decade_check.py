@@ -73,6 +73,7 @@ CHECKS = [
         "regex_tokens",
         "zscore_chars",
         "top_bigrams_hh",
+        "dedup_keep_best",
         "quantile_chars",
         "token_stats",
         "quality_scores",

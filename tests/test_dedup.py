@@ -806,3 +806,37 @@ def test_bow_sig_rows_on_sliced_batch(ray_session):
     # {1,2} share multiset {a,b}; {3} 'z'; {4} has an empty middle token
     assert out["doc_id"].tolist() == [1, 3, 4]
     assert out["n_dups"].tolist() == [2, 1, 1]
+
+
+def test_priority_dedup_keep_best_planted(ray_session):
+    """Winner = lexicographic min (priority, doc_id): a curated copy with a
+    HIGHER doc_id beats an earlier crawl copy; ties break on id; unknown
+    sources take the default; NULL text drops; guards fire on bad ranges."""
+    import pytest
+    import ray
+
+    from geotrellis_contrib_ray.stages.dedup import priority_dedup_keep_best
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["dup body", "dup body", "dup body",
+                          "only one", None, "tie body"], pa.string()),
+        "source": pa.array(["web", "wiki", "web", "unknown", "wiki", "web"],
+                           pa.string()),
+    }))
+    prio = {"wiki": 0, "web": 1}
+    out = (priority_dedup_keep_best(ds, prio, 2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # 'dup body': wiki copy id=1 beats web ids 0 and 2 despite 0 < 1
+    assert out["doc_id"].tolist() == [1, 3, 5]
+    assert out["n_dups"].tolist() == [3, 1, 1]
+
+    with pytest.raises(ValueError, match="2\\^23"):
+        priority_dedup_keep_best(ds, {"wiki": -1}, 2)
+    bad = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1 << 41], pa.int64()),
+        "text": pa.array(["x"], pa.string()),
+        "source": pa.array(["web"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="2\\^40"):
+        priority_dedup_keep_best(bad, prio, 2).take_all()
