@@ -604,7 +604,8 @@ def top_bigrams_hh(ds, k: int = 20, text_col: str = "text",
     error bound, Metwally et al. / Agarwal et al. mergeable summaries):
     1. per block: EXACT bigram tf, truncated to the top-``capacity`` rows;
        the largest DROPPED count is the block's error bound and rides the
-       same reduce under a sentinel key ("\\x00", which no bigram can equal);
+       same reduce under the space-free sentinel key (``_HH_DROP_KEY``,
+       which no bigram — always exactly one space — can equal);
     2. ONE bounded-salt reduce over blocks x capacity summary rows (vs the
        exact tier's blocks x distinct rows); driver pulls the global
        top-(k + slack) partial sums + total_drop = sum of block bounds;
