@@ -343,6 +343,12 @@ def neardup_clusters(ds, key_len: int = 10, id_col: str = "doc_id",
             texts = texts.combine_chunks()
         texts = texts.cast(pa.string())
         ids = b[id_col].combine_chunks().cast(pa.int64())
+        # NULL texts carry NO keys (edgeless singletons, like the twin's
+        # NULL substr keys) — hashing them would alias NULL with '' (the
+        # FNV-basis collision the r4 ADVICE flagged on incremental dedup)
+        mask = pc.is_valid(texts)
+        texts = texts.filter(mask)
+        ids = ids.filter(mask)
         pre = pc.utf8_slice_codeunits(texts, 0, key_len)
         suf = pc.utf8_slice_codeunits(texts, -key_len)
         kh = np.concatenate([hash_utf8_array(pre), hash_utf8_array(suf)])

@@ -10,7 +10,7 @@ import pyarrow.parquet as pq
 import pytest
 
 QUERIES = ["ann_cosine", "ann_rank", "ann_lsh", "ann_ivf",
-           "embedding_neardup", "label_centroids"]
+           "embedding_neardup", "label_centroids", "kmeans_embed"]
 
 
 def _embeddings(seed: int, n: int = 400, d: int = 64) -> pa.Table:

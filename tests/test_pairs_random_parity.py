@@ -19,6 +19,7 @@ QUERIES_UNICODE = [
     "dedup_delta", "corpus_clean", "vocab_coverage", "stratified_sample",
     "train_split", "shuffle_head", "top_docs_per_lang", "lang_profile",
     "chunk_docs", "mixture_sample", "dedup_keep_best",
+    "dedup_clusters", "dedup_apply",
 ]
 # byte-domain sketches (COVERAGE.md shingle-domain scoping): shingles are
 # UTF-8 bytes and the ascii(substr(...)) SQL replays are exact on ASCII —
