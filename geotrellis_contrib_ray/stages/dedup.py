@@ -43,6 +43,13 @@ def _log_bucket_drop(kind: str, size: int, cap: int) -> None:
 # ---------------------------------------------------------------------------
 
 
+# reserved fingerprints for NULL texts: SQL GROUP BY text makes every NULL
+# one group DISTINCT from '' while hash_utf8_array returns the FNV basis
+# for both; a real text colliding with these trips the h2 refusal
+_NULL_TEXT_FP = np.int64(-0x61C8864680B583EB)
+_NULL_TEXT_H2 = np.int64(0x3C79AC492BA7B653)
+
+
 def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Exact duplicate groups: hash-partition on a 64-bit content FINGERPRINT
     (not the text itself) — the shuffle key is 8 bytes/group at any corpus
@@ -67,6 +74,22 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     def partial(batch: pa.Table) -> pa.Table:
         batch = add_fingerprint(batch)
         h2 = hash_utf8_array(batch[text_col], seed=0x9E3779B97F4A7C15)
+        # SQL GROUP BY text puts every NULL in ONE group DISTINCT from '' —
+        # but hash_utf8_array returns the FNV basis for both.  Reserved
+        # constants give NULLs their own group (a real text colliding with
+        # the sentinel trips the h2 refusal, never a silent merge).
+        texts = batch[text_col]
+        nulls = pc.is_null(
+            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray)
+            else texts).to_numpy(zero_copy_only=False)
+        if nulls.any():
+            fp = batch["fingerprint"].to_numpy(zero_copy_only=False).copy()
+            fp[nulls] = _NULL_TEXT_FP
+            h2 = h2.copy()
+            h2[nulls] = _NULL_TEXT_H2
+            batch = batch.set_column(
+                batch.schema.get_field_index("fingerprint"), "fingerprint",
+                pa.array(fp, pa.int64()))
         batch = batch.append_column("_h2", pa.array(h2, pa.int64()))
         g = (
             batch.select(["fingerprint", text_col, id_col, "_h2"])
@@ -130,6 +153,17 @@ def exact_dedup_keep_first(ds, id_col: str = "doc_id", text_col: str = "text",
 
         b = strip_schema_metadata(add_fingerprint(b))  # unhashable-schema rule
         fp = b["fingerprint"].to_numpy(zero_copy_only=False)
+        texts = b[text_col]
+        nulls = pc.is_null(
+            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray)
+            else texts).to_numpy(zero_copy_only=False)
+        if nulls.any():
+            # NULL texts form their OWN group distinct from '' (the GROUP
+            # BY text semantics; see _NULL_TEXT_FP)
+            fp = fp.copy()
+            fp[nulls] = _NULL_TEXT_FP
+            b = b.set_column(b.schema.get_field_index("fingerprint"),
+                             "fingerprint", pa.array(fp, pa.int64()))
         bucket = (fp.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
         return b.append_column("_bucket", pa.array(bucket))
 

@@ -254,6 +254,10 @@ def tfidf_top_terms(ds, top_n: int = 3, id_col: str = "doc_id",
         n_docs = ds.count()
 
     def term_tf(b: pa.Table) -> pa.Table:
+        # NULL texts contribute no terms on either engine (string_split of
+        # NULL unnests to zero rows); unfiltered they crash the np.repeat
+        # below (NULL list lengths surface as NaN)
+        b = b.filter(pc.is_valid(b[text_col]))
         toks = pc.split_pattern(b[text_col], " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()

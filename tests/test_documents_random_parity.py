@@ -29,7 +29,9 @@ def _random_documents(seed: int, n: int = 600) -> pa.Table:
     texts = []
     for i in range(n):
         kind = rng.random()
-        if kind < 0.05:
+        if kind < 0.03:
+            texts.append(None)  # NULL text: twins must agree on NULL-vs-''
+        elif kind < 0.05:
             texts.append("")
         elif kind < 0.15:
             texts.append(canon)  # exact duplicates stress dedup winners
@@ -49,7 +51,7 @@ def _random_documents(seed: int, n: int = 600) -> pa.Table:
         "lang": pa.array(rng.choice(["en", "cs", "zh"], n), pa.string()),
         "source": pa.array(rng.choice(["web", "book", "wiki", "news"], n),
                            pa.string()),
-        "n_chars": pa.array(np.array([len(t) for t in texts], np.int64)),
+        "n_chars": pa.array(np.array([len(t) if t is not None else 0 for t in texts], np.int64)),
     })
 
 
@@ -76,7 +78,10 @@ def test_documents_family_random_parity(ray_session, seed, tmp_path):
         for c in cols:
             gv, ev = got[c].to_numpy(), exp[c].to_numpy()
             if gv.dtype.kind == "O" or ev.dtype.kind == "O":
-                assert (gv.astype(object) == ev.astype(object)).all(), f"{name}.{c}"
+                gn, en = pd.isna(gv), pd.isna(ev)
+                assert (gn == en).all() and (
+                    gv[~gn].astype(object) == ev[~en].astype(object)).all(), \
+                    f"{name}.{c}"
             elif gv.dtype.kind == "f" or ev.dtype.kind == "f":
                 assert np.array_equal(gv.astype(np.float64),
                                       ev.astype(np.float64),
