@@ -724,6 +724,11 @@ def q_top_chars(sf_dir: str):
 
     part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     df = part.to_pandas()
+    if "n_chars" not in df.columns:  # a zero-block (empty-corpus) read
+        import pandas as pd
+
+        df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "n_chars": pd.Series([], dtype="int64")})
     df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort").head(10)
     return df.reset_index(drop=True)
 

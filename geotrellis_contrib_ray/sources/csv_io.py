@@ -20,6 +20,13 @@ def write_csv_shards(ds, path: str, *, overwrite: bool = True):
     """Spill a dataset to a directory of CSV shards (one per block);
     refuses non-CSV-exact column types (floats/binary)."""
     schema = ds.schema()
+    if schema is None or not getattr(schema, "names", None):
+        # zero-block input (empty corpus): nothing to spill — an empty
+        # shard dir round-trips as an empty dataset
+        if overwrite and os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        return path
     bad = [n for n, t in zip(schema.names, schema.types)
            if str(t) not in _CSV_EXACT]
     if bad:
@@ -41,6 +48,8 @@ def read_csv_shards(path: str):
 
     from ..util import strip_schema_metadata
 
+    if not any(os.scandir(path)):
+        return rd.range(0).filter(lambda r: True)  # zero-row, zero-batch
     return rd.read_csv(
         path, parse_options=pacsv.ParseOptions(newlines_in_values=True)
     ).map_batches(strip_schema_metadata, batch_format="pyarrow",

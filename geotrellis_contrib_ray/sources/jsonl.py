@@ -28,6 +28,13 @@ def write_jsonl(ds, path: str, *, overwrite: bool = True):
     formatting is not bit-stable across writers, and binary has no JSON
     type; callers should encode those upstream (cents ints, base64)."""
     schema = ds.schema()
+    if schema is None or not getattr(schema, "names", None):
+        # zero-block input (empty corpus): nothing to spill — an empty
+        # shard dir round-trips as an empty dataset
+        if overwrite and os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        return path
     bad = [n for n, t in zip(schema.names, schema.types)
            if str(t) not in _JSON_EXACT]
     if bad:
@@ -48,6 +55,8 @@ def read_jsonl(path: str):
 
     from ..util import strip_schema_metadata
 
+    if not any(os.scandir(path)):
+        return rd.range(0).filter(lambda r: True)  # zero-row, zero-batch
     return rd.read_json(path).map_batches(
         strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None)

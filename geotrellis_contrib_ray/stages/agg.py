@@ -250,8 +250,37 @@ def salted_group_reduce(ds, keys: list[str],
     )
 
 
+def _finalize_subtotals(reduced, keys: list[str], value_col: str | None,
+                        total_label: str, has_grand_total: bool,
+                        value_type: "pa.DataType | None") -> pa.Table:
+    """Pull the bounded subtotal table to the driver and restore the SQL
+    GROUPING SETS contract on EMPTY input: the () grouping set emits one
+    row even over zero rows — count 0 and a NULL sum (SQL SUM over nothing
+    is NULL) — while a zero-block upstream produces nothing at all.  On
+    non-empty input every batch emits the () row, so this is a no-op."""
+    tables = [t for t in reduced.iter_batches(batch_size=None,
+                                              batch_format="pyarrow")]
+    names = keys + ["n"] + ([f"sum_{value_col}"] if value_col else [])
+    if tables:
+        return pa.concat_tables(tables).select(names)
+    fields = [(k, pa.string()) for k in keys] + [("n", pa.int64())]
+    if value_col:
+        fields.append((f"sum_{value_col}",
+                       value_type if value_type is not None else pa.int64()))
+    schema = pa.schema(fields)
+    if not has_grand_total:
+        return schema.empty_table()
+    cols = {k: pa.array([total_label], pa.string()) for k in keys}
+    cols["n"] = pa.array([0], pa.int64())
+    if value_col:
+        cols[f"sum_{value_col}"] = pa.array(
+            [None], value_type if value_type is not None else pa.int64())
+    return pa.table({n: cols[n] for n in names})
+
+
 def rollup_counts(ds, keys: list[str], value_col: str | None = None,
-                  total_label: str = "__all__"):
+                  total_label: str = "__all__",
+                  empty_sum_type: "pa.DataType | None" = None):
     """GROUPING-SETS rollup — the warehouse subtotal op: counts (and an
     optional value sum) for every PREFIX of ``keys``: (k1, k2, ..., kn),
     (k1, ..., k(n-1)), ..., (k1), ().  Coarser levels replace the rolled-up
@@ -308,15 +337,18 @@ def rollup_counts(ds, keys: list[str], value_col: str | None = None,
         return pa.concat_tables(aligned)
 
     specs = [("pn", "sum", "n")] + ([("ps", "sum", f"sum_{value_col}")] if value_col else [])
-    return salted_group_reduce(
+    reduced = salted_group_reduce(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None),
         keys, specs, salt=64)
+    return _finalize_subtotals(reduced, keys, value_col, total_label,
+                               has_grand_total=True, value_type=empty_sum_type)
 
 
 def grouping_sets_counts(ds, keys: list[str], sets: list[tuple[str, ...]],
                          value_col: str | None = None,
-                         total_label: str = "__all__"):
+                         total_label: str = "__all__",
+                         empty_sum_type: "pa.DataType | None" = None):
     """General GROUPING SETS / CUBE — :func:`rollup_counts` restricted to
     key PREFIXES, generalized to ANY list of key subsets (``CUBE(a, b)`` =
     all four subsets).  Same one-shuffle plan: each batch reduces to the
@@ -377,10 +409,14 @@ def grouping_sets_counts(ds, keys: list[str], sets: list[tuple[str, ...]],
         return pa.concat_tables(outs)
 
     specs = [("pn", "sum", "n")] + ([("ps", "sum", f"sum_{value_col}")] if value_col else [])
-    return salted_group_reduce(
+    reduced = salted_group_reduce(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
                        batch_size=None),
         keys, specs, salt=64)
+    return _finalize_subtotals(reduced, keys, value_col, total_label,
+                               has_grand_total=(() in (tuple(
+                                   k for k in keys if k in st) for st in sets)),
+                               value_type=empty_sum_type)
 
 
 def pivot_counts(ds, row_key: str, col_key: str, categories: list[str],

@@ -1209,7 +1209,9 @@ def jaccard_prefix_pairs(ds, shingle_k: int = 5, threshold: float = 0.5,
 
     if n_df <= driver_df_limit:
         # --- broadcast tier: bounded driver pull + ray.put ------------------
-        df_tbl = pa.concat_tables(df_mat.iter_batches(batch_size=None, batch_format="pyarrow"))
+        df_tbl = pa.concat_tables(
+            list(df_mat.iter_batches(batch_size=None, batch_format="pyarrow"))
+            or [pa.table({"tok": pa.array([], i64), "df": pa.array([], i64)})])
         toks_sorted = df_tbl["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         dfs_sorted = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(toks_sorted)

@@ -128,8 +128,16 @@ def pack_sequences(ds, budget: int, id_col: str = "doc_id", text_col: str = "tex
     if chunk_tot.count() <= driver_chunk_rows:
         import ray.data as _rd
 
-        ct = chunk_tot.to_pandas().sort_values("chunk").reset_index(drop=True)
-        prefix = np.concatenate([[0], np.cumsum(ct["chunk_tokens"].to_numpy())[:-1]])
+        ct = chunk_tot.to_pandas()
+        if "chunk" not in ct.columns:  # zero-block (empty-corpus) upstream
+            import pandas as pd
+
+            ct = pd.DataFrame({"chunk": pd.Series([], dtype="int64"),
+                               "chunk_tokens": pd.Series([], dtype="int64")})
+        ct = ct.sort_values("chunk").reset_index(drop=True)
+        # r_[0, cs][:-1] keeps the zero-chunk (empty-corpus) shape at 0
+        prefix = np.r_[np.int64(0),
+                       np.cumsum(ct["chunk_tokens"].to_numpy())][:-1]
         offsets = _rd.from_arrow(pa.table({
             "chunk": pa.array(ct["chunk"].to_numpy(dtype=np.int64)),
             "_chunk_off": pa.array(prefix.astype(np.int64)),

@@ -146,3 +146,37 @@ def test_r5_final_ops_empty_and_single(ray_session):
     assert group_zscore(one, "lang", "n_chars").count() == 0
     hh = top_bigrams_hh(one, k=3)
     assert hh["bigram"].to_pylist() == ["solo doc"]
+
+
+def test_empty_corpus_through_query_surface(ray_session, tmp_path):
+    """A zero-row documents.parquet through the query wrappers that used to
+    crash or diverge (empty partitions happen; an all-filtered corpus must
+    degrade to empty results, and GROUPING SETS must still emit the SQL ()
+    grand-total row: count 0, NULL sum)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}), f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    for name in ("top_chars", "rollup_lang_source", "cube_lang_source",
+                 "corpus_clean", "pack_sequences", "jsonl_roundtrip",
+                 "csv_roundtrip", "jaccard_prefix_pairs", "dedup_exact",
+                 "bow_dedup", "dedup_keep_best", "top_bigrams_hh"):
+        r = e.queries()[name](sf)
+        got = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+        want = con.execute(e.oracle_sql()[name]).df()
+        assert got.shape[0] == want.shape[0], (name, got.shape, want.shape)
+        if name in ("rollup_lang_source", "cube_lang_source"):
+            # the () grouping set: one row, sentinels, n=0, NULL sum
+            assert want.shape[0] == 1
+            row = got.sort_index(axis=1).iloc[0]
+            assert row["n"] == 0 and pd.isna(row["sum_n_chars"])
