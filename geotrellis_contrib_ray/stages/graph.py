@@ -411,6 +411,7 @@ def iterative_rank(edges, iters: int = 3, scale: int = 1_000_000,
     (broadcast) — over every node that appears as an edge source (callers
     wanting undirected semantics pass both edge directions, making
     source-set == node-set)."""
+    import os
     import tempfile
 
     from ..util import strip_schema_metadata
@@ -521,6 +522,11 @@ def iterative_rank(edges, iters: int = 3, scale: int = 1_000_000,
     out_dir = spill_dir or tempfile.mkdtemp(prefix="iterrank_", dir="/tmp")
     ed.map_batches(strip_schema_metadata, batch_format="pyarrow",
                    zero_copy_batch=True, batch_size=None).write_parquet(out_dir)
+    if not any(f.name.endswith(".parquet") for f in os.scandir(out_dir)):
+        # zero-block edge set (empty graph): no nodes, no ranks
+        import ray.data as rd
+
+        return rd.range(0)
 
     def _edges_deg():
         import ray.data as rd

@@ -97,6 +97,13 @@ def bucketed_hash_join(left, right, on: str, *, buckets: int | None = None, how:
     else:
         lschema = left.schema()
         rschema = right.schema()
+        if lschema is None or rschema is None:
+            # a zero-block side with no declared schema: the inner join is
+            # empty and its column set is unknowable — return the uniform
+            # zero-block empty (downstream UDFs never run on zero blocks)
+            import ray.data as rd
+
+            return rd.range(0)
     lcols = set(lschema.names)
     rcols = set(rschema.names)
     lonly = sorted(lcols - rcols)
@@ -195,6 +202,11 @@ def asof_join(left, right, *, by: str, on: str, right_value: str, buckets: int =
     ``ASOF JOIN`` in SQL.  Partitioning assumption: one bucket's rows fit a
     worker (raise ``buckets`` for skewed key spaces)."""
     rschema = right.schema()
+    if rschema is None:
+        # zero-block right side: inner ASOF semantics make the result empty
+        import ray.data as rd
+
+        return rd.range(0)
     rv_type = dict(zip(rschema.names, rschema.types))[right_value]
     rv_dtype = rv_type.to_pandas_dtype()
 
@@ -522,8 +534,11 @@ def bloom_semi_join(left, right_keys, on: str, *, bits_log2: int = 23,
         # one ray.put; survivors (already ~matches only, thanks to the
         # bloom) die or pass in a narrow vectorized membership test
         key_blocks = ray.get(distinct.to_arrow_refs())
+        # zero-block upstreams can surface manufactured empty blocks whose
+        # schema lacks the key column — only real rows carry it
         key_arr = np.sort(np.concatenate(
-            [b[on].to_numpy(zero_copy_only=False) for b in key_blocks]
+            [b[on].to_numpy(zero_copy_only=False) for b in key_blocks
+             if on in b.schema.names]
             or [np.array([], np.int64)]).astype(np.int64))
         keys_ref = ray.put(key_arr)
 

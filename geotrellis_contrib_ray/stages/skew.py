@@ -66,6 +66,8 @@ def detect_hot_keys(ds, keys: list[str], threshold: int,
         lambda b: b.filter(pc.greater(b["n"], threshold)),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     ).to_pandas()
+    if hot.empty and not set(keys) <= set(hot.columns):
+        return set()  # zero-block upstream: no rows, no hot keys
     if len(keys) == 1:
         return set(hot[keys[0]].tolist())
     return set(map(tuple, hot[keys].to_numpy()))

@@ -425,7 +425,10 @@ def _resolve_order_stats(ds, value_col: str, ranks_of_n, coarse_bits: int,
             src.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None),
             ["bin"], [("pcnt", "sum", "cnt")], salt=64)
-        t = pa.concat_tables(red.iter_batches(batch_size=None, batch_format="pyarrow"))
+        t = pa.concat_tables(
+            list(red.iter_batches(batch_size=None, batch_format="pyarrow"))
+            or [pa.table({"bin": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})])
         bins = t["bin"].to_numpy(zero_copy_only=False).view(np.uint64)
         cnts = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(bins)
@@ -557,6 +560,11 @@ def exact_quantiles_unbounded(ds, value_col: str, qs: tuple[float, ...],
         return {float(q): min(max(int(-(-q * n // 1)), 1), n) for q in qs}
 
     _n, res = _resolve_order_stats(ds, value_col, ranks, coarse_bits, pull_limit)
+    if _n == 0:
+        # SQL quantile over zero rows: one row per q, NULL value
+        out_q = sorted({float(q) for q in qs})
+        return pa.table({"q": pa.array(out_q, pa.float64()),
+                         "value": pa.array([None] * len(out_q), pa.float64())})
     out_q = sorted(res)
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array([res[q] for q in out_q], pa.float64())})
@@ -585,8 +593,9 @@ def exact_quantiles_cont(ds, value_col: str, qs: tuple[float, ...],
 
     n, res = _resolve_order_stats(ds, value_col, ranks, coarse_bits, pull_limit)
     if n == 0:
-        return pa.table({"q": pa.array([], pa.float64()),
-                         "value": pa.array([], pa.float64())})
+        out_q = sorted({float(q) for q in qs})
+        return pa.table({"q": pa.array(out_q, pa.float64()),
+                         "value": pa.array([None] * len(out_q), pa.float64())})
     out_q, out_v = [], []
     for q in sorted({float(q) for q in qs}):
         idx = q * (n - 1)

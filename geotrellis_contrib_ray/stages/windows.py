@@ -374,6 +374,14 @@ def funnel_counts(ds, stages: tuple[str, ...] = ("view", "click", "purchase"),
     part = salted.groupby("gsalt").map_groups(per_salt, batch_format="pandas")
     out = driver_group_rollup(part, ["stage", "stage_name"],
                               [("p", "sum", "n_users")])
+    if out.num_rows == 0:
+        # zero-block input (empty events): the SQL funnel still emits every
+        # stage row with a 0 count — the stage list is static
+        out = pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1, dtype=np.int64)),
+            "stage_name": pa.array(list(stages), pa.string()),
+            "n_users": pa.array(np.zeros(len(stages), np.int64)),
+        })
     return out.sort_by("stage")
 
 

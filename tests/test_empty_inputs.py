@@ -180,3 +180,51 @@ def test_empty_corpus_through_query_surface(ray_session, tmp_path):
             assert want.shape[0] == 1
             row = got.sort_index(axis=1).iloc[0]
             assert row["n"] == 0 and pd.isna(row["sum_n_chars"])
+
+
+def test_empty_relational_through_query_surface(ray_session, tmp_path):
+    """Zero-row events/orders/lineitem/customer through the join, window,
+    quantile, funnel, skew, bloom and rank wrappers: inner joins over an
+    unknowable empty side degrade to zero-block empties; SQL emits
+    (q, NULL) per quantile and every static funnel stage with 0."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64())}), f"{sf}/events.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([], pa.int64()), "o_custkey": pa.array([], pa.int64()),
+        "o_orderpriority": pa.array([], pa.string()),
+        "o_totalprice": pa.array([], pa.float64())}), f"{sf}/orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([], pa.int64()), "l_suppkey": pa.array([], pa.int64()),
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_quantity": pa.array([], pa.float64()),
+        "l_discount": pa.array([], pa.float64()),
+        "l_returnflag": pa.array([], pa.string()),
+        "l_linestatus": pa.array([], pa.string())}), f"{sf}/lineitem.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_mktsegment": pa.array([], pa.string())}), f"{sf}/customer.parquet")
+    con = duckdb.connect()
+    for t in ("events", "orders", "lineitem", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    for name in ("funnel_stages", "asof_join", "order_lineitem_join",
+                 "skew_join", "semi_bloom", "quantile_price",
+                 "quantile_price_cont", "graph_rank", "window_funcs",
+                 "sessionize", "customer_order_totals", "orders_no_lineitem"):
+        r = e.queries()[name](sf)
+        got = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+        want = con.execute(e.oracle_sql()[name]).df()
+        assert got.shape[0] == want.shape[0], (name, got.shape, want.shape)
+    # the quantile contract: one row per q, NULL value
+    qp = e.queries()["quantile_price"]("/" + sf.lstrip("/")).to_pandas()
+    assert len(qp) == 6 and qp["value"].isna().all()
